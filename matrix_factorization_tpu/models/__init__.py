@@ -1,0 +1,16 @@
+"""Model library: the five rating models on one lifecycle protocol."""
+
+from matrix_factorization_tpu.models.base import RecommenderBase
+from matrix_factorization_tpu.models.baseline import BaselineModel
+from matrix_factorization_tpu.models.kernel_mf import KernelMF
+from matrix_factorization_tpu.models.collaborative import ItemItemCF, UserUserCF
+from matrix_factorization_tpu.models.content_based import ContentBasedRecommender
+
+__all__ = [
+    "RecommenderBase",
+    "BaselineModel",
+    "KernelMF",
+    "UserUserCF",
+    "ItemItemCF",
+    "ContentBasedRecommender",
+]

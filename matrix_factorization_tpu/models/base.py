@@ -1,0 +1,191 @@
+"""Abstract base for all recommender models.
+
+Mirrors the reference's ``RecommenderBase`` surface
+(``matrix_factorization/recommender_base.py:14-271``): sklearn-compatible
+estimator with ``fit / predict / recommend / update_users`` lifecycle,
+arbitrary-hashable ids remapped to dense ints, unknown ids handled as
+cold-start, and a generic full-catalog ``recommend``.
+
+TPU-first differences:
+* Id remapping is a vectorized :class:`IdVocab` (arrays, not row-wise dict
+  maps), and the preprocessing step never shuffles on the host — shuffling
+  is the training loop's job (``jax.random.permutation`` per epoch on
+  device).  The reference shuffled in ``_preprocess_data``
+  (``recommender_base.py:131``), which caused the rating-misalignment bug
+  in its CF/content models (ratings re-attached in original order after the
+  shuffle, ``collaborative_filtering.py:59``); assigning ids in first-seen
+  input order removes the bug class entirely.
+* ``recommend`` scores the whole catalog as one device batch (dense ids
+  straight into the jitted predictor) instead of building a DataFrame per
+  call.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+try:  # sklearn is optional; BaseEstimator enables GridSearchCV compat
+    from sklearn.base import BaseEstimator, RegressorMixin
+
+    _SKLEARN_BASES: tuple = (BaseEstimator, RegressorMixin)
+except Exception:  # pragma: no cover
+    _SKLEARN_BASES = ()
+
+from matrix_factorization_tpu.core.ids import IdVocab, check_no_duplicates
+
+
+class RecommenderBase(*_SKLEARN_BASES, ABC):
+    """Abstract recommender with the reference's lifecycle contract.
+
+    Data contract (reference ``recommender_base.py``): ``X`` is a DataFrame
+    with columns ``user_id``/``item_id`` (ids may be any hashables), ``y``
+    a Series of ratings aligned with ``X``.
+    """
+
+    def __init__(self, min_rating: float = 0, max_rating: float = 5, verbose: int = 0):
+        self.min_rating = min_rating
+        self.max_rating = max_rating
+        self.verbose = verbose
+        self.user_vocab: IdVocab = IdVocab()
+        self.item_vocab: IdVocab = IdVocab()
+
+    # -- reference-parity id surface ---------------------------------------
+    @property
+    def user_id_map(self) -> dict:
+        return self.user_vocab.as_dict()
+
+    @property
+    def item_id_map(self) -> dict:
+        return self.item_vocab.as_dict()
+
+    @property
+    def known_users(self) -> set:
+        return set(self.user_vocab.raw_ids)
+
+    @property
+    def known_items(self) -> set:
+        return set(self.item_vocab.raw_ids)
+
+    @property
+    def n_users(self) -> int:
+        return len(self.user_vocab)
+
+    @property
+    def n_items(self) -> int:
+        return len(self.item_vocab)
+
+    def contains_user(self, user_id: Any) -> bool:
+        return user_id in self.user_vocab
+
+    def contains_item(self, item_id: Any) -> bool:
+        return item_id in self.item_vocab
+
+    # -- preprocessing ------------------------------------------------------
+    def _preprocess_fit(
+        self, X: pd.DataFrame, y: pd.Series
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Build vocabularies and return dense (u, i, r) arrays.
+
+        Raises ``ValueError`` on duplicate (user, item) pairs, as the
+        reference does (``recommender_base.py:127-128``).
+        """
+        users = X["user_id"].to_numpy()
+        items = X["item_id"].to_numpy()
+        check_no_duplicates(users, items)
+        self.user_vocab = IdVocab.from_values(users)
+        self.item_vocab = IdVocab.from_values(items)
+        u = self.user_vocab.encode(users)
+        i = self.item_vocab.encode(items)
+        r = np.asarray(y, dtype=np.float32)
+        return u, i, r
+
+    def _preprocess_update(
+        self, X: pd.DataFrame, y: pd.Series
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[Any], List[Any]]:
+        """Drop unknown items, register new users; returns
+        (u, i, r, known_users, new_users) — reference
+        ``recommender_base.py:142-171``."""
+        users = X["user_id"].to_numpy()
+        items = X["item_id"].to_numpy()
+        check_no_duplicates(users, items)
+        i = self.item_vocab.encode(items)
+        keep = i >= 0
+        users, i = users[keep], i[keep]
+        r = np.asarray(y, dtype=np.float32)[keep]
+
+        uniq = pd.unique(users)
+        known_users = [u_ for u_ in uniq if u_ in self.user_vocab]
+        new_users = [u_ for u_ in uniq if u_ not in self.user_vocab]
+        self.user_vocab.extend(new_users)
+        u = self.user_vocab.encode(users)
+        return u, i, r, known_users, new_users
+
+    def _preprocess_predict(self, X: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
+        """Dense ids with unknowns mapped to -1
+        (reference ``recommender_base.py:166-168``)."""
+        u = self.user_vocab.encode(X["user_id"].to_numpy())
+        i = self.item_vocab.encode(X["item_id"].to_numpy())
+        return u, i
+
+    # -- lifecycle ----------------------------------------------------------
+    @abstractmethod
+    def fit(self, X: pd.DataFrame, y: pd.Series):
+        """Train on (X, y); returns self."""
+
+    @abstractmethod
+    def predict(self, X: pd.DataFrame, bound_ratings: bool = True) -> list:
+        """Predict ratings for each row of X, in input order."""
+
+    def _predict_dense(
+        self, u: np.ndarray, i: np.ndarray, bound_ratings: bool
+    ) -> np.ndarray:
+        """Dense-id fast path used by ``recommend``; models override."""
+        users = [self.user_vocab.raw_ids[x] if x >= 0 else "__unknown__" for x in u]
+        items = [self.item_vocab.raw_ids[x] if x >= 0 else "__unknown__" for x in i]
+        df = pd.DataFrame({"user_id": users, "item_id": items})
+        return np.asarray(self.predict(df, bound_ratings=bound_ratings))
+
+    def recommend(
+        self,
+        user: Any,
+        amount: int = 10,
+        items_known: Optional[list] = None,
+        include_user: bool = True,
+        bound_ratings: bool = True,
+    ) -> pd.DataFrame:
+        """Top-``amount`` unseen items for ``user``, scored over the whole
+        catalog with ``bound_ratings=False`` then clipped — matching the
+        reference's ordering semantics (``recommender_base.py:245-271``)."""
+        item_ids = np.arange(self.n_items, dtype=np.int32)
+        raw_items = self.item_vocab.raw_ids
+        if items_known is not None:
+            known = set(items_known)
+            keep = np.fromiter(
+                (raw not in known for raw in raw_items), bool, count=len(raw_items)
+            )
+            item_ids = item_ids[keep]
+
+        u_dense = self.user_vocab.encode(np.asarray([user], dtype=object))[0]
+        u = np.full(item_ids.shape, u_dense, dtype=np.int32)
+        preds = self._predict_dense(u, item_ids, bound_ratings=False)
+
+        order = np.argsort(-preds, kind="stable")[:amount]
+        top_items = item_ids[order]
+        top_preds = preds[order]
+        if bound_ratings:
+            top_preds = np.clip(top_preds, self.min_rating, self.max_rating)
+
+        out = pd.DataFrame(
+            {
+                "user_id": [user] * len(top_items),
+                "item_id": [raw_items[x] for x in top_items],
+                "rating_pred": top_preds,
+            }
+        )
+        if not include_user:
+            out = out.drop(columns=["user_id"])
+        return out

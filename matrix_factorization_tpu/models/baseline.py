@@ -1,0 +1,164 @@
+"""Bias-only baseline model: r_ui ~= mu + b_u + b_i.
+
+Reference: ``matrix_factorization/baseline_model.py`` (SGD solver
+``:215-280``, closed-form ALS ``:283-362``, predict ``:365-417``,
+``update_users`` ``:136-180``).  Here both solvers run entirely on device:
+ALS as exact segment-sum sweeps, SGD as scanned mini-batches
+(:mod:`matrix_factorization_tpu.ops.als`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from matrix_factorization_tpu.models.base import RecommenderBase
+from matrix_factorization_tpu.ops import als as als_ops
+from matrix_factorization_tpu.ops.segment_sgd import pack_ratings, round_up
+
+
+class BaselineModel(RecommenderBase):
+    """Explicit-rating bias model with ``method='sgd'`` or ``'als'``.
+
+    Defaults match the reference ctor (``baseline_model.py:41-61``):
+    ``n_epochs=100, reg=1, lr=0.01``.
+    """
+
+    def __init__(
+        self,
+        method: str = "sgd",
+        n_epochs: int = 100,
+        reg: float = 1.0,
+        lr: float = 0.01,
+        min_rating: float = 0,
+        max_rating: float = 5,
+        verbose: int = 0,
+        batch_size: int = 1024,
+        seed: int = 0,
+    ):
+        if method not in ("sgd", "als"):
+            raise ValueError("Method param must be either 'sgd' or 'als'")
+        super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
+        self.method = method
+        self.n_epochs = n_epochs
+        self.reg = reg
+        self.lr = lr
+        self.batch_size = batch_size
+        self.seed = seed
+        self._params: Optional[als_ops.BiasParams] = None
+        self.train_rmse: list = []
+
+    # -- capacity management ------------------------------------------------
+    def _capacity(self) -> int:
+        return 0 if self._params is None else self._params.user_biases.shape[0]
+
+    def _ensure_user_capacity(self, n_needed: int) -> None:
+        cap = self._capacity()
+        if n_needed <= cap:
+            return
+        new_cap = round_up(max(n_needed, int(cap * 1.5) + 1), 1024)
+        pad = new_cap - cap
+        self._params = self._params._replace(
+            user_biases=jnp.concatenate(
+                [self._params.user_biases, jnp.zeros((pad,), jnp.float32)]
+            )
+        )
+
+    # -- lifecycle ----------------------------------------------------------
+    def fit(self, X: pd.DataFrame, y: pd.Series):
+        u, i, r = self._preprocess_fit(X, y)
+        data = pack_ratings(u, i, r, self.batch_size)
+        global_mean = float(np.mean(r))
+        params = als_ops.init_bias_params(
+            round_up(self.n_users, 1024), self.n_items, global_mean
+        )
+
+        if self.method == "als":
+            params, rmse_hist = jax.jit(
+                lambda p, d: als_ops.als_train(p, d, self.reg, self.n_epochs)
+            )(params, data)
+        else:
+            key = jax.random.PRNGKey(self.seed)
+            params, rmse_hist = jax.jit(
+                lambda p, d, k: als_ops.bias_sgd_train(
+                    p, d, k, self.lr, self.reg, self.n_epochs, self.batch_size
+                )
+            )(params, data, key)
+
+        self._params = params
+        self.train_rmse = np.asarray(rmse_hist).tolist()
+        self.global_mean = global_mean
+        if self.verbose:
+            for e, v in enumerate(self.train_rmse):
+                print(f"Epoch {e + 1} train RMSE: {v:.4f}")
+        return self
+
+    def predict(self, X: pd.DataFrame, bound_ratings: bool = True) -> list:
+        if X.shape[0] == 0:
+            return []
+        u, i = self._preprocess_predict(X)
+        preds, possible = self._predict_device(u, i, bound_ratings)
+        self.predictions_possible = np.asarray(possible).tolist()
+        return np.asarray(preds).tolist()
+
+    def _predict_device(self, u: np.ndarray, i: np.ndarray, bound_ratings: bool):
+        return jax.jit(
+            lambda p, uu, ii: als_ops.bias_predict(
+                p, uu, ii, self.min_rating, self.max_rating, bound_ratings
+            )
+        )(self._params, jnp.asarray(u), jnp.asarray(i))
+
+    def _predict_dense(self, u, i, bound_ratings):
+        preds, _ = self._predict_device(u, i, bound_ratings)
+        return np.asarray(preds)
+
+    def update_users(
+        self,
+        X: pd.DataFrame,
+        y: pd.Series,
+        lr: float = 0.01,
+        n_epochs: int = 20,
+        verbose: int = 0,
+    ):
+        """Refit user biases for new/updated users, item side frozen
+        (reference ``baseline_model.py:136-180``).  Known users named in X
+        are re-initialized to 0 before refitting — the reference's
+        documented "pass all their ratings again" contract."""
+        u, i, r, known_users, _new_users = self._preprocess_update(X, y)
+        self._ensure_user_capacity(self.n_users)
+
+        if known_users:
+            idx = jnp.asarray(
+                self.user_vocab.encode(np.asarray(known_users, dtype=object))
+            )
+            self._params = self._params._replace(
+                user_biases=self._params.user_biases.at[idx].set(0.0)
+            )
+
+        pack_bs = min(self.batch_size, max(1, len(r)))
+        data = pack_ratings(u, i, r, pack_bs)
+        key = jax.random.PRNGKey(self.seed + 1)
+        params, rmse_hist = jax.jit(
+            lambda p, d, k: als_ops.bias_sgd_train(
+                p, d, k, lr, self.reg, n_epochs, pack_bs, update_item_params=False
+            )
+        )(self._params, data, key)
+        self._params = params
+        self.train_rmse = np.asarray(rmse_hist).tolist()
+        if verbose:
+            for e, v in enumerate(self.train_rmse):
+                print(f"Epoch {e + 1} train RMSE: {v:.4f}")
+        return self
+
+    # -- reference-parity parameter views ------------------------------------
+    @property
+    def user_biases(self) -> np.ndarray:
+        return np.asarray(self._params.user_biases[: self.n_users])
+
+    @property
+    def item_biases(self) -> np.ndarray:
+        return np.asarray(self._params.item_biases[: self.n_items])

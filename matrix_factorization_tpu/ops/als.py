@@ -1,0 +1,168 @@
+"""Bias-only model solvers: batched closed-form ALS and segment-SGD.
+
+The reference's ``BaselineModel`` fits ``r_ui ~= mu + b_u + b_i`` with either
+a per-rating SGD loop (``baseline_model.py:215-280``) or a sequential ALS
+sweep (``baseline_model.py:283-362``).  Both are embarrassingly parallel on
+TPU:
+
+* **ALS** is exact here: each half-epoch is one ``segment_sum`` plus an
+  elementwise divide —
+  ``b_u = sum_{i in R_u}(r - mu - b_i) / (reg + |R_u|)`` then the item
+  sweep with the *fresh* ``b_u`` (matching the reference's in-epoch
+  ordering at ``baseline_model.py:329-348``).
+* **SGD** reuses the mini-batch scatter-add scheme of
+  ``ops.segment_sgd`` with the bias-only gradient
+  ``b += lr * (err - reg * b)`` (``baseline_model.py:259-266``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from matrix_factorization_tpu.ops.segment_sgd import RatingBatches
+
+
+class BiasParams(NamedTuple):
+    user_biases: jax.Array  # (U,)
+    item_biases: jax.Array  # (I,)
+    global_mean: jax.Array  # f32 scalar
+
+
+def init_bias_params(n_users: int, n_items: int, global_mean: float) -> BiasParams:
+    return BiasParams(
+        user_biases=jnp.zeros((n_users,), jnp.float32),
+        item_biases=jnp.zeros((n_items,), jnp.float32),
+        global_mean=jnp.asarray(global_mean, jnp.float32),
+    )
+
+
+def bias_rmse(params: BiasParams, data: RatingBatches) -> jax.Array:
+    pred = (
+        params.global_mean
+        + params.user_biases[data.user_ids]
+        + params.item_biases[data.item_ids]
+    )
+    e = (pred - data.ratings) * data.weights
+    return jnp.sqrt(jnp.sum(e * e) / max(data.n_real, 1))
+
+
+# ---------------------------------------------------------------------------
+# ALS — exact closed form, fully parallel
+# ---------------------------------------------------------------------------
+
+
+def als_train(
+    params: BiasParams,
+    data: RatingBatches,
+    reg: float,
+    n_epochs: int,
+    compute_epoch_rmse: bool = True,
+) -> Tuple[BiasParams, jax.Array]:
+    u, i, r, w = data.user_ids, data.item_ids, data.ratings, data.weights
+    nu = params.user_biases.shape[0]
+    ni = params.item_biases.shape[0]
+    # |R_u|, |R_i| precomputed once (reference baseline_model.py:317-323)
+    user_counts = jax.ops.segment_sum(w, u, num_segments=nu)
+    item_counts = jax.ops.segment_sum(w, i, num_segments=ni)
+    mu = params.global_mean
+
+    def epoch(p: BiasParams, _):
+        resid_u = w * (r - mu - p.item_biases[i])
+        bu = jax.ops.segment_sum(resid_u, u, num_segments=nu) / (reg + user_counts)
+        bu = jnp.where(user_counts > 0, bu, p.user_biases)
+        resid_i = w * (r - mu - bu[u])  # fresh b_u, as in the reference
+        bi = jax.ops.segment_sum(resid_i, i, num_segments=ni) / (reg + item_counts)
+        bi = jnp.where(item_counts > 0, bi, p.item_biases)
+        p = BiasParams(bu, bi, mu)
+        rmse = bias_rmse(p, data) if compute_epoch_rmse else jnp.float32(0.0)
+        return p, rmse
+
+    return jax.lax.scan(epoch, params, None, length=n_epochs)
+
+
+def als_update_users(
+    params: BiasParams,
+    data: RatingBatches,
+    reg: float,
+    n_epochs: int,
+) -> BiasParams:
+    """Closed-form user-side-only sweep (item biases frozen)."""
+    u, i, r, w = data.user_ids, data.item_ids, data.ratings, data.weights
+    nu = params.user_biases.shape[0]
+    user_counts = jax.ops.segment_sum(w, u, num_segments=nu)
+    resid = w * (r - params.global_mean - params.item_biases[i])
+    bu = jax.ops.segment_sum(resid, u, num_segments=nu) / (reg + user_counts)
+    bu = jnp.where(user_counts > 0, bu, params.user_biases)
+    return params._replace(user_biases=bu)
+
+
+# ---------------------------------------------------------------------------
+# SGD — mini-batch scatter-add
+# ---------------------------------------------------------------------------
+
+
+def bias_sgd_train(
+    params: BiasParams,
+    data: RatingBatches,
+    key: jax.Array,
+    lr: float,
+    reg: float,
+    n_epochs: int,
+    batch_size: int,
+    update_user_params: bool = True,
+    update_item_params: bool = True,
+    compute_epoch_rmse: bool = True,
+) -> Tuple[BiasParams, jax.Array]:
+    n_pad = data.user_ids.shape[0]
+    nb = max(1, n_pad // batch_size)
+
+    def step(p: BiasParams, batch):
+        u, i, r, w = batch
+        bu = p.user_biases[u]
+        bi = p.item_biases[i]
+        err = (r - (p.global_mean + bu + bi)) * w
+        if update_user_params:
+            p = p._replace(
+                user_biases=p.user_biases.at[u].add(
+                    lr * (err - reg * w * bu), mode="drop"
+                )
+            )
+        if update_item_params:
+            p = p._replace(
+                item_biases=p.item_biases.at[i].add(
+                    lr * (err - reg * w * bi), mode="drop"
+                )
+            )
+        return p, None
+
+    def epoch(p: BiasParams, k):
+        perm = jax.random.permutation(k, n_pad)
+        xs = (
+            data.user_ids[perm].reshape(nb, -1),
+            data.item_ids[perm].reshape(nb, -1),
+            data.ratings[perm].reshape(nb, -1),
+            data.weights[perm].reshape(nb, -1),
+        )
+        p, _ = jax.lax.scan(step, p, xs)
+        rmse = bias_rmse(p, data) if compute_epoch_rmse else jnp.float32(0.0)
+        return p, rmse
+
+    return jax.lax.scan(epoch, params, jax.random.split(key, n_epochs))
+
+
+def bias_predict(
+    params: BiasParams, u: jax.Array, i: jax.Array, min_rating: float,
+    max_rating: float, bound_ratings: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """mu + known-side biases; unknown ids (-1) contribute bias 0
+    (reference baseline_model.py:400-405)."""
+    uv, iv = u >= 0, i >= 0
+    bu = jnp.where(uv, params.user_biases[jnp.maximum(u, 0)], 0.0)
+    bi = jnp.where(iv, params.item_biases[jnp.maximum(i, 0)], 0.0)
+    pred = params.global_mean + bu + bi
+    if bound_ratings:
+        pred = jnp.clip(pred, min_rating, max_rating)
+    return pred, uv & iv

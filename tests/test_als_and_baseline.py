@@ -1,0 +1,117 @@
+"""BaselineModel: ALS exactness vs a numpy oracle of the reference's
+closed-form sweep (baseline_model.py:283-362), SGD convergence, predict
+cold-start semantics, update_users."""
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from matrix_factorization_tpu import BaselineModel
+from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+from matrix_factorization_tpu.ops import als as als_ops
+from matrix_factorization_tpu.ops.segment_sgd import pack_ratings
+from matrix_factorization_tpu.utils.metrics import rmse
+
+
+def _als_oracle(u, i, r, n_users, n_items, reg, n_epochs):
+    """Sequential reference semantics in float64 numpy (not copied code:
+    b_u = sum(r - mu - b_i)/(reg + |R_u|), then b_i with fresh b_u)."""
+    mu = r.mean()
+    bu = np.zeros(n_users)
+    bi = np.zeros(n_items)
+    cu = np.bincount(u, minlength=n_users)
+    ci = np.bincount(i, minlength=n_items)
+    for _ in range(n_epochs):
+        np.divide(
+            np.bincount(u, weights=r - mu - bi[i], minlength=n_users),
+            reg + cu, out=bu, where=(cu + reg) > 0,
+        )
+        np.divide(
+            np.bincount(i, weights=r - mu - bu[u], minlength=n_items),
+            reg + ci, out=bi, where=(ci + reg) > 0,
+        )
+    return mu, bu, bi
+
+
+def test_als_matches_closed_form_oracle(rng):
+    n_users, n_items, n = 40, 25, 500
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+
+    data = pack_ratings(u, i, r, 128)
+    params = als_ops.init_bias_params(n_users, n_items, float(r.mean()))
+    params, rmse_hist = jax.jit(
+        lambda p, d: als_ops.als_train(p, d, reg=0.5, n_epochs=7)
+    )(params, data)
+
+    mu, bu, bi = _als_oracle(
+        u, i, r.astype(np.float64), n_users, n_items, reg=0.5, n_epochs=7
+    )
+    np.testing.assert_allclose(np.asarray(params.user_biases), bu, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(params.item_biases), bi, atol=1e-4)
+    assert rmse_hist.shape == (7,)
+    assert float(rmse_hist[-1]) <= float(rmse_hist[0]) + 1e-6
+
+
+def _fit_eval(method, **kw):
+    X, y = lowrank_ratings(n_users=80, n_items=60, density=0.4, seed=3)
+    model = BaselineModel(method=method, n_epochs=30, reg=0.5, lr=0.05,
+                          batch_size=256, **kw)
+    model.fit(X, y)
+    preds = model.predict(X)
+    return model, rmse(y, preds)
+
+
+def test_baseline_als_beats_global_mean():
+    X, y = lowrank_ratings(n_users=80, n_items=60, density=0.4, seed=3)
+    model, err = _fit_eval("als")
+    assert err < rmse(y, np.full(len(y), y.mean()))
+
+
+def test_baseline_sgd_converges():
+    model, err = _fit_eval("sgd")
+    hist = model.train_rmse
+    assert hist[-1] < hist[0]
+    assert err < 1.0
+
+
+def test_baseline_predict_cold_start_and_bounds():
+    model, _ = _fit_eval("als")
+    X_new = pd.DataFrame({"user_id": [999999, 0], "item_id": [0, 888888]})
+    preds = model.predict(X_new)
+    assert len(preds) == 2
+    assert model.predictions_possible == [False, False]
+    # unknown side contributes bias 0 -> prediction near global mean + known bias
+    assert model.min_rating <= preds[0] <= model.max_rating
+
+
+def test_baseline_update_users_new_user():
+    X, y = lowrank_ratings(n_users=60, n_items=50, density=0.5, seed=5)
+    model = BaselineModel(method="sgd", n_epochs=20, reg=0.1, lr=0.05, batch_size=256)
+    # hold out one user entirely
+    holdout = X["user_id"] == 0
+    model.fit(X[~holdout], y[~holdout])
+    assert not model.contains_user(0)
+
+    model.update_users(X[holdout], y[holdout], lr=0.05, n_epochs=20)
+    assert model.contains_user(0)
+    preds = model.predict(X[holdout])
+    assert rmse(y[holdout], preds) < 1.2
+
+
+def test_baseline_recommend_excludes_known_items():
+    model, _ = _fit_eval("als")
+    known = [1, 2, 3]
+    recs = model.recommend(user=0, amount=5, items_known=known)
+    assert len(recs) == 5
+    assert not set(recs["item_id"]).intersection(known)
+    assert recs["rating_pred"].is_monotonic_decreasing
+
+
+def test_baseline_rejects_bad_method():
+    import pytest
+
+    with pytest.raises(ValueError):
+        BaselineModel(method="newton")

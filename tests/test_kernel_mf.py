@@ -1,0 +1,162 @@
+"""KernelMF: convergence on low-rank synthetic data for all three kernels,
+sequential-parity (batch_size=1) vs a numpy oracle of the reference's
+per-rating SGD, update_users cold-start, recommend semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrix_factorization_tpu import KernelMF
+from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+from matrix_factorization_tpu.utils.metrics import rmse
+
+
+@pytest.fixture(scope="module")
+def data():
+    return lowrank_ratings(n_users=100, n_items=80, n_factors=4,
+                           density=0.4, noise_sd=0.05, seed=2)
+
+
+def test_linear_converges_below_noise_floorish(data):
+    X, y = data
+    m = KernelMF(n_factors=8, n_epochs=40, kernel="linear", lr=0.02,
+                 reg=0.02, batch_size=256, seed=0)
+    m.fit(X, y)
+    assert m.train_rmse[-1] < m.train_rmse[0]
+    err = rmse(y, m.predict(X))
+    base = rmse(y, np.full(len(y), y.mean()))
+    assert err < 0.6 * base
+
+
+@pytest.mark.parametrize("kernel,lr", [("sigmoid", 0.05), ("rbf", 0.3)])
+def test_nonlinear_kernels_converge(data, kernel, lr):
+    X, y = data
+    m = KernelMF(n_factors=8, n_epochs=40, kernel=kernel, lr=lr,
+                 reg=0.02, batch_size=256, seed=0)
+    m.fit(X, y)
+    base = rmse(y, np.full(len(y), y.mean()))
+    assert rmse(y, m.predict(X)) < base
+
+
+def _sequential_oracle(u, i, r, n_users, n_items, k, mu, P, Q, lr, reg, n_epochs):
+    """Reference linear-kernel per-rating SGD in numpy (kernels.py:108-180
+    semantics, fixed visit order, no shuffle)."""
+    bu = np.zeros(n_users)
+    bi = np.zeros(n_items)
+    P, Q = P.copy(), Q.copy()
+    for _ in range(n_epochs):
+        for n in range(len(r)):
+            a, b, y_ = u[n], i[n], r[n]
+            pred = mu + bu[a] + bi[b] + P[a] @ Q[b]
+            e = pred - y_
+            bu[a] -= lr * (e + reg * bu[a])
+            bi[b] -= lr * (e + reg * bi[b])
+            pa = P[a].copy()
+            P[a] -= lr * (e * Q[b] + reg * P[a])
+            Q[b] -= lr * (e * pa + reg * Q[b])
+    return bu, bi, P, Q
+
+
+def test_batch_size_one_matches_sequential_oracle():
+    """With batch_size=1 and a fixed visit order, the scan reproduces the
+    reference trajectory exactly (modulo f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    rng = np.random.default_rng(0)
+    n_users, n_items, k, n = 12, 9, 4, 60
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    mu = float(r.mean())
+    P0 = rng.normal(0, 0.1, (n_users, k)).astype(np.float32)
+    Q0 = rng.normal(0, 0.1, (n_items, k)).astype(np.float32)
+
+    cfg = SGDConfig(kernel="linear", n_factors=k, lr=0.01, reg=0.05,
+                    batch_size=1, compute_epoch_rmse=False)
+    kp = cfg.padded_factors
+    params = sgd.MFParams(
+        user_features=jnp.zeros((n_users, kp)).at[:, :k].set(P0),
+        item_features=jnp.zeros((n_items, kp)).at[:, :k].set(Q0),
+        user_biases=jnp.zeros(n_users),
+        item_biases=jnp.zeros(n_items),
+        global_mean=jnp.float32(mu),
+    )
+    data = sgd.pack_ratings(u, i, r, 1)
+
+    def steps(p):
+        def body(p, batch):
+            uu, ii, rr, ww = batch
+            return sgd.sgd_minibatch_step(p, uu, ii, rr, ww, cfg, cfg.lr), None
+
+        xs = (data.user_ids[:, None], data.item_ids[:, None],
+              data.ratings[:, None], data.weights[:, None])
+        p, _ = jax.lax.scan(body, p, xs)
+        return p
+
+    out = jax.jit(steps)(params)
+    for _ in range(2):  # 3 epochs total, same visit order
+        out = jax.jit(steps)(out)
+
+    bu, bi, P, Q = _sequential_oracle(
+        u, i, r.astype(np.float64), n_users, n_items, k, mu,
+        P0.astype(np.float64), Q0.astype(np.float64), 0.01, 0.05, 3,
+    )
+    np.testing.assert_allclose(np.asarray(out.user_biases), bu, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.item_biases), bi, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.user_features[:, :k]), P, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.item_features[:, :k]), Q, atol=2e-4)
+    # padding columns stay exactly zero
+    assert np.all(np.asarray(out.user_features[:, k:]) == 0)
+
+
+def test_update_users_cold_start(data):
+    X, y = data
+    holdout = X["user_id"] == 0
+    m = KernelMF(n_factors=8, n_epochs=30, kernel="linear", lr=0.02,
+                 reg=0.02, batch_size=256, seed=0)
+    m.fit(X[~holdout], y[~holdout])
+    item_features_before = m.item_features.copy()
+
+    m.update_users(X[holdout], y[holdout], lr=0.02, n_epochs=30)
+    assert m.contains_user(0)
+    # item side frozen during update (reference :234)
+    np.testing.assert_array_equal(m.item_features, item_features_before)
+    err = rmse(y[holdout], m.predict(X[holdout]))
+    base = rmse(y[holdout], np.full(int(holdout.sum()), y.mean()))
+    assert err < base
+
+
+def test_predict_unknown_pairs(data):
+    X, y = data
+    m = KernelMF(n_factors=4, n_epochs=5, batch_size=256).fit(X, y)
+    out = m.predict(pd.DataFrame({"user_id": [-123, 0], "item_id": [0, -99]}))
+    assert len(out) == 2 and m.predictions_possible == [False, False]
+
+
+def test_recommend_top_amount(data):
+    X, y = data
+    m = KernelMF(n_factors=8, n_epochs=20, lr=0.02, reg=0.02,
+                 batch_size=256).fit(X, y)
+    user0_items = set(X.loc[X["user_id"] == 0, "item_id"])
+    recs = m.recommend(user=0, amount=7, items_known=user0_items)
+    assert len(recs) == 7
+    assert not set(recs["item_id"]).intersection(user0_items)
+    assert recs["rating_pred"].is_monotonic_decreasing
+    assert (recs["rating_pred"] <= m.max_rating).all()
+
+
+def test_duplicate_ratings_raise(data):
+    X, y = data
+    X2 = pd.concat([X, X.iloc[[0]]])
+    y2 = pd.concat([y, y.iloc[[0]]])
+    with pytest.raises(ValueError, match="Duplicate"):
+        KernelMF(n_epochs=1).fit(X2, y2)
+
+
+def test_invalid_kernel_raises():
+    with pytest.raises(ValueError):
+        KernelMF(kernel="quadratic")
