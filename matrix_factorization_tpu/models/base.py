@@ -37,6 +37,35 @@ except Exception:  # pragma: no cover
 
 from matrix_factorization_tpu.core.ids import IdVocab, check_no_duplicates
 
+_MAX_PREDICT_CHUNK = 8192
+
+
+def bucketed_predict(fn, u: np.ndarray, i: np.ndarray):
+    """Run a jitted pair-predictor over (u, i) in shape-bucketed chunks.
+
+    Jitted programs are specialized per input shape; padding each chunk to a
+    power-of-two bucket bounds the number of distinct compilations per
+    config at ~log2(max_chunk) instead of one per call size (compiles cost
+    30-90s on remote-compile TPU backends).  Pads use id -1, which every
+    predictor treats as cold-start and which we strip before returning.
+    """
+    n = len(u)
+    preds = np.empty(n, np.float32)
+    possible = np.empty(n, bool)
+    lo = 0
+    while lo < n:
+        m = min(_MAX_PREDICT_CHUNK, n - lo)
+        bucket = 1 << max(8, (m - 1).bit_length())  # >=256, pow2
+        uu = np.full(bucket, -1, np.int32)
+        ii = np.full(bucket, -1, np.int32)
+        uu[:m] = u[lo : lo + m]
+        ii[:m] = i[lo : lo + m]
+        p, ok = fn(uu, ii)
+        preds[lo : lo + m] = np.asarray(p)[:m]
+        possible[lo : lo + m] = np.asarray(ok)[:m]
+        lo += m
+    return preds, possible
+
 
 class RecommenderBase(*_SKLEARN_BASES, ABC):
     """Abstract recommender with the reference's lifecycle contract.
@@ -77,6 +106,12 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
     @property
     def n_items(self) -> int:
         return len(self.item_vocab)
+
+    def _require_fitted(self) -> None:
+        if len(self.user_vocab) == 0:
+            raise RuntimeError(
+                f"{type(self).__name__} is not fitted yet; call fit(X, y) first"
+            )
 
     def contains_user(self, user_id: Any) -> bool:
         return user_id in self.user_vocab
@@ -160,6 +195,7 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
         """Top-``amount`` unseen items for ``user``, scored over the whole
         catalog with ``bound_ratings=False`` then clipped — matching the
         reference's ordering semantics (``recommender_base.py:245-271``)."""
+        self._require_fitted()
         item_ids = np.arange(self.n_items, dtype=np.int32)
         raw_items = self.item_vocab.raw_ids
         if items_known is not None:

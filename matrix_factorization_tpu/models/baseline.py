@@ -16,9 +16,22 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from matrix_factorization_tpu.models.base import RecommenderBase
+from matrix_factorization_tpu.models.base import RecommenderBase, bucketed_predict
 from matrix_factorization_tpu.ops import als as als_ops
 from matrix_factorization_tpu.ops.segment_sgd import pack_ratings, round_up
+
+_predict_jit_cache: dict = {}
+
+
+def _jit_bias_predict(min_rating: float, max_rating: float, bound_ratings: bool):
+    key = (min_rating, max_rating, bound_ratings)
+    if key not in _predict_jit_cache:
+        _predict_jit_cache[key] = jax.jit(
+            lambda p, uu, ii: als_ops.bias_predict(
+                p, uu, ii, min_rating, max_rating, bound_ratings
+            )
+        )
+    return _predict_jit_cache[key]
 
 
 class BaselineModel(RecommenderBase):
@@ -97,24 +110,25 @@ class BaselineModel(RecommenderBase):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
 
+    def _predict_arrays(self, u: np.ndarray, i: np.ndarray, bound_ratings: bool):
+        self._require_fitted()
+        fn = _jit_bias_predict(self.min_rating, self.max_rating, bound_ratings)
+        return bucketed_predict(
+            lambda uu, ii: fn(self._params, jnp.asarray(uu), jnp.asarray(ii)), u, i
+        )
+
     def predict(self, X: pd.DataFrame, bound_ratings: bool = True) -> list:
         if X.shape[0] == 0:
             return []
         u, i = self._preprocess_predict(X)
-        preds, possible = self._predict_device(u, i, bound_ratings)
-        self.predictions_possible = np.asarray(possible).tolist()
-        return np.asarray(preds).tolist()
-
-    def _predict_device(self, u: np.ndarray, i: np.ndarray, bound_ratings: bool):
-        return jax.jit(
-            lambda p, uu, ii: als_ops.bias_predict(
-                p, uu, ii, self.min_rating, self.max_rating, bound_ratings
-            )
-        )(self._params, jnp.asarray(u), jnp.asarray(i))
+        preds, possible = self._predict_arrays(u, i, bound_ratings)
+        self.predictions_possible = possible.tolist()
+        return preds.tolist()
 
     def _predict_dense(self, u, i, bound_ratings):
-        preds, _ = self._predict_device(u, i, bound_ratings)
-        return np.asarray(preds)
+        return self._predict_arrays(
+            np.asarray(u, np.int32), np.asarray(i, np.int32), bound_ratings
+        )[0]
 
     def update_users(
         self,

@@ -29,6 +29,7 @@ from matrix_factorization_tpu.models.base import RecommenderBase
 from matrix_factorization_tpu.ops import similarity as simops
 
 _PREDICT_CHUNK = 4096
+_cf_jit_cache: dict = {}
 
 
 class _NeighborhoodCF(RecommenderBase):
@@ -61,18 +62,27 @@ class _NeighborhoodCF(RecommenderBase):
         return self
 
     def _predict_fn(self, bound_ratings: bool):
-        pred_fn = (
-            simops.user_cf_predict if self._mode == "user" else simops.item_cf_predict
+        key = (
+            self._mode, self.n_neighbors, self.min_rating, self.max_rating,
+            bound_ratings,
         )
-        return jax.jit(
-            lambda s, uu, ii: pred_fn(
-                s, uu, ii, self.n_neighbors, self.min_rating, self.max_rating,
-                bound_ratings,
+        if key not in _cf_jit_cache:
+            pred_fn = (
+                simops.user_cf_predict
+                if self._mode == "user"
+                else simops.item_cf_predict
             )
-        )
+            _cf_jit_cache[key] = jax.jit(
+                lambda s, uu, ii: pred_fn(
+                    s, uu, ii, self.n_neighbors, self.min_rating, self.max_rating,
+                    bound_ratings,
+                )
+            )
+        return _cf_jit_cache[key]
 
     def _predict_arrays(self, u: np.ndarray, i: np.ndarray, bound_ratings: bool):
         """Chunked batched prediction with pad-to-chunk to avoid recompiles."""
+        self._require_fitted()
         fn = self._predict_fn(bound_ratings)
         preds = np.empty(len(u), np.float32)
         possible = np.empty(len(u), bool)

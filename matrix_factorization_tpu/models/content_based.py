@@ -97,6 +97,7 @@ class ContentBasedRecommender(RecommenderBase):
 
     # -- prediction ----------------------------------------------------------
     def _predict_arrays(self, u: np.ndarray, i: np.ndarray, bound_ratings: bool):
+        self._require_fitted()
         possible = (u >= 0) & (i >= 0)
         us = np.maximum(u, 0)
         if self._profiles is None:

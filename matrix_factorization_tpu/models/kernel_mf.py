@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from matrix_factorization_tpu.core.config import SGDConfig
-from matrix_factorization_tpu.models.base import RecommenderBase
+from matrix_factorization_tpu.models.base import RecommenderBase, bucketed_predict
 from matrix_factorization_tpu.ops import segment_sgd as sgd
 
 
@@ -125,21 +125,25 @@ class KernelMF(RecommenderBase):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
 
+    def _predict_arrays(self, u: np.ndarray, i: np.ndarray, bound_ratings: bool):
+        self._require_fitted()
+        fn = sgd.jit_predict_pairs(self._cfg(), bound_ratings)
+        return bucketed_predict(
+            lambda uu, ii: fn(self._params, jnp.asarray(uu), jnp.asarray(ii)), u, i
+        )
+
     def predict(self, X: pd.DataFrame, bound_ratings: bool = True) -> list:
         if X.shape[0] == 0:
             return []
         u, i = self._preprocess_predict(X)
-        preds, possible = sgd.jit_predict_pairs(self._cfg(), bound_ratings)(
-            self._params, jnp.asarray(u), jnp.asarray(i)
-        )
-        self.predictions_possible = np.asarray(possible).tolist()
-        return np.asarray(preds).tolist()
+        preds, possible = self._predict_arrays(u, i, bound_ratings)
+        self.predictions_possible = possible.tolist()
+        return preds.tolist()
 
     def _predict_dense(self, u, i, bound_ratings):
-        preds, _ = sgd.jit_predict_pairs(self._cfg(), bound_ratings)(
-            self._params, jnp.asarray(u), jnp.asarray(i)
-        )
-        return np.asarray(preds)
+        return self._predict_arrays(
+            np.asarray(u, np.int32), np.asarray(i, np.int32), bound_ratings
+        )[0]
 
     def update_users(
         self,

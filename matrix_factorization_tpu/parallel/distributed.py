@@ -1,0 +1,248 @@
+"""Data-parallel segment-SGD over a device mesh.
+
+Layout (the scaling design SURVEY.md §2.4 calls for):
+
+* **P (user factors) and user biases are row-sharded** over the ``data``
+  axis; ratings are pre-sharded by user range so every P update is local to
+  its device — zero communication on the user side.
+* **Q (item factors) and item biases are replicated**; each device
+  scatter-adds its batch's item deltas into a zeros table and the deltas
+  are ``psum``'d over ICI each step, keeping replicas bit-identical
+  (synchronous mini-batch SGD with global batch = n_devices x local batch).
+* Per-epoch RMSE is a ``psum`` of local masked SSE.
+
+The reference's counterpart is ``_sgd``'s sequential loop
+(``kernel_matrix_factorization.py:320-445``); there is deliberately no
+NCCL/MPI analogue — collectives are XLA ops inside ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops import kernels as K
+from matrix_factorization_tpu.ops.segment_sgd import MFParams, round_up
+from matrix_factorization_tpu.parallel.mesh import DATA_AXIS
+
+
+class ShardedRatings(NamedTuple):
+    """Device-major rating stream: leading dim = n_dev * n_pad_local."""
+
+    user_ids: jax.Array  # int32, user ids LOCAL to the owning device
+    item_ids: jax.Array  # int32, global item ids
+    ratings: jax.Array
+    weights: jax.Array
+
+    @property
+    def total_len(self) -> int:
+        return self.user_ids.shape[0]
+
+
+def shard_ratings_by_user(
+    u: np.ndarray,
+    i: np.ndarray,
+    r: np.ndarray,
+    user_capacity: int,
+    n_dev: int,
+    batch_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Partition ratings so device d owns users [d*U/D, (d+1)*U/D).
+
+    Returns device-major (u_local, i, r, w) plus the per-device padded
+    length.  All devices are padded to the max shard size rounded up to a
+    whole number of batches, so shapes are static and identical.
+    """
+    assert user_capacity % n_dev == 0
+    users_per_dev = user_capacity // n_dev
+    dev = (u // users_per_dev).astype(np.int32)
+    order = np.argsort(dev, kind="stable")
+    u, i, r, dev = u[order], i[order], r[order], dev[order]
+    counts = np.bincount(dev, minlength=n_dev)
+    n_pad = max(batch_size, round_up(int(counts.max()), batch_size))
+
+    uu = np.zeros((n_dev, n_pad), np.int32)
+    ii = np.zeros((n_dev, n_pad), np.int32)
+    rr = np.zeros((n_dev, n_pad), np.float32)
+    ww = np.zeros((n_dev, n_pad), np.float32)
+    start = 0
+    for d in range(n_dev):
+        c = int(counts[d])
+        sl = slice(start, start + c)
+        uu[d, :c] = u[sl] - d * users_per_dev
+        ii[d, :c] = i[sl]
+        rr[d, :c] = r[sl]
+        ww[d, :c] = 1.0
+        start += c
+    return uu.reshape(-1), ii.reshape(-1), rr.reshape(-1), ww.reshape(-1), n_pad
+
+
+def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr):
+    """One synchronous step: local P/bu scatter, psum'd Q/bi deltas."""
+    P_l, bu_l, Q, bi, mu = carry
+    u, i, r, w = batch
+    pu = P_l[u]
+    qi = Q[i]
+    bu = bu_l[u]
+    bib = bi[i]
+    pred, g = K.forward_and_grads(cfg.kernel, mu, bu, bib, pu, qi,
+                                  cfg.gamma, cfg.a, cfg.c)
+    err = (pred - r) * w
+
+    if cfg.update_user_params:
+        d_pu = err[:, None] * g.d_pu + (cfg.reg * w)[:, None] * pu
+        P_l = P_l.at[u].add(-lr * d_pu, mode="drop")
+        if cfg.kernel != "rbf":
+            d_bu = err * g.d_bias + cfg.reg * w * bu
+            bu_l = bu_l.at[u].add(-lr * d_bu, mode="drop")
+    if cfg.update_item_params:
+        d_qi = err[:, None] * g.d_qi + (cfg.reg * w)[:, None] * qi
+        dQ = jnp.zeros_like(Q).at[i].add(-lr * d_qi, mode="drop")
+        Q = Q + jax.lax.psum(dQ, DATA_AXIS)
+        if cfg.kernel != "rbf":
+            d_bi = err * g.d_bias + cfg.reg * w * bib
+            dbi = jnp.zeros_like(bi).at[i].add(-lr * d_bi, mode="drop")
+            bi = bi + jax.lax.psum(dbi, DATA_AXIS)
+    return (P_l, bu_l, Q, bi, mu), None
+
+
+def _local_sse(P_l, bu_l, Q, bi, mu, u, i, r, w, cfg: SGDConfig):
+    pred = K.forward(cfg.kernel, mu, bu_l[u], bi[i], P_l[u], Q[i],
+                     cfg.gamma, cfg.a, cfg.c)
+    e = (pred - r) * w
+    return jnp.sum(e * e)
+
+
+def dp_sgd_train(
+    params: MFParams,
+    data: ShardedRatings,
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr: float,
+    mesh: Mesh,
+    n_real: int,
+) -> Tuple[MFParams, jax.Array]:
+    """Multi-epoch data-parallel training under ``shard_map``.
+
+    ``params.user_features`` / ``user_biases`` must be placed row-sharded
+    over ``data``; item tables replicated; ``data`` arrays device-major
+    row-sharded.
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    n_pad_local = data.total_len // n_dev
+    nb = n_pad_local // cfg.batch_size
+
+    def local_train(P_l, bu_l, Q, bi, mu, u_l, i_l, r_l, w_l, keys):
+        dev = jax.lax.axis_index(DATA_AXIS)
+
+        def epoch(carry, k):
+            k = jax.random.fold_in(k, dev)
+            perm = jax.random.permutation(k, n_pad_local)
+            xs = (
+                u_l[perm].reshape(nb, cfg.batch_size),
+                i_l[perm].reshape(nb, cfg.batch_size),
+                r_l[perm].reshape(nb, cfg.batch_size),
+                w_l[perm].reshape(nb, cfg.batch_size),
+            )
+            carry, _ = jax.lax.scan(
+                lambda c, b: _local_minibatch_step(c, b, cfg, lr), carry, xs
+            )
+            if cfg.compute_epoch_rmse:
+                sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
+                rmse = jnp.sqrt(jax.lax.psum(sse, DATA_AXIS) / max(n_real, 1))
+            else:
+                rmse = jnp.float32(0.0)
+            return carry, rmse
+
+        carry = (P_l, bu_l, Q, bi, mu)
+        (P_l, bu_l, Q, bi, mu), hist = jax.lax.scan(epoch, carry, keys)
+        return P_l, bu_l, Q, bi, hist
+
+    shard = P(DATA_AXIS)
+    rep = P()
+    fn = jax.shard_map(
+        local_train,
+        mesh=mesh,
+        in_specs=(shard, shard, rep, rep, rep, shard, shard, shard, shard, rep),
+        out_specs=(shard, shard, rep, rep, rep),
+    )
+    keys = jax.random.split(key, n_epochs)
+    P_new, bu_new, Q_new, bi_new, hist = fn(
+        params.user_features,
+        params.user_biases,
+        params.item_features,
+        params.item_biases,
+        params.global_mean,
+        data.user_ids,
+        data.item_ids,
+        data.ratings,
+        data.weights,
+        keys,
+    )
+    return (
+        MFParams(P_new, Q_new, bu_new, bi_new, params.global_mean),
+        hist,
+    )
+
+
+def place_params(params: MFParams, mesh: Mesh) -> MFParams:
+    """Place P/bu row-sharded over data, item tables replicated."""
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return MFParams(
+        user_features=jax.device_put(params.user_features, shard),
+        item_features=jax.device_put(params.item_features, rep),
+        user_biases=jax.device_put(params.user_biases, shard),
+        item_biases=jax.device_put(params.item_biases, rep),
+        global_mean=jax.device_put(params.global_mean, rep),
+    )
+
+
+def dp_fit(
+    u: np.ndarray,
+    i: np.ndarray,
+    r: np.ndarray,
+    n_users: int,
+    n_items: int,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr: float,
+    mesh: Mesh,
+    seed: int = 0,
+    init_mean: float = 0.0,
+    init_sd: float = 0.1,
+) -> Tuple[MFParams, np.ndarray]:
+    """End-to-end sharded fit: init, shard, train, return device params."""
+    from matrix_factorization_tpu.ops.segment_sgd import init_params
+
+    n_dev = mesh.shape[DATA_AXIS]
+    ucap = round_up(n_users, 8 * n_dev)
+    key = jax.random.PRNGKey(seed)
+    k_init, k_train = jax.random.split(key)
+    params = init_params(
+        k_init, n_users, n_items, cfg, float(np.mean(r)),
+        init_mean, init_sd, user_capacity=ucap,
+    )
+    params = place_params(params, mesh)
+    su, si, sr, sw, _ = shard_ratings_by_user(
+        u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
+        ucap, n_dev, cfg.batch_size,
+    )
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    data = ShardedRatings(
+        jax.device_put(su, shard),
+        jax.device_put(si, shard),
+        jax.device_put(sr, shard),
+        jax.device_put(sw, shard),
+    )
+    train = jax.jit(
+        lambda p, d, k: dp_sgd_train(p, d, k, cfg, n_epochs, lr, mesh, len(r))
+    )
+    params, hist = train(params, data, k_train)
+    return params, np.asarray(hist)

@@ -1,0 +1,71 @@
+"""Distributed full-catalog recommend: item-sharded scoring + top-k merge.
+
+The item factor table is row-sharded across the mesh; each device scores
+its catalog shard on the MXU, takes a local ``lax.top_k``, and the k
+candidates per device are all-gathered and re-top-k'd — an
+O(n_dev * k) merge instead of gathering the full score matrix.
+
+Reference counterpart: ``recommend`` scoring every item serially
+(``recommender_base.py:245-271``); no distributed analogue existed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops.scoring import score_catalog
+
+
+def distributed_topk(
+    pu: jax.Array,  # (B, K) queried users' factors (replicated)
+    bu: jax.Array,  # (B,)
+    Q: jax.Array,  # (I_cap, K) item factors, row-sharded over `axes`
+    bi: jax.Array,  # (I_cap,) row-sharded over `axes`
+    mu: jax.Array,
+    valid_items: jax.Array,  # (I_cap,) f32 1/0 mask, row-sharded
+    k: int,
+    cfg: SGDConfig,
+    mesh: Mesh,
+    axes: Sequence[str],
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (scores, global item indices) of shape (B, k)."""
+    axes = tuple(axes)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    i_local = Q.shape[0] // n_dev
+
+    def local(pu, bu, Q_l, bi_l, valid_l, mu):
+        # flatten multi-axis shard index into a linear shard id
+        shard = jnp.int32(0)
+        for a in axes:
+            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+        scores = score_catalog(
+            cfg.kernel, mu, bu, bi_l, pu, Q_l, cfg.gamma, cfg.a, cfg.c
+        )
+        scores = jnp.where(valid_l[None, :] > 0, scores, -jnp.inf)
+        kk = min(k, i_local)
+        vals, idx = jax.lax.top_k(scores, kk)  # (B, kk) local
+        gidx = idx + shard * i_local
+        # gather every device's candidates along the item axis
+        vals_g = jax.lax.all_gather(vals, axes, axis=1, tiled=True)
+        gidx_g = jax.lax.all_gather(gidx, axes, axis=1, tiled=True)
+        mvals, mpos = jax.lax.top_k(vals_g, min(k, vals_g.shape[1]))
+        mg = jnp.take_along_axis(gidx_g, mpos, axis=1)
+        return mvals, mg
+
+    spec_rows = P(axes)  # leading dim sharded over ALL given axes jointly
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), spec_rows, spec_rows, spec_rows, P()),
+        out_specs=(P(), P()),
+        # outputs are value-identical on every device after the all_gather
+        # + merge, which the static varying-axes analysis cannot prove
+        check_vma=False,
+    )
+    return fn(pu, bu, Q, bi, valid_items, mu)

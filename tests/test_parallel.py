@@ -1,0 +1,156 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: data-parallel SGD
+equivalence vs the single-device step, sharded fit convergence, and the
+distributed top-k merge."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops import segment_sgd as sgd
+from matrix_factorization_tpu.ops.scoring import score_catalog
+from matrix_factorization_tpu.parallel import distributed as dist
+from matrix_factorization_tpu.parallel import topk as ptopk
+from matrix_factorization_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+
+@pytest.fixture(scope="module")
+def ratings():
+    rng = np.random.default_rng(0)
+    n_users, n_items, n = 30, 20, 400
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    return u, i, r, n_users, n_items
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_one_step_matches_single_device(ratings):
+    """One global synchronous step: sharded (4-device) result must equal the
+    single-device scatter-add step over the concatenated batch."""
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=4, n_model=1)
+    ucap = sgd.round_up(n_users, 8 * 4)
+
+    # find per-device pad, then use one batch per device
+    _, _, _, _, n_pad = dist.shard_ratings_by_user(u, i, r, ucap, 4, 1)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=n_pad, compute_epoch_rmse=True)
+
+    key = jax.random.PRNGKey(1)
+    params0 = sgd.init_params(key, n_users, n_items, cfg, float(r.mean()),
+                              user_capacity=ucap)
+
+    # single-device: all ratings in ONE batch (order irrelevant: summed)
+    w = jnp.ones_like(jnp.asarray(r))
+    expected = sgd.sgd_minibatch_step(
+        params0, jnp.asarray(u), jnp.asarray(i), jnp.asarray(r), w, cfg, cfg.lr
+    )
+
+    # distributed
+    su, si, sr, sw, n_pad2 = dist.shard_ratings_by_user(u, i, r, ucap, 4, n_pad)
+    assert n_pad2 == n_pad
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    data = dist.ShardedRatings(
+        jax.device_put(su, shard), jax.device_put(si, shard),
+        jax.device_put(sr, shard), jax.device_put(sw, shard),
+    )
+    placed = dist.place_params(params0, mesh)
+    got, hist = jax.jit(
+        lambda p, d, k: dist.dp_sgd_train(p, d, k, cfg, 1, cfg.lr, mesh, len(r))
+    )(placed, data, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(
+        np.asarray(got.user_features), np.asarray(expected.user_features),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.item_features), np.asarray(expected.item_features),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.user_biases), np.asarray(expected.user_biases), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.item_biases), np.asarray(expected.item_biases), atol=1e-5
+    )
+    # epoch RMSE matches a host-side recomputation on the updated params
+    pred = (
+        float(expected.global_mean)
+        + np.asarray(expected.user_biases)[u]
+        + np.asarray(expected.item_biases)[i]
+        + np.einsum(
+            "nk,nk->n",
+            np.asarray(expected.user_features)[u],
+            np.asarray(expected.item_features)[i],
+        )
+    )
+    want_rmse = np.sqrt(np.mean((pred - r) ** 2))
+    np.testing.assert_allclose(float(hist[0]), want_rmse, rtol=1e-5)
+
+
+def test_dp_fit_converges(ratings):
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=8, n_model=1)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=32)
+    params, hist = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=15,
+                               lr=cfg.lr, mesh=mesh)
+    assert hist[-1] < hist[0]
+
+
+def test_distributed_topk_matches_dense(ratings):
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = SGDConfig(kernel="linear", n_factors=8)
+    kp = cfg.padded_factors
+    rng = np.random.default_rng(3)
+    icap = sgd.round_up(n_items, 8 * 8)
+    Q = np.zeros((icap, kp), np.float32)
+    Q[:n_items, :8] = rng.normal(0, 0.5, (n_items, 8))
+    bi = np.zeros(icap, np.float32)
+    bi[:n_items] = rng.normal(0, 0.2, n_items)
+    valid = np.zeros(icap, np.float32)
+    valid[:n_items] = 1.0
+    B = 6
+    pu = rng.normal(0, 0.5, (B, kp)).astype(np.float32)
+    pu[:, 8:] = 0
+    bu = rng.normal(0, 0.2, B).astype(np.float32)
+    mu = jnp.float32(3.3)
+
+    vals, idx = jax.jit(
+        lambda pu, bu, Q, bi, valid: ptopk.distributed_topk(
+            pu, bu, jnp.asarray(Q), jnp.asarray(bi), mu, jnp.asarray(valid),
+            k=5, cfg=cfg, mesh=mesh, axes=(DATA_AXIS, MODEL_AXIS),
+        )
+    )(jnp.asarray(pu), jnp.asarray(bu), Q, bi, valid)
+
+    dense = np.asarray(
+        score_catalog("linear", mu, jnp.asarray(bu), jnp.asarray(bi[:n_items]),
+                      jnp.asarray(pu), jnp.asarray(Q[:n_items]), cfg.gamma,
+                      cfg.a, cfg.c)
+    )
+    want_idx = np.argsort(-dense, axis=1)[:, :5]
+    want_vals = np.take_along_axis(dense, want_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, atol=1e-5)
+    # indices may differ on exact ties; compare via scores
+    got_scores = np.take_along_axis(dense, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got_scores, want_vals, atol=1e-5)
+
+
+def test_graft_entry_and_dryrun():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    ge = importlib.import_module("__graft_entry__")
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape == (256,)
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(4)
