@@ -1,0 +1,93 @@
+"""Headline benchmark: KernelMF SGD rating-updates/sec on one chip.
+
+Mirrors the reference's hot path (KernelMF linear, k=100 — the 0.69M
+updates/s/core numba loop measured in
+``examples/recommender-system.ipynb`` cell 18, see SURVEY.md §6) on a
+MovieLens-25M-shaped synthetic workload.  Prints ONE JSON line:
+``{"metric", "value", "unit", "vs_baseline"}`` where vs_baseline is the
+speedup over the reference's single-core throughput.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+REFERENCE_UPDATES_PER_SEC = 0.69e6  # KernelMF linear, reference laptop core
+
+N_RATINGS = 2_000_000
+N_USERS = 10_000
+N_ITEMS = 20_000
+N_FACTORS = 100
+BATCH_SIZE = 131_072
+TIMED_EPOCHS = 2
+
+
+def main() -> None:
+    import jax
+
+    # persistent compile cache: axon remote compiles run minutes-long cold;
+    # cached reruns start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, N_USERS, N_RATINGS).astype(np.int32)
+    i = rng.integers(0, N_ITEMS, N_RATINGS).astype(np.int32)
+    r = rng.uniform(0.5, 5.0, N_RATINGS).astype(np.float32)
+
+    cfg = SGDConfig(
+        kernel="linear",
+        n_factors=N_FACTORS,
+        lr=0.002,
+        reg=0.005,
+        batch_size=BATCH_SIZE,
+        compute_epoch_rmse=False,
+        shuffle="batch",
+    )
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size)
+    params = sgd.init_params(
+        jax.random.PRNGKey(0), N_USERS, N_ITEMS, cfg, float(r.mean())
+    )
+    train = sgd.jit_sgd_train(cfg, TIMED_EPOCHS)
+
+    # warm-up: compile + one full run (axon block_until_ready is unreliable;
+    # a scalar host fetch forces completion)
+    out, _ = train(params, data, jax.random.PRNGKey(1), cfg.lr)
+    float(jnp.sum(out.user_features))
+
+    params = sgd.init_params(
+        jax.random.PRNGKey(0), N_USERS, N_ITEMS, cfg, float(r.mean())
+    )
+    float(jnp.sum(params.user_features))
+    t0 = time.perf_counter()
+    out, _ = train(params, data, jax.random.PRNGKey(1), cfg.lr)
+    float(jnp.sum(out.user_features))
+    dt = time.perf_counter() - t0
+
+    updates_per_sec = TIMED_EPOCHS * N_RATINGS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "kernelmf_sgd_rating_updates_per_sec_per_chip",
+                "value": round(updates_per_sec, 1),
+                "unit": "updates/s",
+                "vs_baseline": round(updates_per_sec / REFERENCE_UPDATES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,11 +39,15 @@ class SGDConfig:
     update_user_params: bool = True
     update_item_params: bool = True
     compute_epoch_rmse: bool = True
+    # 'batch' = host pre-shuffle once + per-epoch batch-order shuffle (fast);
+    # 'full'  = per-epoch element permutation (reference-exact semantics);
+    # 'none'  = fixed visit order (debugging / sequential-parity mode)
+    shuffle: str = "batch"
 
     @property
     def padded_factors(self) -> int:
-        """Factor dim padded to the TPU lane width for clean tiling."""
-        return max(LANE, _round_up(self.n_factors, LANE))
+        """Extended row width: factors + bias + const column, lane-padded."""
+        return max(LANE, _round_up(self.n_factors + 2, LANE))
 
     @property
     def a(self) -> float:

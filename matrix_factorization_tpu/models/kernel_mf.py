@@ -85,17 +85,11 @@ class KernelMF(RecommenderBase):
         if n_needed <= cap:
             return
         new_cap = sgd.round_up(max(n_needed, int(cap * 1.5) + 1), 1024)
-        pad = new_cap - cap
-        kp = self._params.user_features.shape[1]
-        fresh = self.init_mean + self.init_sd * jax.random.normal(
-            key, (pad, kp), dtype=jnp.float32
+        fresh = sgd.fresh_user_rows(
+            key, new_cap - cap, self._cfg(), self.init_mean, self.init_sd
         )
-        fresh = jnp.where(jnp.arange(kp)[None, :] < self.n_factors, fresh, 0.0)
         self._params = self._params._replace(
-            user_features=jnp.concatenate([self._params.user_features, fresh]),
-            user_biases=jnp.concatenate(
-                [self._params.user_biases, jnp.zeros((pad,), jnp.float32)]
-            ),
+            user_features=jnp.concatenate([self._params.user_features, fresh])
         )
 
     # -- lifecycle ----------------------------------------------------------
@@ -167,14 +161,12 @@ class KernelMF(RecommenderBase):
             idx = jnp.asarray(
                 self.user_vocab.encode(np.asarray(known_users, dtype=object))
             )
-            kp = self._params.user_features.shape[1]
-            fresh = self.init_mean + self.init_sd * jax.random.normal(
-                k_reinit, (len(known_users), kp), dtype=jnp.float32
+            fresh = sgd.fresh_user_rows(
+                k_reinit, len(known_users), self._cfg(), self.init_mean,
+                self.init_sd,
             )
-            fresh = jnp.where(jnp.arange(kp)[None, :] < self.n_factors, fresh, 0.0)
             self._params = self._params._replace(
-                user_features=self._params.user_features.at[idx].set(fresh),
-                user_biases=self._params.user_biases.at[idx].set(0.0),
+                user_features=self._params.user_features.at[idx].set(fresh)
             )
 
         pack_bs = min(self.batch_size, max(1, len(r)))
@@ -191,6 +183,8 @@ class KernelMF(RecommenderBase):
         return self
 
     # -- reference-parity parameter views ------------------------------------
+    # (biases live in extension columns of the factor tables — see
+    # ops/segment_sgd.py module docstring)
     @property
     def user_features(self) -> np.ndarray:
         return np.asarray(self._params.user_features[: self.n_users, : self.n_factors])
@@ -201,8 +195,10 @@ class KernelMF(RecommenderBase):
 
     @property
     def user_biases(self) -> np.ndarray:
-        return np.asarray(self._params.user_biases[: self.n_users])
+        col = sgd.bias_col(self._cfg(), "user")
+        return np.asarray(self._params.user_features[: self.n_users, col])
 
     @property
     def item_biases(self) -> np.ndarray:
-        return np.asarray(self._params.item_biases[: self.n_items])
+        col = sgd.bias_col(self._cfg(), "item")
+        return np.asarray(self._params.item_features[: self.n_items, col])

@@ -39,13 +39,20 @@ def init_bias_params(n_users: int, n_items: int, global_mean: float) -> BiasPara
     )
 
 
-def bias_rmse(params: BiasParams, data: RatingBatches) -> jax.Array:
-    pred = (
-        params.global_mean
-        + params.user_biases[data.user_ids]
-        + params.item_biases[data.item_ids]
+def _flat(data: RatingBatches):
+    """Flatten the (nb, bs) block layout for whole-stream reductions."""
+    return (
+        data.user_ids.reshape(-1),
+        data.item_ids.reshape(-1),
+        data.ratings.reshape(-1),
+        data.weights.reshape(-1),
     )
-    e = (pred - data.ratings) * data.weights
+
+
+def bias_rmse(params: BiasParams, data: RatingBatches) -> jax.Array:
+    u, i, r, w = _flat(data)
+    pred = params.global_mean + params.user_biases[u] + params.item_biases[i]
+    e = (pred - r) * w
     return jnp.sqrt(jnp.sum(e * e) / max(data.n_real, 1))
 
 
@@ -61,7 +68,7 @@ def als_train(
     n_epochs: int,
     compute_epoch_rmse: bool = True,
 ) -> Tuple[BiasParams, jax.Array]:
-    u, i, r, w = data.user_ids, data.item_ids, data.ratings, data.weights
+    u, i, r, w = _flat(data)
     nu = params.user_biases.shape[0]
     ni = params.item_biases.shape[0]
     # |R_u|, |R_i| precomputed once (reference baseline_model.py:317-323)
@@ -90,7 +97,7 @@ def als_update_users(
     n_epochs: int,
 ) -> BiasParams:
     """Closed-form user-side-only sweep (item biases frozen)."""
-    u, i, r, w = data.user_ids, data.item_ids, data.ratings, data.weights
+    u, i, r, w = _flat(data)
     nu = params.user_biases.shape[0]
     user_counts = jax.ops.segment_sum(w, u, num_segments=nu)
     resid = w * (r - params.global_mean - params.item_biases[i])
@@ -116,7 +123,8 @@ def bias_sgd_train(
     update_item_params: bool = True,
     compute_epoch_rmse: bool = True,
 ) -> Tuple[BiasParams, jax.Array]:
-    n_pad = data.user_ids.shape[0]
+    uf, if_, rf, wf = _flat(data)
+    n_pad = uf.shape[0]
     nb = max(1, n_pad // batch_size)
 
     def step(p: BiasParams, batch):
@@ -141,10 +149,10 @@ def bias_sgd_train(
     def epoch(p: BiasParams, k):
         perm = jax.random.permutation(k, n_pad)
         xs = (
-            data.user_ids[perm].reshape(nb, -1),
-            data.item_ids[perm].reshape(nb, -1),
-            data.ratings[perm].reshape(nb, -1),
-            data.weights[perm].reshape(nb, -1),
+            uf[perm].reshape(nb, -1),
+            if_[perm].reshape(nb, -1),
+            rf[perm].reshape(nb, -1),
+            wf[perm].reshape(nb, -1),
         )
         p, _ = jax.lax.scan(step, p, xs)
         rmse = bias_rmse(p, data) if compute_epoch_rmse else jnp.float32(0.0)

@@ -4,24 +4,34 @@ This module replaces the reference's sequential per-rating Numba loops
 (``kernel_matrix_factorization.py:320-445`` epoch loop dispatching to the
 single-step updates in ``kernels.py:108-327``) with a TPU-native design:
 
-* An **epoch** is one traced program: a fresh ``jax.random.permutation`` of
-  the rating stream (the reference reshuffles in-place each epoch,
-  ``kernel_matrix_factorization.py:371``) followed by a ``lax.scan`` over
-  fixed-size mini-batches.
-* A **mini-batch step** gathers the touched factor rows, evaluates the
-  kernel forward + gradients for the whole batch on the VPU (one lane-axis
-  reduction instead of the reference's per-factor scalar loop), and
-  scatter-adds the parameter deltas back.  Duplicate users/items inside a
-  batch accumulate by summation — the explicit, deterministic replacement
-  for the reference's serial in-place updates (its docstring records that
-  thread-parallel updates *degraded* results, ``kernels.py:127``).
-* Ratings are padded to a whole number of batches with ``weight=0`` rows so
-  every shape is static under ``jit``.
+* **Bias folding.** The factor tables are lane-padded anyway (K=100 ->
+  128), so the user/item biases live in two of the padding columns:
+  ``user_ext = [p_0..p_K, b_u, 1]`` and ``item_ext = [q_0..q_K, 1, b_i]``.
+  The kernel's linear sum ``mu + b_u + b_i + <p,q>`` becomes a single
+  row dot, and the bias SGD update is the ordinary factor update under a
+  column mask — eliminating two gather and two scatter row-ops per rating
+  (row-ops, not bytes, are the TPU scatter bottleneck: ~6ns/row
+  regardless of dtype or row width, measured on v5e).
+  For the rbf kernel (which has no bias/mean terms at all, reference
+  ``kernels.py:81-105``) the extension columns stay zero.
+* **An epoch** is a ``lax.scan`` over pre-packed mini-batches.  The rating
+  stream is shuffled once on the host at pack time; per epoch only the
+  *batch order* is reshuffled on device (contiguous block gathers, free)
+  — per-element re-permutation would cost as many random row-ops as the
+  updates themselves.  ``shuffle='full'`` restores the reference's exact
+  per-epoch element shuffle (``kernel_matrix_factorization.py:371``) at
+  ~2x cost.
+* **A mini-batch step** gathers the touched rows, evaluates the kernel
+  forward + gradient for the whole batch on the VPU, and scatter-adds the
+  deltas back.  Duplicate users/items inside a batch accumulate by
+  summation — the explicit, deterministic replacement for the reference's
+  serial in-place updates (its docstring records that thread-parallel
+  updates *degraded* results, ``kernels.py:127``).
 
-Semantics note: per-rating SGD and mini-batch SGD follow slightly different
-trajectories; parity with the reference is *final-metric* parity (RMSE/MAE)
-— `batch_size=1` reproduces the reference trajectory exactly (modulo
-shuffle order) and is kept as a debugging mode.
+Semantics: per-rating SGD and mini-batch SGD follow slightly different
+trajectories; parity with the reference is *final-metric* parity
+(RMSE/MAE).  ``batch_size=1`` + ``shuffle='none'`` reproduces the
+reference trajectory exactly and is kept as a debugging mode.
 """
 
 from __future__ import annotations
@@ -34,41 +44,65 @@ import numpy as np
 from flax import struct
 
 from matrix_factorization_tpu.core.config import SGDConfig, SUBLANE
-from matrix_factorization_tpu.ops import kernels as K
 
 
 class MFParams(NamedTuple):
-    """Device-resident model state (capacity-padded tables).
+    """Device-resident model state (capacity-padded, bias-folded tables).
 
-    ``user_features (U, Kp)``, ``item_features (I, Kp)`` with the factor
-    axis padded to the lane width; padding columns are zero-initialized and
-    stay zero under training (their gradients are identically zero).
+    ``user_features (U, Kp)`` / ``item_features (I, Kp)``: columns
+    ``[0, n_factors)`` are the latent factors, column ``n_factors`` holds
+    the user bias / the constant 1, column ``n_factors+1`` holds the
+    constant 1 / the item bias (zero for rbf).  Remaining padding columns
+    are zero and stay zero under training.
     """
 
     user_features: jax.Array
     item_features: jax.Array
-    user_biases: jax.Array
-    item_biases: jax.Array
     global_mean: jax.Array  # f32 scalar
 
 
 @struct.dataclass
 class RatingBatches:
-    """Rating stream shaped (n_batches * batch_size,) with pad weights.
+    """Rating stream packed as (n_batches, batch_size) blocks.
 
-    ``n_real`` is static metadata (not a traced leaf) so jitted code can use
-    it as a Python int.
+    ``n_real`` is static metadata (not a traced leaf) so jitted code can
+    use it as a Python int.
     """
 
-    user_ids: jax.Array  # int32
-    item_ids: jax.Array  # int32
-    ratings: jax.Array  # f32
-    weights: jax.Array  # f32, 1.0 real / 0.0 pad
-    n_real: int = struct.field(pytree_node=False)  # number of real ratings
+    user_ids: jax.Array  # (nb, bs) int32
+    item_ids: jax.Array  # (nb, bs) int32
+    ratings: jax.Array  # (nb, bs) f32
+    weights: jax.Array  # (nb, bs) f32, 1.0 real / 0.0 pad
+    n_real: int = struct.field(pytree_node=False)
 
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def bias_col(cfg: SGDConfig, side: str) -> int:
+    """Column index of the bias in the extended factor row."""
+    return cfg.n_factors if side == "user" else cfg.n_factors + 1
+
+
+def const_col(cfg: SGDConfig, side: str) -> int:
+    return cfg.n_factors + 1 if side == "user" else cfg.n_factors
+
+
+def padded_width(cfg: SGDConfig) -> int:
+    """Lane-padded row width with room for the two extension columns."""
+    return cfg.padded_factors
+
+
+def update_mask(cfg: SGDConfig, side: str) -> np.ndarray:
+    """1.0 on columns this side may update (factors + own bias), 0 on the
+    constant column and padding."""
+    kp = padded_width(cfg)
+    m = np.zeros(kp, np.float32)
+    m[: cfg.n_factors] = 1.0
+    if cfg.kernel != "rbf":
+        m[bias_col(cfg, side)] = 1.0
+    return m
 
 
 def init_params(
@@ -81,30 +115,39 @@ def init_params(
     init_sd: float = 0.1,
     user_capacity: Optional[int] = None,
     item_capacity: Optional[int] = None,
-    dtype=jnp.float32,
 ) -> MFParams:
     """Zero biases + N(init_mean, init_sd) factors
-    (reference kernel_matrix_factorization.py:93-102), laid out on
-    capacity-padded, lane-aligned tables."""
+    (reference kernel_matrix_factorization.py:93-102), bias-folded."""
     ucap = round_up(user_capacity or n_users, SUBLANE)
     icap = round_up(item_capacity or n_items, SUBLANE)
-    kp = cfg.padded_factors
+    kp = padded_width(cfg)
     ku, ki = jax.random.split(key)
 
-    def factors(k, cap):
-        f = init_mean + init_sd * jax.random.normal(k, (cap, kp), dtype=jnp.float32)
-        # zero the factor padding columns and rows beyond the live range
+    def table(k, cap, side):
+        f = init_mean + init_sd * jax.random.normal(k, (cap, kp), jnp.float32)
         col_ok = jnp.arange(kp) < cfg.n_factors
         f = jnp.where(col_ok[None, :], f, 0.0)
-        return f.astype(dtype)
+        if cfg.kernel != "rbf":
+            f = f.at[:, const_col(cfg, side)].set(1.0)
+        return f
 
     return MFParams(
-        user_features=factors(ku, ucap),
-        item_features=factors(ki, icap),
-        user_biases=jnp.zeros((ucap,), jnp.float32),
-        item_biases=jnp.zeros((icap,), jnp.float32),
+        user_features=table(ku, ucap, "user"),
+        item_features=table(ki, icap, "item"),
         global_mean=jnp.asarray(global_mean, jnp.float32),
     )
+
+
+def fresh_user_rows(key: jax.Array, n: int, cfg: SGDConfig,
+                    init_mean: float, init_sd: float) -> jax.Array:
+    """Rows for new/re-initialized users: zero bias, fresh factors
+    (reference kernel_matrix_factorization.py:189-210)."""
+    kp = padded_width(cfg)
+    f = init_mean + init_sd * jax.random.normal(key, (n, kp), jnp.float32)
+    f = jnp.where(jnp.arange(kp)[None, :] < cfg.n_factors, f, 0.0)
+    if cfg.kernel != "rbf":
+        f = f.at[:, const_col(cfg, "user")].set(1.0)
+    return f
 
 
 def pack_ratings(
@@ -112,16 +155,70 @@ def pack_ratings(
     item_ids: np.ndarray,
     ratings: np.ndarray,
     batch_size: int,
+    shuffle_seed: Optional[int] = 0,
 ) -> RatingBatches:
-    """Host-side packing of the rating stream into static-shape batches."""
+    """Host-side packing into (nb, bs) blocks, pre-shuffled once."""
     n = int(len(ratings))
+    if shuffle_seed is not None and n > 1:
+        perm = np.random.default_rng(shuffle_seed).permutation(n)
+        user_ids, item_ids, ratings = (
+            user_ids[perm], item_ids[perm], ratings[perm],
+        )
     n_pad = max(batch_size, round_up(n, batch_size))
     pad = n_pad - n
+    nb = n_pad // batch_size
     u = np.concatenate([user_ids.astype(np.int32), np.zeros(pad, np.int32)])
     i = np.concatenate([item_ids.astype(np.int32), np.zeros(pad, np.int32)])
     r = np.concatenate([ratings.astype(np.float32), np.zeros(pad, np.float32)])
     w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
-    return RatingBatches(jnp.asarray(u), jnp.asarray(i), jnp.asarray(r), jnp.asarray(w), n)
+    return RatingBatches(
+        jnp.asarray(u.reshape(nb, batch_size)),
+        jnp.asarray(i.reshape(nb, batch_size)),
+        jnp.asarray(r.reshape(nb, batch_size)),
+        jnp.asarray(w.reshape(nb, batch_size)),
+        n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward + gradients on extended rows
+# ---------------------------------------------------------------------------
+
+
+def ext_forward(cfg: SGDConfig, mu, pu, qi) -> jax.Array:
+    """Kernel forward on bias-folded rows (biases ride inside the dot)."""
+    if cfg.kernel == "rbf":
+        d = pu - qi
+        power = -cfg.gamma * jnp.sum(d * d, axis=-1)
+        return cfg.a + cfg.c * jnp.exp(power)
+    x = mu + jnp.sum(pu * qi, axis=-1)
+    if cfg.kernel == "linear":
+        return x
+    if cfg.kernel == "sigmoid":
+        return cfg.a + cfg.c * jax.nn.sigmoid(x)
+    raise ValueError(f"unknown kernel {cfg.kernel!r}")
+
+
+def ext_forward_and_rowgrads(cfg: SGDConfig, mu, pu, qi):
+    """(pred, d_pu, d_qi) with the reference's gradient convention
+    (``c`` omitted from sigmoid/rbf deriv_base — PARITY.md #4)."""
+    if cfg.kernel == "rbf":
+        d = pu - qi
+        power = -cfg.gamma * jnp.sum(d * d, axis=-1)
+        e = jnp.exp(power)
+        pred = cfg.a + cfg.c * e
+        base = (2.0 * cfg.gamma) * e
+        d_pu = -d * base[:, None]
+        return pred, d_pu, -d_pu
+    x = mu + jnp.sum(pu * qi, axis=-1)
+    if cfg.kernel == "linear":
+        return x, qi, pu
+    if cfg.kernel == "sigmoid":
+        sig = jax.nn.sigmoid(x)
+        pred = cfg.a + cfg.c * sig
+        base = sig * (1.0 - sig)
+        return pred, qi * base[:, None], pu * base[:, None]
+    raise ValueError(f"unknown kernel {cfg.kernel!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -140,46 +237,33 @@ def sgd_minibatch_step(
 ) -> MFParams:
     """One synchronous mini-batch update with summed per-example deltas.
 
-    For each rating: ``delta_p = -lr * (err * dpred/dp + reg * p)`` exactly
-    as the reference single-step updates (``kernels.py:156-178`` et al.);
-    deltas of colliding rows sum via scatter-add.
+    Per rating: ``delta_p = -lr * (err * dpred/dp + reg * p)`` exactly as
+    the reference single-step updates (``kernels.py:156-178`` et al.);
+    deltas of colliding rows sum via scatter-add.  The column masks keep
+    the constant-1 extension column and the padding frozen.
     """
     pu = params.user_features[u]
     qi = params.item_features[i]
-    bu = params.user_biases[u]
-    bi = params.item_biases[i]
-
-    pred, g = K.forward_and_grads(
-        cfg.kernel, params.global_mean, bu, bi, pu, qi, cfg.gamma, cfg.a, cfg.c
-    )
-    err = (pred - r) * w  # pads contribute nothing
+    pred, d_pu, d_qi = ext_forward_and_rowgrads(cfg, params.global_mean, pu, qi)
+    err = (pred - r) * w
 
     new = params
-    storage_dtype = params.user_features.dtype
     if cfg.update_user_params:
-        d_pu = (err[:, None] * g.d_pu + (cfg.reg * w)[:, None] * pu.astype(jnp.float32))
+        umask = jnp.asarray(update_mask(cfg, "user"))
+        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
         new = new._replace(
             user_features=new.user_features.at[u].add(
-                (-lr * d_pu).astype(storage_dtype), mode="drop"
+                -lr * g, mode="promise_in_bounds"
             )
         )
-        if cfg.kernel != "rbf":  # rbf has no bias terms (kernels.py:81-105)
-            d_bu = err * g.d_bias + cfg.reg * w * bu
-            new = new._replace(
-                user_biases=new.user_biases.at[u].add(-lr * d_bu, mode="drop")
-            )
     if cfg.update_item_params:
-        d_qi = (err[:, None] * g.d_qi + (cfg.reg * w)[:, None] * qi.astype(jnp.float32))
+        imask = jnp.asarray(update_mask(cfg, "item"))
+        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
         new = new._replace(
             item_features=new.item_features.at[i].add(
-                (-lr * d_qi).astype(storage_dtype), mode="drop"
+                -lr * g, mode="promise_in_bounds"
             )
         )
-        if cfg.kernel != "rbf":
-            d_bi = err * g.d_bias + cfg.reg * w * bi
-            new = new._replace(
-                item_biases=new.item_biases.at[i].add(-lr * d_bi, mode="drop")
-            )
     return new
 
 
@@ -188,20 +272,28 @@ def sgd_minibatch_step(
 # ---------------------------------------------------------------------------
 
 
-def _epoch(params: MFParams, key: jax.Array, data: RatingBatches, cfg: SGDConfig, lr):
-    n_pad = data.user_ids.shape[0]
-    nb = n_pad // cfg.batch_size
-    perm = jax.random.permutation(key, n_pad)
-    xs = (
-        data.user_ids[perm].reshape(nb, cfg.batch_size),
-        data.item_ids[perm].reshape(nb, cfg.batch_size),
-        data.ratings[perm].reshape(nb, cfg.batch_size),
-        data.weights[perm].reshape(nb, cfg.batch_size),
-    )
+def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
+           cfg: SGDConfig, lr):
+    nb = data.user_ids.shape[0]
+    if cfg.shuffle == "full":
+        n_pad = nb * cfg.batch_size
+        perm = jax.random.permutation(key, n_pad)
+        xs = tuple(
+            x.reshape(-1)[perm].reshape(nb, cfg.batch_size)
+            for x in (data.user_ids, data.item_ids, data.ratings, data.weights)
+        )
+    elif cfg.shuffle == "batch":
+        bperm = jax.random.permutation(key, nb)
+        xs = tuple(
+            x[bperm]
+            for x in (data.user_ids, data.item_ids, data.ratings, data.weights)
+        )
+    else:  # 'none'
+        xs = (data.user_ids, data.item_ids, data.ratings, data.weights)
 
     def body(p, batch):
-        u, i, r, w = batch
-        return sgd_minibatch_step(p, u, i, r, w, cfg, lr), None
+        uu, ii, rr, ww = batch
+        return sgd_minibatch_step(p, uu, ii, rr, ww, cfg, lr), None
 
     params, _ = jax.lax.scan(body, params, xs)
     return params
@@ -211,28 +303,12 @@ def masked_sse(params: MFParams, data: RatingBatches, cfg: SGDConfig) -> jax.Arr
     """Sum of squared errors over the (padded) rating stream, batched to
     bound the gather working set. Mirrors the reference's per-epoch full
     train pass (``kernel_matrix_factorization.py:428-440``)."""
-    n_pad = data.user_ids.shape[0]
-    nb = n_pad // cfg.batch_size
-    xs = (
-        data.user_ids.reshape(nb, cfg.batch_size),
-        data.item_ids.reshape(nb, cfg.batch_size),
-        data.ratings.reshape(nb, cfg.batch_size),
-        data.weights.reshape(nb, cfg.batch_size),
-    )
+    xs = (data.user_ids, data.item_ids, data.ratings, data.weights)
 
     def body(acc, batch):
         u, i, r, w = batch
-        pred = K.forward(
-            cfg.kernel,
-            params.global_mean,
-            params.user_biases[u],
-            params.item_biases[i],
-            params.user_features[u],
-            params.item_features[i],
-            cfg.gamma,
-            cfg.a,
-            cfg.c,
-        )
+        pred = ext_forward(cfg, params.global_mean, params.user_features[u],
+                           params.item_features[i])
         e = (pred - r) * w
         return acc + jnp.sum(e * e), None
 
@@ -274,7 +350,8 @@ def jit_sgd_train(cfg: SGDConfig, n_epochs: int):
     key = (cfg, n_epochs)
     if key not in _train_cache:
         _train_cache[key] = jax.jit(
-            lambda p, d, k, lr: sgd_train(p, d, k, cfg, n_epochs, lr)
+            lambda p, d, k, lr: sgd_train(p, d, k, cfg, n_epochs, lr),
+            donate_argnums=(0,),
         )
     return _train_cache[key]
 
@@ -294,22 +371,26 @@ def predict_pairs(
     """Cold-start-safe batched prediction.
 
     Unknown ids arrive as ``-1`` (reference ``recommender_base.py:166-168``)
-    and are masked to bias 0 + zero factor vector — the reference's
-    fallback (``kernel_matrix_factorization.py:486-499``) expressed as
-    ``where`` masks instead of branches.  Returns (predictions,
-    predictions_possible).
+    and fall back to bias 0 + zero factor vector — the reference's
+    behavior (``kernel_matrix_factorization.py:486-499``) expressed as
+    ``where`` masks.  With bias folding, the unknown side's row becomes
+    the pure-constant row (factors 0, bias 0, const 1).  Returns
+    (predictions, predictions_possible).
     """
-    uv = u >= 0
-    iv = i >= 0
-    us = jnp.maximum(u, 0)
-    isafe = jnp.maximum(i, 0)
-    bu = jnp.where(uv, params.user_biases[us], 0.0)
-    bi = jnp.where(iv, params.item_biases[isafe], 0.0)
-    pu = jnp.where(uv[:, None], params.user_features[us], 0.0)
-    qi = jnp.where(iv[:, None], params.item_features[isafe], 0.0)
-    pred = K.forward(
-        cfg.kernel, params.global_mean, bu, bi, pu, qi, cfg.gamma, cfg.a, cfg.c
-    )
+    kp = params.user_features.shape[1]
+    uv, iv = u >= 0, i >= 0
+    us, isafe = jnp.maximum(u, 0), jnp.maximum(i, 0)
+    pu = params.user_features[us]
+    qi = params.item_features[isafe]
+    if cfg.kernel != "rbf":
+        cold_u = jnp.zeros((kp,), jnp.float32).at[const_col(cfg, "user")].set(1.0)
+        cold_i = jnp.zeros((kp,), jnp.float32).at[const_col(cfg, "item")].set(1.0)
+    else:
+        cold_u = jnp.zeros((kp,), jnp.float32)
+        cold_i = jnp.zeros((kp,), jnp.float32)
+    pu = jnp.where(uv[:, None], pu, cold_u[None, :])
+    qi = jnp.where(iv[:, None], qi, cold_i[None, :])
+    pred = ext_forward(cfg, params.global_mean, pu, qi)
     if bound_ratings:
         pred = jnp.clip(pred, cfg.min_rating, cfg.max_rating)
     return pred, uv & iv

@@ -2,13 +2,13 @@
 
 Layout (the scaling design SURVEY.md §2.4 calls for):
 
-* **P (user factors) and user biases are row-sharded** over the ``data``
+* **P (extended user rows, bias folded) is row-sharded** over the ``data``
   axis; ratings are pre-sharded by user range so every P update is local to
   its device — zero communication on the user side.
-* **Q (item factors) and item biases are replicated**; each device
-  scatter-adds its batch's item deltas into a zeros table and the deltas
-  are ``psum``'d over ICI each step, keeping replicas bit-identical
-  (synchronous mini-batch SGD with global batch = n_devices x local batch).
+* **Q (extended item rows) is replicated**; each device scatter-adds its
+  batch's item deltas into a zeros table and the deltas are ``psum``'d
+  over ICI each step, keeping replicas bit-identical (synchronous
+  mini-batch SGD with global batch = n_devices x local batch).
 * Per-epoch RMSE is a ``psum`` of local masked SSE.
 
 The reference's counterpart is ``_sgd``'s sequential loop
@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from matrix_factorization_tpu.core.config import SGDConfig
-from matrix_factorization_tpu.ops import kernels as K
+from matrix_factorization_tpu.ops import segment_sgd as sgd
 from matrix_factorization_tpu.ops.segment_sgd import MFParams, round_up
 from matrix_factorization_tpu.parallel.mesh import DATA_AXIS
 
@@ -83,37 +83,28 @@ def shard_ratings_by_user(
 
 
 def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr):
-    """One synchronous step: local P/bu scatter, psum'd Q/bi deltas."""
-    P_l, bu_l, Q, bi, mu = carry
+    """One synchronous step: local P scatter, psum'd Q deltas."""
+    P_l, Q, mu = carry
     u, i, r, w = batch
     pu = P_l[u]
     qi = Q[i]
-    bu = bu_l[u]
-    bib = bi[i]
-    pred, g = K.forward_and_grads(cfg.kernel, mu, bu, bib, pu, qi,
-                                  cfg.gamma, cfg.a, cfg.c)
+    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
     err = (pred - r) * w
 
     if cfg.update_user_params:
-        d_pu = err[:, None] * g.d_pu + (cfg.reg * w)[:, None] * pu
-        P_l = P_l.at[u].add(-lr * d_pu, mode="drop")
-        if cfg.kernel != "rbf":
-            d_bu = err * g.d_bias + cfg.reg * w * bu
-            bu_l = bu_l.at[u].add(-lr * d_bu, mode="drop")
+        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
+        P_l = P_l.at[u].add(-lr * g, mode="promise_in_bounds")
     if cfg.update_item_params:
-        d_qi = err[:, None] * g.d_qi + (cfg.reg * w)[:, None] * qi
-        dQ = jnp.zeros_like(Q).at[i].add(-lr * d_qi, mode="drop")
+        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
+        dQ = jnp.zeros_like(Q).at[i].add(-lr * g, mode="promise_in_bounds")
         Q = Q + jax.lax.psum(dQ, DATA_AXIS)
-        if cfg.kernel != "rbf":
-            d_bi = err * g.d_bias + cfg.reg * w * bib
-            dbi = jnp.zeros_like(bi).at[i].add(-lr * d_bi, mode="drop")
-            bi = bi + jax.lax.psum(dbi, DATA_AXIS)
-    return (P_l, bu_l, Q, bi, mu), None
+    return (P_l, Q, mu), None
 
 
-def _local_sse(P_l, bu_l, Q, bi, mu, u, i, r, w, cfg: SGDConfig):
-    pred = K.forward(cfg.kernel, mu, bu_l[u], bi[i], P_l[u], Q[i],
-                     cfg.gamma, cfg.a, cfg.c)
+def _local_sse(P_l, Q, mu, u, i, r, w, cfg: SGDConfig):
+    pred = sgd.ext_forward(cfg, mu, P_l[u], Q[i])
     e = (pred - r) * w
     return jnp.sum(e * e)
 
@@ -130,26 +121,30 @@ def dp_sgd_train(
 ) -> Tuple[MFParams, jax.Array]:
     """Multi-epoch data-parallel training under ``shard_map``.
 
-    ``params.user_features`` / ``user_biases`` must be placed row-sharded
-    over ``data``; item tables replicated; ``data`` arrays device-major
-    row-sharded.
+    ``params.user_features`` must be placed row-sharded over ``data``;
+    the item table replicated; ``data`` arrays device-major row-sharded.
     """
     n_dev = mesh.shape[DATA_AXIS]
     n_pad_local = data.total_len // n_dev
     nb = n_pad_local // cfg.batch_size
 
-    def local_train(P_l, bu_l, Q, bi, mu, u_l, i_l, r_l, w_l, keys):
+    def local_train(P_l, Q, mu, u_l, i_l, r_l, w_l, keys):
         dev = jax.lax.axis_index(DATA_AXIS)
 
         def epoch(carry, k):
             k = jax.random.fold_in(k, dev)
-            perm = jax.random.permutation(k, n_pad_local)
-            xs = (
-                u_l[perm].reshape(nb, cfg.batch_size),
-                i_l[perm].reshape(nb, cfg.batch_size),
-                r_l[perm].reshape(nb, cfg.batch_size),
-                w_l[perm].reshape(nb, cfg.batch_size),
-            )
+            if cfg.shuffle == "full":
+                perm = jax.random.permutation(k, n_pad_local)
+                xs = tuple(
+                    x[perm].reshape(nb, cfg.batch_size)
+                    for x in (u_l, i_l, r_l, w_l)
+                )
+            else:  # 'batch' / 'none': shuffle batch order only
+                bperm = jax.random.permutation(k, nb)
+                xs = tuple(
+                    x.reshape(nb, cfg.batch_size)[bperm]
+                    for x in (u_l, i_l, r_l, w_l)
+                )
             carry, _ = jax.lax.scan(
                 lambda c, b: _local_minibatch_step(c, b, cfg, lr), carry, xs
             )
@@ -160,24 +155,21 @@ def dp_sgd_train(
                 rmse = jnp.float32(0.0)
             return carry, rmse
 
-        carry = (P_l, bu_l, Q, bi, mu)
-        (P_l, bu_l, Q, bi, mu), hist = jax.lax.scan(epoch, carry, keys)
-        return P_l, bu_l, Q, bi, hist
+        (P_l, Q, mu), hist = jax.lax.scan(epoch, (P_l, Q, mu), keys)
+        return P_l, Q, hist
 
     shard = P(DATA_AXIS)
     rep = P()
     fn = jax.shard_map(
         local_train,
         mesh=mesh,
-        in_specs=(shard, shard, rep, rep, rep, shard, shard, shard, shard, rep),
-        out_specs=(shard, shard, rep, rep, rep),
+        in_specs=(shard, rep, rep, shard, shard, shard, shard, rep),
+        out_specs=(shard, rep, rep),
     )
     keys = jax.random.split(key, n_epochs)
-    P_new, bu_new, Q_new, bi_new, hist = fn(
+    P_new, Q_new, hist = fn(
         params.user_features,
-        params.user_biases,
         params.item_features,
-        params.item_biases,
         params.global_mean,
         data.user_ids,
         data.item_ids,
@@ -185,21 +177,16 @@ def dp_sgd_train(
         data.weights,
         keys,
     )
-    return (
-        MFParams(P_new, Q_new, bu_new, bi_new, params.global_mean),
-        hist,
-    )
+    return MFParams(P_new, Q_new, params.global_mean), hist
 
 
 def place_params(params: MFParams, mesh: Mesh) -> MFParams:
-    """Place P/bu row-sharded over data, item tables replicated."""
+    """Place P row-sharded over data, item table replicated."""
     shard = NamedSharding(mesh, P(DATA_AXIS))
     rep = NamedSharding(mesh, P())
     return MFParams(
         user_features=jax.device_put(params.user_features, shard),
         item_features=jax.device_put(params.item_features, rep),
-        user_biases=jax.device_put(params.user_biases, shard),
-        item_biases=jax.device_put(params.item_biases, rep),
         global_mean=jax.device_put(params.global_mean, rep),
     )
 
@@ -219,13 +206,11 @@ def dp_fit(
     init_sd: float = 0.1,
 ) -> Tuple[MFParams, np.ndarray]:
     """End-to-end sharded fit: init, shard, train, return device params."""
-    from matrix_factorization_tpu.ops.segment_sgd import init_params
-
     n_dev = mesh.shape[DATA_AXIS]
     ucap = round_up(n_users, 8 * n_dev)
     key = jax.random.PRNGKey(seed)
     k_init, k_train = jax.random.split(key)
-    params = init_params(
+    params = sgd.init_params(
         k_init, n_users, n_items, cfg, float(np.mean(r)),
         init_mean, init_sd, user_capacity=ucap,
     )

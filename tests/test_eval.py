@@ -1,0 +1,96 @@
+"""Top-K harness, hybrid eval, keywords judge."""
+
+import numpy as np
+import pandas as pd
+
+from matrix_factorization_tpu import BaselineModel
+from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+from matrix_factorization_tpu.eval.hybrid_eval import evaluate_hybrid
+from matrix_factorization_tpu.eval.judge import (
+    evaluate_case,
+    keywords_judge,
+    sanitize_violations,
+    diversity_score,
+    ItemEval,
+)
+from matrix_factorization_tpu.eval.topk_eval import evaluate_topk
+from matrix_factorization_tpu.retrieval.encode import hash_embed
+from matrix_factorization_tpu.retrieval.index import build_dense_index, build_tfidf_index
+
+TEXTS = [
+    "title: grilled chicken salad\ningredients: chicken breast; lettuce\ndirections: grill 10 minutes",
+    "title: peanut cookies\ningredients: peanut butter; sugar\ndirections: bake 12 minutes",
+    "title: salmon pasta\ningredients: salmon; cream; pasta\ndirections: cook 20 minutes",
+    "title: tofu bowl\ningredients: tofu; rice\ndirections: steam 15 minutes",
+]
+IDS = ["a", "b", "c", "d"]
+
+
+def _ratings():
+    X, y = lowrank_ratings(n_users=40, n_items=30, density=0.5, seed=8)
+    df = X.copy()
+    df["rating"] = y.clip(lower=0.5)
+    return df
+
+
+def test_evaluate_topk_runs_and_bounds():
+    df = _ratings()
+    model = BaselineModel(method="als", n_epochs=10, reg=0.5).fit(
+        df[["user_id", "item_id"]], df["rating"]
+    )
+    res = evaluate_topk(df, model, k=5, positive_threshold=3.0, n_test=2, seed=0)
+    assert res.n_users > 0
+    for v in (res.precision, res.recall, res.ndcg):
+        assert 0.0 <= v <= 1.0
+
+
+def test_evaluate_hybrid_embedding_only():
+    df = _ratings()
+    items = sorted(df["item_id"].unique())
+    texts = [f"item text number {i} with words w{i} w{i%5}" for i in items]
+    index = build_dense_index([str(i) for i in items], texts, hash_embed(texts))
+    res = evaluate_hybrid(df, index, model=None, alpha=0.0, k=5,
+                          candidate_k=20, positive_threshold=3.0, n_test=2)
+    assert res.n_users > 0
+    assert 0.0 <= res.precision <= 1.0
+
+
+def test_keywords_judge_scoring():
+    ev = keywords_judge(
+        query="chicken salad", item_id="a", text=TEXTS[0],
+        must_include=["chicken"], avoid=["peanut"],
+    )
+    assert ev.relevance == 4.0  # 1 + 2 (must hit) + 1 (query hit)
+    assert ev.violations == []
+    ev2 = keywords_judge(
+        query="chicken", item_id="b", text=TEXTS[1],
+        must_include=["chicken"], avoid=["peanut"],
+    )
+    assert "contains_avoid_term" in ev2.violations
+    assert "missing_must_include" in ev2.violations
+
+
+def test_sanitize_violations_strips_inapplicable_labels():
+    judged = [ItemEval("x", 3.0, ["missing_must_include", "contains_avoid_term"], "r")]
+    out = sanitize_violations(judged, must_include=[], avoid=["p"])
+    assert out[0].violations == ["contains_avoid_term"]
+
+
+def test_diversity_score_range():
+    assert diversity_score([TEXTS[0]]) == 1.0
+    d = diversity_score([TEXTS[0], TEXTS[0]])
+    assert d < 1.0
+
+
+def test_evaluate_case_keywords_with_must_include():
+    """Regression for the reference's `_contains_any` NameError
+    (evaluate_llm.py:181): keywords provider + non-empty must_include."""
+    index = build_tfidf_index(IDS, TEXTS, min_df=1)
+    rep = evaluate_case(
+        index=index, query="chicken salad", k=2, candidate_k=4,
+        provider="keywords", must_include=["chicken"], avoid=["peanut"],
+    )
+    assert rep.n_after_filter >= 1
+    assert rep.avg_relevance > 0
+    assert rep.violation_rate == 0.0
+    assert rep.to_jsonable()["items"]

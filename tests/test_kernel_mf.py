@@ -76,25 +76,23 @@ def test_batch_size_one_matches_sequential_oracle():
     Q0 = rng.normal(0, 0.1, (n_items, k)).astype(np.float32)
 
     cfg = SGDConfig(kernel="linear", n_factors=k, lr=0.01, reg=0.05,
-                    batch_size=1, compute_epoch_rmse=False)
+                    batch_size=1, compute_epoch_rmse=False, shuffle="none")
     kp = cfg.padded_factors
-    params = sgd.MFParams(
-        user_features=jnp.zeros((n_users, kp)).at[:, :k].set(P0),
-        item_features=jnp.zeros((n_items, kp)).at[:, :k].set(Q0),
-        user_biases=jnp.zeros(n_users),
-        item_biases=jnp.zeros(n_items),
-        global_mean=jnp.float32(mu),
-    )
-    data = sgd.pack_ratings(u, i, r, 1)
+    uf = jnp.zeros((n_users, kp)).at[:, :k].set(P0)
+    uf = uf.at[:, sgd.const_col(cfg, "user")].set(1.0)
+    itf = jnp.zeros((n_items, kp)).at[:, :k].set(Q0)
+    itf = itf.at[:, sgd.const_col(cfg, "item")].set(1.0)
+    params = sgd.MFParams(uf, itf, jnp.float32(mu))
+    data = sgd.pack_ratings(u, i, r, 1, shuffle_seed=None)
 
     def steps(p):
         def body(p, batch):
             uu, ii, rr, ww = batch
             return sgd.sgd_minibatch_step(p, uu, ii, rr, ww, cfg, cfg.lr), None
 
-        xs = (data.user_ids[:, None], data.item_ids[:, None],
-              data.ratings[:, None], data.weights[:, None])
-        p, _ = jax.lax.scan(body, p, xs)
+        p, _ = jax.lax.scan(
+            body, p, (data.user_ids, data.item_ids, data.ratings, data.weights)
+        )
         return p
 
     out = jax.jit(steps)(params)
@@ -105,12 +103,17 @@ def test_batch_size_one_matches_sequential_oracle():
         u, i, r.astype(np.float64), n_users, n_items, k, mu,
         P0.astype(np.float64), Q0.astype(np.float64), 0.01, 0.05, 3,
     )
-    np.testing.assert_allclose(np.asarray(out.user_biases), bu, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(out.item_biases), bi, atol=2e-4)
+    ub = np.asarray(out.user_features[:, sgd.bias_col(cfg, "user")])
+    ib = np.asarray(out.item_features[:, sgd.bias_col(cfg, "item")])
+    np.testing.assert_allclose(ub, bu, atol=2e-4)
+    np.testing.assert_allclose(ib, bi, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.user_features[:, :k]), P, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.item_features[:, :k]), Q, atol=2e-4)
-    # padding columns stay exactly zero
-    assert np.all(np.asarray(out.user_features[:, k:]) == 0)
+    # constant column frozen at 1, padding columns stay exactly zero
+    assert np.all(
+        np.asarray(out.user_features[:, sgd.const_col(cfg, "user")]) == 1.0
+    )
+    assert np.all(np.asarray(out.user_features[:, k + 2 :]) == 0)
 
 
 def test_update_users_cold_start(data):

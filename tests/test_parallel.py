@@ -73,22 +73,12 @@ def test_dp_one_step_matches_single_device(ratings):
         np.asarray(got.item_features), np.asarray(expected.item_features),
         atol=1e-5,
     )
-    np.testing.assert_allclose(
-        np.asarray(got.user_biases), np.asarray(expected.user_biases), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(got.item_biases), np.asarray(expected.item_biases), atol=1e-5
-    )
     # epoch RMSE matches a host-side recomputation on the updated params
-    pred = (
-        float(expected.global_mean)
-        + np.asarray(expected.user_biases)[u]
-        + np.asarray(expected.item_biases)[i]
-        + np.einsum(
-            "nk,nk->n",
-            np.asarray(expected.user_features)[u],
-            np.asarray(expected.item_features)[i],
-        )
+    # (biases ride inside the extended-row dot)
+    pred = float(expected.global_mean) + np.einsum(
+        "nk,nk->n",
+        np.asarray(expected.user_features)[u],
+        np.asarray(expected.item_features)[i],
     )
     want_rmse = np.sqrt(np.mean((pred - r) ** 2))
     np.testing.assert_allclose(float(hist[0]), want_rmse, rtol=1e-5)
@@ -111,29 +101,29 @@ def test_distributed_topk_matches_dense(ratings):
     kp = cfg.padded_factors
     rng = np.random.default_rng(3)
     icap = sgd.round_up(n_items, 8 * 8)
+    # extended rows: factors, then [bias | const] columns
     Q = np.zeros((icap, kp), np.float32)
     Q[:n_items, :8] = rng.normal(0, 0.5, (n_items, 8))
-    bi = np.zeros(icap, np.float32)
-    bi[:n_items] = rng.normal(0, 0.2, n_items)
+    Q[:n_items, sgd.const_col(cfg, "item")] = 1.0
+    Q[:n_items, sgd.bias_col(cfg, "item")] = rng.normal(0, 0.2, n_items)
     valid = np.zeros(icap, np.float32)
     valid[:n_items] = 1.0
     B = 6
-    pu = rng.normal(0, 0.5, (B, kp)).astype(np.float32)
-    pu[:, 8:] = 0
-    bu = rng.normal(0, 0.2, B).astype(np.float32)
+    pu = np.zeros((B, kp), np.float32)
+    pu[:, :8] = rng.normal(0, 0.5, (B, 8))
+    pu[:, sgd.const_col(cfg, "user")] = 1.0
+    pu[:, sgd.bias_col(cfg, "user")] = rng.normal(0, 0.2, B)
     mu = jnp.float32(3.3)
 
     vals, idx = jax.jit(
-        lambda pu, bu, Q, bi, valid: ptopk.distributed_topk(
-            pu, bu, jnp.asarray(Q), jnp.asarray(bi), mu, jnp.asarray(valid),
-            k=5, cfg=cfg, mesh=mesh, axes=(DATA_AXIS, MODEL_AXIS),
+        lambda pu, Q, valid: ptopk.distributed_topk(
+            pu, Q, mu, valid, k=5, cfg=cfg, mesh=mesh,
+            axes=(DATA_AXIS, MODEL_AXIS),
         )
-    )(jnp.asarray(pu), jnp.asarray(bu), Q, bi, valid)
+    )(jnp.asarray(pu), jnp.asarray(Q), jnp.asarray(valid))
 
     dense = np.asarray(
-        score_catalog("linear", mu, jnp.asarray(bu), jnp.asarray(bi[:n_items]),
-                      jnp.asarray(pu), jnp.asarray(Q[:n_items]), cfg.gamma,
-                      cfg.a, cfg.c)
+        score_catalog(cfg, mu, jnp.asarray(pu), jnp.asarray(Q[:n_items]))
     )
     want_idx = np.argsort(-dense, axis=1)[:, :5]
     want_vals = np.take_along_axis(dense, want_idx, axis=1)

@@ -1,0 +1,91 @@
+"""End-to-end pipeline smoke: synthetic data -> prep -> index -> metadata ->
+features -> train -> evaluate -> reranker -> judge, via the CLI entry
+points (subprocess-free: main() with argv patched)."""
+
+import json
+import sys
+
+import pandas as pd
+import pytest
+
+
+def run_cli(module, argv):
+    old = sys.argv
+    sys.argv = [module.__name__] + argv
+    try:
+        module.main()
+    finally:
+        sys.argv = old
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    from matrix_factorization_tpu.pipeline import download_movielens_small as dl
+
+    run_cli(dl, ["--root", str(root), "--synthetic", "--seed", "3",
+                 "--min-interactions", "5"])
+    # recipe-style texts so the metadata/judge stages have structure to parse
+    items = pd.read_parquet(root / "data" / "items.parquet")
+    texts = []
+    ings = ["chicken; rice", "peanut butter; sugar", "salmon; cream",
+            "tofu; broccoli", "beef; beans"]
+    for j, iid in enumerate(items["item_id"]):
+        texts.append(
+            f"title: dish {iid}\ningredients: {ings[j % len(ings)]}\n"
+            f"directions: cook {10 + (j % 4) * 10} minutes"
+        )
+    items["text"] = texts
+    items.to_parquet(root / "data" / "items.parquet", index=False)
+    return root
+
+
+def test_full_pipeline(workdir, capsys):
+    root = str(workdir)
+    from matrix_factorization_tpu.pipeline import (
+        build_item_embeddings,
+        build_recipe_metadata,
+        build_structured_features,
+        build_text_enrichment,
+        build_tfidf_index,
+        evaluate as evaluate_cli,
+        evaluate_hybrid as hybrid_cli,
+        evaluate_llm,
+        export_artifacts,
+        train as train_cli,
+        train_reranker,
+    )
+
+    run_cli(build_tfidf_index, ["--root", root, "--min-df", "1"])
+    run_cli(build_recipe_metadata, ["--root", root])
+    run_cli(build_structured_features, ["--root", root])
+    run_cli(build_text_enrichment, ["--root", root, "--max-rows", "50"])
+
+    run_cli(train_cli, ["--root", root, "--model", "baseline",
+                        "--method", "als", "--epochs", "5"])
+    run_cli(evaluate_cli, ["--root", root, "--k", "5",
+                           "--positive-threshold", "3.0", "--max-users", "30"])
+    out = capsys.readouterr().out
+    metrics = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert set(metrics) >= {"precision", "recall", "ndcg"}
+
+    # dense index + hybrid ablation
+    run_cli(build_item_embeddings, ["--root", root, "--dim", "64"])
+    run_cli(export_artifacts, ["--root", root])
+    run_cli(hybrid_cli, ["--root", root, "--k", "5", "--candidate-k", "20",
+                         "--positive-threshold", "3.0", "--max-users", "20"])
+    out = capsys.readouterr().out
+    rep = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert "embedding_only" in rep
+
+    # reranker needs the tfidf index artifact: rebuild it (export overwrote)
+    run_cli(build_tfidf_index, ["--root", root, "--min-df", "1"])
+    run_cli(train_reranker, ["--root", root, "--n-seed-items", "40",
+                             "--candidate-k", "10", "--log-every", "0"])
+    assert (workdir / "artifacts" / "reranker.pkl").exists()
+
+    run_cli(evaluate_llm, ["--root", root, "--query", "chicken rice dinner",
+                           "--must-include", "chicken", "--avoid", "peanut"])
+    report = json.loads((workdir / "artifacts" / "llm_eval_report.json").read_text())
+    assert report["n_cases"] == 1
+    assert 0.0 <= report["violation_rate"] <= 1.0
