@@ -1,0 +1,129 @@
+"""Checkpointing: model state save/restore + resumable training.
+
+The reference persists whole-model pickles only, with no mid-training
+checkpointing — ``fit`` is atomic (``pipeline/train.py:46-48``).  Here a
+checkpoint is an explicit, inspectable directory:
+
+* ``arrays.npz``  — the device tables (host-transferred, np.savez)
+* ``meta.pkl``    — vocabularies (arbitrary hashable raw ids) + ctor
+  config (sklearn ``get_params``) + training progress (epochs_done,
+  train_rmse history)
+
+``fit_resumable`` trains in segments and checkpoints after each, so an
+interrupted fit restarts from the last completed segment instead of
+epoch 0.  Atomicity: written to a temp dir then renamed.
+"""
+
+from __future__ import annotations
+
+import pickle
+import shutil
+import tempfile
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _model_arrays(model) -> Dict[str, np.ndarray]:
+    params = getattr(model, "_params", None)
+    if params is None:
+        return {}
+    return {
+        name: np.asarray(getattr(params, name))
+        for name in params._fields
+    }
+
+
+def save_model(model, path: Path) -> None:
+    """Checkpoint a fitted model to a directory (atomic)."""
+    path = Path(path)
+    tmp = Path(tempfile.mkdtemp(dir=path.parent if path.parent.exists() else None))
+    try:
+        arrays = _model_arrays(model)
+        np.savez(tmp / "arrays.npz", **arrays)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "model_class": type(model).__name__,
+            "params_class": type(model._params).__name__ if arrays else None,
+            "config": model.get_params() if hasattr(model, "get_params") else {},
+            "user_raw_ids": model.user_vocab.raw_ids,
+            "item_raw_ids": model.item_vocab.raw_ids,
+            "train_rmse": list(getattr(model, "train_rmse", [])),
+            "global_mean": float(getattr(model, "global_mean", 0.0)),
+            "epochs_done": int(getattr(model, "_epochs_done", 0)),
+        }
+        with (tmp / "meta.pkl").open("wb") as f:
+            pickle.dump(meta, f)
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def load_model(path: Path):
+    """Restore a model from a checkpoint directory."""
+    from matrix_factorization_tpu.core.ids import IdVocab
+    from matrix_factorization_tpu.models.baseline import BaselineModel
+    from matrix_factorization_tpu.models.kernel_mf import KernelMF
+    from matrix_factorization_tpu.ops.als import BiasParams
+    from matrix_factorization_tpu.ops.segment_sgd import MFParams
+
+    path = Path(path)
+    with (path / "meta.pkl").open("rb") as f:
+        meta = pickle.load(f)
+    classes = {"KernelMF": KernelMF, "BaselineModel": BaselineModel}
+    cls = classes.get(meta["model_class"])
+    if cls is None:
+        raise ValueError(f"unknown model class {meta['model_class']!r}")
+    model = cls(**meta["config"])
+    model.user_vocab = IdVocab(meta["user_raw_ids"])
+    model.item_vocab = IdVocab(meta["item_raw_ids"])
+    model.train_rmse = meta["train_rmse"]
+    model.global_mean = meta["global_mean"]
+    model._epochs_done = meta["epochs_done"]
+
+    npz = np.load(path / "arrays.npz")
+    if len(npz.files):
+        params_cls = {"MFParams": MFParams, "BiasParams": BiasParams}[
+            meta["params_class"]
+        ]
+        model._params = params_cls(
+            **{name: jnp.asarray(npz[name]) for name in params_cls._fields}
+        )
+    return model
+
+
+def fit_resumable(
+    model,
+    X,
+    y,
+    ckpt_dir: Path,
+    total_epochs: Optional[int] = None,
+    segment_epochs: int = 10,
+):
+    """Train in checkpointed segments; resumes from ``ckpt_dir`` if present.
+
+    The model must support ``warm_start`` fitting (KernelMF/BaselineModel).
+    """
+    ckpt_dir = Path(ckpt_dir)
+    total = total_epochs or model.n_epochs
+    start = 0
+    if (ckpt_dir / "meta.pkl").exists():
+        restored = load_model(ckpt_dir)
+        if type(restored) is type(model):
+            model = restored
+            start = model._epochs_done
+    while start < total:
+        step = min(segment_epochs, total - start)
+        model.fit(X, y, n_epochs=step, warm_start=start > 0)
+        start += step
+        model._epochs_done = start
+        ckpt_dir.parent.mkdir(parents=True, exist_ok=True)
+        save_model(model, ckpt_dir)
+    return model

@@ -82,29 +82,44 @@ class BaselineModel(RecommenderBase):
         )
 
     # -- lifecycle ----------------------------------------------------------
-    def fit(self, X: pd.DataFrame, y: pd.Series):
-        u, i, r = self._preprocess_fit(X, y)
+    def fit(self, X: pd.DataFrame, y: pd.Series, n_epochs: int = None,
+            warm_start: bool = False):
+        if warm_start and self._params is not None:
+            from matrix_factorization_tpu.core.ids import check_no_duplicates
+
+            users = X["user_id"].to_numpy()
+            items = X["item_id"].to_numpy()
+            check_no_duplicates(users, items)
+            u = self.user_vocab.encode(users, strict=True)
+            i = self.item_vocab.encode(items, strict=True)
+            r = np.asarray(y, dtype=np.float32)
+            params = self._params
+        else:
+            u, i, r = self._preprocess_fit(X, y)
+            self.global_mean = float(np.mean(r))
+            params = als_ops.init_bias_params(
+                round_up(self.n_users, 1024), self.n_items, self.global_mean
+            )
+            self.train_rmse = []
+        n_epochs = n_epochs or self.n_epochs
         data = pack_ratings(u, i, r, self.batch_size)
-        global_mean = float(np.mean(r))
-        params = als_ops.init_bias_params(
-            round_up(self.n_users, 1024), self.n_items, global_mean
-        )
 
         if self.method == "als":
             params, rmse_hist = jax.jit(
-                lambda p, d: als_ops.als_train(p, d, self.reg, self.n_epochs)
+                lambda p, d: als_ops.als_train(p, d, self.reg, n_epochs)
             )(params, data)
         else:
-            key = jax.random.PRNGKey(self.seed)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed), len(self.train_rmse)
+            )
             params, rmse_hist = jax.jit(
                 lambda p, d, k: als_ops.bias_sgd_train(
-                    p, d, k, self.lr, self.reg, self.n_epochs, self.batch_size
+                    p, d, k, self.lr, self.reg, n_epochs, self.batch_size
                 )
             )(params, data, key)
 
         self._params = params
-        self.train_rmse = np.asarray(rmse_hist).tolist()
-        self.global_mean = global_mean
+        self.train_rmse = list(self.train_rmse) + np.asarray(rmse_hist).tolist()
         if self.verbose:
             for e, v in enumerate(self.train_rmse):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")

@@ -93,27 +93,47 @@ class KernelMF(RecommenderBase):
         )
 
     # -- lifecycle ----------------------------------------------------------
-    def fit(self, X: pd.DataFrame, y: pd.Series):
-        u, i, r = self._preprocess_fit(X, y)
+    def fit(self, X: pd.DataFrame, y: pd.Series, n_epochs: int = None,
+            warm_start: bool = False):
+        """Train; ``warm_start=True`` continues from the current parameters
+        (same id space) instead of re-initializing — the building block of
+        ``core.checkpoint.fit_resumable``."""
         cfg = self._cfg()
+        if warm_start and self._params is not None:
+            from matrix_factorization_tpu.core.ids import check_no_duplicates
+
+            users = X["user_id"].to_numpy()
+            items = X["item_id"].to_numpy()
+            check_no_duplicates(users, items)
+            u = self.user_vocab.encode(users, strict=True)
+            i = self.item_vocab.encode(items, strict=True)
+            r = np.asarray(y, dtype=np.float32)
+            params = self._params
+            epoch_offset = getattr(self, "_epochs_done", 0)
+        else:
+            u, i, r = self._preprocess_fit(X, y)
+            self.global_mean = float(np.mean(r))
+            key = jax.random.PRNGKey(self.seed)
+            k_init, _ = jax.random.split(key)
+            params = sgd.init_params(
+                k_init,
+                self.n_users,
+                self.n_items,
+                cfg,
+                self.global_mean,
+                self.init_mean,
+                self.init_sd,
+            )
+            epoch_offset = 0
+            self.train_rmse = []
+        n_epochs = n_epochs or self.n_epochs
         data = sgd.pack_ratings(u, i, r, cfg.batch_size)
-        self.global_mean = float(np.mean(r))
-        key = jax.random.PRNGKey(self.seed)
-        k_init, k_train = jax.random.split(key)
-        params = sgd.init_params(
-            k_init,
-            self.n_users,
-            self.n_items,
-            cfg,
-            self.global_mean,
-            self.init_mean,
-            self.init_sd,
-        )
-        params, rmse_hist = sgd.jit_sgd_train(cfg, self.n_epochs)(
+        k_train = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_offset + 1)
+        params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
             params, data, k_train, self.lr
         )
         self._params = params
-        self.train_rmse = np.asarray(rmse_hist).tolist()
+        self.train_rmse = list(self.train_rmse) + np.asarray(rmse_hist).tolist()
         if self.verbose:
             for e, v in enumerate(self.train_rmse):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")

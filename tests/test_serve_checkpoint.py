@@ -1,0 +1,195 @@
+"""Serving (service core + stdlib HTTP API + meal planner) and
+checkpoint/resume."""
+
+import json
+import pickle
+import threading
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrix_factorization_tpu import BaselineModel, KernelMF
+from matrix_factorization_tpu.core.checkpoint import (
+    fit_resumable,
+    load_model,
+    save_model,
+)
+from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+from matrix_factorization_tpu.retrieval.index import build_tfidf_index, save_item_index
+from matrix_factorization_tpu.serve.api import serve
+from matrix_factorization_tpu.serve.planner import (
+    PlanRequest,
+    build_query_from_needs,
+    plan_meals,
+)
+from matrix_factorization_tpu.serve.service import RecommendService
+
+TEXTS = [
+    "title: grilled chicken bowl\ningredients: chicken breast; rice\ndirections: grill 15 minutes",
+    "title: peanut noodles\ningredients: peanut butter; noodle\ndirections: boil 10 minutes",
+    "title: salmon salad\ningredients: salmon; lettuce\ndirections: bake 20 minutes",
+    "title: tofu curry\ningredients: tofu; curry; rice\ndirections: simmer 25 minutes",
+    "title: beef stew\ningredients: beef; potato; carrot\ndirections: cook 2 hours",
+    "title: egg fried rice\ningredients: egg; rice; soy sauce\ndirections: fry 8 minutes",
+]
+IDS = ["r1", "r2", "r3", "r4", "r5", "r6"]
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    art = root / "artifacts"
+    art.mkdir()
+    save_item_index(build_tfidf_index(IDS, TEXTS, min_df=1), art / "item_index.pkl")
+
+    # a tiny rating model over the same item ids
+    rng = np.random.default_rng(0)
+    n = 60
+    X = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 10, n),
+            "item_id": [IDS[j % len(IDS)] for j in range(n)],
+        }
+    ).drop_duplicates()
+    y = pd.Series(rng.uniform(1, 5, len(X)))
+    model = BaselineModel(method="als", n_epochs=5).fit(X, y)
+    with (art / "model.pkl").open("wb") as f:
+        pickle.dump(model, f)
+    return art
+
+
+def test_service_health_and_recommend(artifacts):
+    svc = RecommendService.from_artifacts(artifacts)
+    h = svc.health()
+    assert h["status"] == "ok" and h["index_type"] == "tfidf"
+    assert h["has_model"]
+    res = svc.recommend("grilled chicken rice", user_id=0, k=3, alpha=0.5)
+    assert len(res) == 3
+    assert res[0]["item_id"] == "r1"
+    assert "hybrid" in res[0]["reason"]
+    res2 = svc.recommend("peanut noodles", k=2)
+    assert res2[0]["item_id"] == "r2"
+    assert res2[0]["reason"] == "embedding similarity recall"
+
+
+def test_missing_artifacts_actionable_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="build_tfidf_index"):
+        RecommendService.from_artifacts(tmp_path)
+
+
+def test_http_api(artifacts):
+    svc = RecommendService.from_artifacts(artifacts)
+    httpd = serve(svc, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/health") as r:
+            h = json.loads(r.read())
+            assert h["status"] == "ok"
+
+        body = json.dumps({"query": "salmon salad", "k": 2}).encode()
+        req = urllib.request.Request(
+            f"{base}/recommend", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+            assert out["results"][0]["item_id"] == "r3"
+
+        # probe: missing query -> 422 with message
+        bad = urllib.request.Request(f"{base}/recommend", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad)
+        assert exc.value.code == 422
+        # probe: k out of bounds -> 422
+        bad2 = urllib.request.Request(
+            f"{base}/recommend",
+            data=json.dumps({"query": "x", "k": 999}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc2:
+            urllib.request.urlopen(bad2)
+        assert exc2.value.code == 422
+        # probe: unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as exc3:
+            urllib.request.urlopen(f"{base}/nope")
+        assert exc3.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_planner_daily_plan(artifacts):
+    svc = RecommendService.from_artifacts(artifacts)
+    req = PlanRequest(
+        goal="", meals=["早餐", "午餐"], avoid=["peanut"], per_meal_k=2,
+        candidate_k=6, use_reranker=False, strict_filters=True,
+    )
+    rows = plan_meals(svc, req)
+    assert rows, "planner returned no rows"
+    assert all(r["item_id"] != "r2" for r in rows)  # peanut filtered
+    assert {r["meal"] for r in rows} <= {"早餐", "午餐"}
+    # cross-meal diversity: no item repeats across the plan
+    ids = [r["item_id"] for r in rows]
+    assert len(ids) == len(set(ids)) or len(set(ids)) > 1
+
+
+def test_build_query_from_needs_mappings():
+    q = build_query_from_needs(
+        goal="增肌/高蛋白", meal_type="午餐", cuisines=["日式"],
+        dietary=["素食"], must_include=["tofu"], avoid=["milk"],
+        max_time_min=30,
+    )
+    assert "high protein" in q and "lunch" in q
+    assert "japanese" in q and "vegetarian" in q
+    assert "ready in 30 minutes" in q
+
+
+# ----------------------------- checkpointing -------------------------------
+
+
+def test_checkpoint_roundtrip_kernelmf(tmp_path):
+    X, y = lowrank_ratings(n_users=40, n_items=30, density=0.5, seed=6)
+    m = KernelMF(n_factors=6, n_epochs=10, lr=0.02, reg=0.02, batch_size=128)
+    m.fit(X, y)
+    want = m.predict(X.iloc[:50])
+    save_model(m, tmp_path / "ckpt")
+    m2 = load_model(tmp_path / "ckpt")
+    got = m2.predict(X.iloc[:50])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert m2.train_rmse == m.train_rmse
+    assert m2.known_users == m.known_users
+
+
+def test_checkpoint_roundtrip_baseline(tmp_path):
+    X, y = lowrank_ratings(n_users=30, n_items=20, density=0.5, seed=7)
+    m = BaselineModel(method="als", n_epochs=5).fit(X, y)
+    save_model(m, tmp_path / "b")
+    m2 = load_model(tmp_path / "b")
+    np.testing.assert_allclose(m2.predict(X.iloc[:20]), m.predict(X.iloc[:20]),
+                               atol=1e-6)
+
+
+def test_fit_resumable_resumes(tmp_path):
+    X, y = lowrank_ratings(n_users=40, n_items=30, density=0.5, seed=9)
+    ckpt = tmp_path / "resume"
+
+    m1 = KernelMF(n_factors=6, n_epochs=8, lr=0.02, reg=0.02, batch_size=128)
+    m1 = fit_resumable(m1, X, y, ckpt, total_epochs=8, segment_epochs=4)
+    assert m1._epochs_done == 8
+    assert len(m1.train_rmse) == 8
+
+    # "crash" after the first segment: simulate by rolling the checkpoint
+    # back to 4 epochs, then resume
+    m2 = KernelMF(n_factors=6, n_epochs=8, lr=0.02, reg=0.02, batch_size=128)
+    m2.fit(X, y, n_epochs=4)
+    m2._epochs_done = 4
+    save_model(m2, ckpt)
+    m3 = KernelMF(n_factors=6, n_epochs=8, lr=0.02, reg=0.02, batch_size=128)
+    m3 = fit_resumable(m3, X, y, ckpt, total_epochs=8, segment_epochs=4)
+    assert m3._epochs_done == 8
+    assert len(m3.train_rmse) == 8
+    # resumed training kept improving
+    assert m3.train_rmse[-1] <= m3.train_rmse[0]
