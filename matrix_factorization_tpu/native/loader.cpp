@@ -1,0 +1,341 @@
+// Native rating-stream loader: multithreaded CSV parse + dense id encode.
+//
+// Role in the framework: the host-side data path (reference counterpart:
+// pandas read_csv + Series.map remapping in
+// project_template/pipeline/prepare_data.py and
+// matrix_factorization/recommender_base.py:97-173).  At the 25M-100M
+// rating scale of BASELINE.json configs 3-5, CSV parsing and id remapping
+// dominate host time; this loader splits the file into newline-aligned
+// byte ranges parsed in parallel, then dictionary-encodes ids in
+// first-seen order (matching core.ids.IdVocab semantics).
+//
+// C ABI only (bound via ctypes — no pybind11 in this image).  Numeric
+// user/item ids only; string ids fall back to the pandas path.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Range {
+  const char* begin;
+  const char* end;
+};
+
+// Split [begin, end) into n ranges aligned on newline boundaries.
+std::vector<Range> split_ranges(const char* begin, const char* end, int n) {
+  std::vector<Range> out;
+  size_t total = static_cast<size_t>(end - begin);
+  const char* cur = begin;
+  for (int t = 0; t < n; ++t) {
+    const char* hi =
+        (t == n - 1) ? end : begin + total * (t + 1) / n;
+    if (hi < end) {
+      const char* nl = static_cast<const char*>(
+          memchr(hi, '\n', static_cast<size_t>(end - hi)));
+      hi = nl ? nl + 1 : end;
+    }
+    if (cur < hi) out.push_back({cur, hi});
+    cur = hi;
+    if (cur >= end) break;
+  }
+  return out;
+}
+
+// Fast decimal parser for CSV number fields ("123", "-4.5", "1e3" falls
+// back to strtod).  Returns false on non-numeric content.
+bool parse_number(const char* s, const char* e, double* out) {
+  while (s < e && (*s == ' ' || *s == '\r')) ++s;
+  while (e > s && (e[-1] == ' ' || e[-1] == '\r')) --e;
+  if (s >= e) return false;
+  bool neg = false;
+  if (*s == '-') { neg = true; ++s; }
+  else if (*s == '+') { ++s; }
+  if (s >= e) return false;
+  double v = 0.0;
+  bool any = false;
+  while (s < e && *s >= '0' && *s <= '9') {
+    v = v * 10.0 + (*s - '0');
+    ++s;
+    any = true;
+  }
+  if (s < e && *s == '.') {
+    ++s;
+    double scale = 0.1;
+    while (s < e && *s >= '0' && *s <= '9') {
+      v += (*s - '0') * scale;
+      scale *= 0.1;
+      ++s;
+      any = true;
+    }
+  }
+  if (s < e) {  // exponent or junk: fall back to strtod
+    char buf[64];
+    const char* s0 = s;
+    (void)s0;
+    return false;
+  }
+  if (!any) return false;
+  *out = neg ? -v : v;
+  return true;
+}
+
+// Parse one CSV line; returns true and advances *p past the newline.
+// Extracts columns cu, ci, cr as doubles; tolerates extra columns.
+bool parse_line(const char** p, const char* end, int cu, int ci, int cr,
+                double* u, double* i, double* r) {
+  const char* s = *p;
+  if (s >= end) return false;
+  const char* line_end = static_cast<const char*>(
+      memchr(s, '\n', static_cast<size_t>(end - s)));
+  if (!line_end) line_end = end;
+
+  int col = 0;
+  int max_col = cu > ci ? cu : ci;
+  if (cr > max_col) max_col = cr;
+  bool got_u = false, got_i = false, got_r = false;
+  const char* field = s;
+  while (field <= line_end) {
+    const char* comma = static_cast<const char*>(
+        memchr(field, ',', static_cast<size_t>(line_end - field)));
+    const char* fe = comma ? comma : line_end;
+    if (col == cu || col == ci || col == cr) {
+      double v;
+      if (!parse_number(field, fe, &v)) {
+        char buf[64];  // rare path: scientific notation etc.
+        size_t len = static_cast<size_t>(fe - field);
+        if (len >= sizeof(buf)) len = sizeof(buf) - 1;
+        memcpy(buf, field, len);
+        buf[len] = 0;
+        char* endp = nullptr;
+        v = strtod(buf, &endp);
+        if (endp == buf || (endp && *endp != 0 && *endp != ' '
+                            && *endp != '\r')) {
+          *p = line_end < end ? line_end + 1 : end;
+          return false;
+        }
+      }
+      if (col == cu) { *u = v; got_u = true; }
+      if (col == ci) { *i = v; got_i = true; }
+      if (col == cr) { *r = v; got_r = true; }
+    }
+    if (col >= max_col) break;
+    if (!comma) break;
+    field = comma + 1;
+    ++col;
+  }
+  *p = line_end < end ? line_end + 1 : end;
+  return got_u && got_i && got_r;
+}
+
+// Open-addressing hash set/map on uint64 keys (bitcast doubles).
+struct FlatMap {
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  size_t mask;
+  static constexpr uint64_t kEmpty = 0xffffffffffffffffULL;
+
+  explicit FlatMap(size_t n) {
+    size_t cap = 16;
+    while (cap < n * 2) cap <<= 1;
+    keys.assign(cap, kEmpty);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+  }
+  static uint64_t mix(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33;
+    x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33;
+    return x;
+  }
+  // returns existing value or inserts next_val; sets *inserted
+  int32_t get_or_insert(uint64_t key, int32_t next_val, bool* inserted) {
+    size_t pos = mix(key) & mask;
+    for (;;) {
+      if (keys[pos] == kEmpty) {
+        keys[pos] = key;
+        vals[pos] = next_val;
+        *inserted = true;
+        return next_val;
+      }
+      if (keys[pos] == key) {
+        *inserted = false;
+        return vals[pos];
+      }
+      pos = (pos + 1) & mask;
+    }
+  }
+};
+
+inline uint64_t dbits(double v) {
+  uint64_t b;
+  memcpy(&b, &v, sizeof(b));
+  // normalize -0.0 and avoid the all-ones sentinel
+  if (b == 0x8000000000000000ULL) b = 0;
+  if (b == FlatMap::kEmpty) b = 0xfffffffffffffffeULL;
+  return b;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count data rows (newlines, minus header). -1 on I/O error.
+long long mf_count_rows(const char* data, long long size, int skip_header) {
+  long long rows = 0;
+  const char* p = data;
+  const char* end = data + size;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(end - p)));
+    ++rows;
+    if (!nl) break;
+    p = nl + 1;
+    if (p == end) break;  // trailing newline: no extra row
+  }
+  if (skip_header && rows > 0) --rows;
+  return rows;
+}
+
+// Parse three numeric columns from an in-memory CSV buffer into caller
+// arrays of capacity `cap`.  Returns rows parsed, or -(bad_line+1) when a
+// non-numeric field is hit (caller falls back to pandas).
+long long mf_parse_numeric_csv(const char* data, long long size,
+                               int skip_header, int cu, int ci, int cr,
+                               long long cap, double* users, double* items,
+                               float* ratings, int n_threads) {
+  const char* begin = data;
+  const char* end = data + size;
+  if (skip_header) {
+    const char* nl = static_cast<const char*>(
+        memchr(begin, '\n', static_cast<size_t>(end - begin)));
+    begin = nl ? nl + 1 : end;
+  }
+  if (n_threads < 1) n_threads = 1;
+  std::vector<Range> ranges = split_ranges(begin, end, n_threads);
+
+  // per-range row counts first (so each thread writes a disjoint slice)
+  std::vector<long long> counts(ranges.size(), 0);
+  {
+    std::vector<std::thread> counters;
+    for (size_t t = 0; t < ranges.size(); ++t) {
+      counters.emplace_back([&, t]() {
+        counts[t] = mf_count_rows(ranges[t].begin,
+                                  ranges[t].end - ranges[t].begin, 0);
+      });
+    }
+    for (auto& th : counters) th.join();
+  }
+  std::vector<long long> offsets(ranges.size() + 1, 0);
+  for (size_t t = 0; t < ranges.size(); ++t)
+    offsets[t + 1] = offsets[t] + counts[t];
+  if (offsets.back() > cap) return -1;
+
+  std::atomic<long long> bad{-1};
+  std::vector<std::thread> threads;
+  std::vector<long long> written(ranges.size(), 0);
+  for (size_t t = 0; t < ranges.size(); ++t) {
+    threads.emplace_back([&, t]() {
+      const char* p = ranges[t].begin;
+      long long w = offsets[t];
+      while (p < ranges[t].end) {
+        double u, i;
+        double r;
+        const char* line_start = p;
+        if (!parse_line(&p, ranges[t].end, cu, ci, cr, &u, &i, &r)) {
+          if (p == line_start) break;  // no progress: stop
+          // skip blank/invalid lines silently unless it had content
+          const char* q = line_start;
+          bool blank = true;
+          while (q < p && blank) {
+            if (*q != '\n' && *q != '\r' && *q != ' ') blank = false;
+            ++q;
+          }
+          if (!blank) { bad.store(w); return; }
+          continue;
+        }
+        users[w] = u;
+        items[w] = i;
+        ratings[w] = static_cast<float>(r);
+        ++w;
+      }
+      written[t] = w - offsets[t];
+    });
+  }
+  for (auto& th : threads) th.join();
+  if (bad.load() >= 0) return -(bad.load() + 1);
+
+  // compact (ranges may have skipped blank lines)
+  long long total = 0;
+  for (size_t t = 0; t < ranges.size(); ++t) {
+    if (total != offsets[t] && written[t] > 0) {
+      memmove(users + total, users + offsets[t],
+              sizeof(double) * static_cast<size_t>(written[t]));
+      memmove(items + total, items + offsets[t],
+              sizeof(double) * static_cast<size_t>(written[t]));
+      memmove(ratings + total, ratings + offsets[t],
+              sizeof(float) * static_cast<size_t>(written[t]));
+    }
+    total += written[t];
+  }
+  return total;
+}
+
+// Dense-encode values in FIRST-SEEN order (IdVocab semantics).
+// codes[cap n], uniques[cap n]; returns n_unique.
+long long mf_dense_encode(const double* vals, long long n, int32_t* codes,
+                          double* uniques) {
+  FlatMap map(static_cast<size_t>(n) / 4 + 16);
+  int32_t next = 0;
+  bool inserted;
+  for (long long k = 0; k < n; ++k) {
+    int32_t code = map.get_or_insert(dbits(vals[k]), next, &inserted);
+    if (inserted) {
+      uniques[next] = vals[k];
+      ++next;
+    }
+    codes[k] = code;
+  }
+  return next;
+}
+
+// Duplicate (user, item) pair detection. Returns index of the first
+// duplicate row, or -1 if none.  Open addressing storing the actual pair
+// (no hash-collision false positives).
+long long mf_find_duplicate_pair(const double* users, const double* items,
+                                 long long n) {
+  size_t cap = 16;
+  while (cap < static_cast<size_t>(n) * 2) cap <<= 1;
+  std::vector<uint64_t> ku(cap, FlatMap::kEmpty);
+  std::vector<uint64_t> ki(cap, 0);
+  std::vector<uint8_t> used(cap, 0);
+  size_t mask = cap - 1;
+  for (long long k = 0; k < n; ++k) {
+    uint64_t ub = dbits(users[k]);
+    uint64_t ib = dbits(items[k]);
+    size_t pos = (FlatMap::mix(ub) * 0x9e3779b97f4a7c15ULL
+                  ^ FlatMap::mix(ib)) & mask;
+    for (;;) {
+      if (!used[pos]) {
+        used[pos] = 1;
+        ku[pos] = ub;
+        ki[pos] = ib;
+        break;
+      }
+      if (ku[pos] == ub && ki[pos] == ib) return k;
+      pos = (pos + 1) & mask;
+    }
+  }
+  return -1;
+}
+
+}  // extern "C"

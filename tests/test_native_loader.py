@@ -1,0 +1,70 @@
+"""Native C++ rating loader vs the pandas path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrix_factorization_tpu.data.loader import (
+    get_native_lib,
+    load_ratings_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def csv_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "userId": rng.integers(0, 200, n),
+            "movieId": rng.integers(0, 300, n),
+            "rating": np.round(rng.uniform(0.5, 5.0, n) * 2) / 2,
+            "timestamp": rng.integers(1e9, 2e9, n),
+        }
+    ).drop_duplicates(subset=["userId", "movieId"])
+    path = tmp_path_factory.mktemp("csv") / "ratings.csv"
+    df.to_csv(path, index=False)
+    return path, df
+
+
+def test_native_lib_builds():
+    assert get_native_lib() is not None, "g++ build of native loader failed"
+
+
+def test_native_matches_pandas(csv_file):
+    path, df = csv_file
+    nat = load_ratings_csv(path, force_backend="native")
+    pdl = load_ratings_csv(path, force_backend="pandas")
+    assert nat.backend == "native" and pdl.backend == "pandas"
+    np.testing.assert_array_equal(nat.user_ids, pdl.user_ids)
+    np.testing.assert_array_equal(nat.item_ids, pdl.item_ids)
+    np.testing.assert_allclose(nat.ratings, pdl.ratings, rtol=1e-6)
+    np.testing.assert_array_equal(nat.user_uniques.astype(np.int64),
+                                  pdl.user_uniques.astype(np.int64))
+    # dense codes decode back to the raw ids in the file
+    raw_users = nat.user_uniques[nat.user_ids].astype(np.int64)
+    np.testing.assert_array_equal(raw_users, df["userId"].to_numpy())
+
+
+def test_native_duplicate_detection(tmp_path):
+    path = tmp_path / "dup.csv"
+    path.write_text("user_id,item_id,rating\n1,2,3.0\n4,5,2.0\n1,2,4.0\n")
+    with pytest.raises(ValueError, match="Duplicate"):
+        load_ratings_csv(path, force_backend="native")
+
+
+def test_string_ids_fall_back_to_pandas(tmp_path):
+    path = tmp_path / "str.csv"
+    path.write_text("user_id,item_id,rating\nu1,i1,3.0\nu2,i2,2.0\n")
+    out = load_ratings_csv(path)
+    assert out.backend == "pandas"
+    assert out.user_ids.tolist() == [0, 1]
+    assert list(out.user_uniques) == ["u1", "u2"]
+
+
+def test_no_header_and_column_selection(tmp_path):
+    path = tmp_path / "nh.csv"
+    path.write_text("7,1,9.5,4.5\n8,2,9.5,3.0\n")
+    out = load_ratings_csv(path, has_header=False, cols=(0, 1, 3))
+    assert out.ratings.tolist() == [4.5, 3.0]
+    assert out.user_uniques.astype(int).tolist() == [7, 8]
