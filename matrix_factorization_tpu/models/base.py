@@ -206,8 +206,13 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
             item_ids = item_ids[keep]
 
         u_dense = self.user_vocab.encode(np.asarray([user], dtype=object))[0]
-        u = np.full(item_ids.shape, u_dense, dtype=np.int32)
-        preds = self._predict_dense(u, item_ids, bound_ratings=False)
+        catalog = getattr(self, "_catalog_scores", None)
+        if catalog is not None and u_dense >= 0:
+            # full-catalog scoring as one MXU matmul (models that support it)
+            preds = np.asarray(catalog(int(u_dense)))[item_ids]
+        else:
+            u = np.full(item_ids.shape, u_dense, dtype=np.int32)
+            preds = self._predict_dense(u, item_ids, bound_ratings=False)
 
         order = np.argsort(-preds, kind="stable")[:amount]
         top_items = item_ids[order]

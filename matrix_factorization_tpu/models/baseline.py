@@ -183,6 +183,14 @@ class BaselineModel(RecommenderBase):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
 
+    def _catalog_scores(self, u_dense: int) -> np.ndarray:
+        """Unbounded mu + b_u + b_i over the whole catalog (recommend path)."""
+        return (
+            self.global_mean
+            + float(self._params.user_biases[u_dense])
+            + self.item_biases
+        )
+
     # -- reference-parity parameter views ------------------------------------
     @property
     def user_biases(self) -> np.ndarray:

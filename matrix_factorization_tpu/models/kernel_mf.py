@@ -25,6 +25,8 @@ from matrix_factorization_tpu.core.config import SGDConfig
 from matrix_factorization_tpu.models.base import RecommenderBase, bucketed_predict
 from matrix_factorization_tpu.ops import segment_sgd as sgd
 
+_catalog_jit_cache: dict = {}
+
 
 class KernelMF(RecommenderBase):
     def __init__(
@@ -201,6 +203,23 @@ class KernelMF(RecommenderBase):
             for e, v in enumerate(self.train_rmse):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
+
+    def _catalog_scores(self, u_dense: int) -> np.ndarray:
+        """Unbounded scores of every known item for one user — the
+        ``recommend`` hot path as a single MXU matmul with fused epilogue
+        (ops.scoring / ops.pallas_scores)."""
+        from matrix_factorization_tpu.ops.scoring import score_catalog
+
+        cfg = self._cfg()
+        fn = _catalog_jit_cache.get(cfg)
+        if fn is None:
+            fn = jax.jit(lambda mu, pu, Q: score_catalog(cfg, mu, pu, Q)[0])
+            _catalog_jit_cache[cfg] = fn
+        pu = self._params.user_features[u_dense][None, :]
+        return np.asarray(
+            fn(self._params.global_mean, pu,
+               self._params.item_features[: self.n_items])
+        )
 
     # -- reference-parity parameter views ------------------------------------
     # (biases live in extension columns of the factor tables — see
