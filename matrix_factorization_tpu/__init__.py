@@ -28,6 +28,7 @@ from matrix_factorization_tpu.models.kernel_mf import KernelMF
 from matrix_factorization_tpu.models.base import RecommenderBase
 from matrix_factorization_tpu.models.collaborative import ItemItemCF, UserUserCF
 from matrix_factorization_tpu.models.content_based import ContentBasedRecommender
+from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
 from matrix_factorization_tpu.utils.splits import train_update_test_split
 
 __version__ = "0.1.0"
@@ -40,4 +41,6 @@ __all__ = [
     "ContentBasedRecommender",
     "UserUserCF",
     "ItemItemCF",
+    "TopKItemItemCF",
+    "TopKUserUserCF",
 ]

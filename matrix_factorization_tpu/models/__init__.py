@@ -5,6 +5,7 @@ from matrix_factorization_tpu.models.baseline import BaselineModel
 from matrix_factorization_tpu.models.kernel_mf import KernelMF
 from matrix_factorization_tpu.models.collaborative import ItemItemCF, UserUserCF
 from matrix_factorization_tpu.models.content_based import ContentBasedRecommender
+from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
 
 __all__ = [
     "RecommenderBase",
@@ -12,5 +13,7 @@ __all__ = [
     "KernelMF",
     "UserUserCF",
     "ItemItemCF",
+    "TopKItemItemCF",
+    "TopKUserUserCF",
     "ContentBasedRecommender",
 ]

@@ -1,0 +1,63 @@
+"""Scalable top-k CF: sparse gram similarity vs the dense oracle, and the
+TopK models vs sensible behavior."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
+from matrix_factorization_tpu.ops.sparse_gram import similarity_topk
+from matrix_factorization_tpu.utils.metrics import rmse
+
+
+def _dense_centered_cosine(u, i, r, n_users, n_items):
+    R = np.zeros((n_users, n_items))
+    R[u, i] = r
+    means = R.mean(axis=0)
+    C = R - means[None, :]
+    norms = np.linalg.norm(C, axis=0)
+    S = (C.T @ C) / np.maximum(np.outer(norms, norms), 1e-12)
+    return S, means
+
+
+def test_similarity_topk_matches_dense_oracle(rng):
+    n_users, n_items, n = 120, 50, 1500
+    flat = rng.choice(n_users * n_items, size=n, replace=False)
+    u = (flat // n_items).astype(np.int32)
+    i = (flat % n_items).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+
+    sims, ids, means, _ = similarity_topk(
+        u, i, r, n_users, n_items, k=8, user_block=32, item_tile=16,
+    )
+    S, want_means = _dense_centered_cosine(u, i, r, n_users, n_items)
+    np.testing.assert_allclose(means, want_means, atol=1e-5)
+    np.fill_diagonal(S, -np.inf)
+    for j in range(n_items):
+        want_vals = np.sort(S[:, j])[::-1][:8]
+        np.testing.assert_allclose(np.sort(sims[j])[::-1], want_vals,
+                                   atol=2e-4)
+        # top-1 neighbor id agrees (ties aside)
+        assert S[ids[j, 0], j] >= want_vals[0] - 2e-4
+
+
+@pytest.mark.parametrize("cls", [TopKItemItemCF, TopKUserUserCF])
+def test_topk_cf_end_to_end(cls):
+    X, y = lowrank_ratings(n_users=80, n_items=60, density=0.4, seed=14)
+    y = y.clip(lower=0.5)
+    model = cls(n_neighbors=10, user_block=32, item_tile=32)
+    model.fit(X, y)
+    preds = model.predict(X.iloc[:200])
+    assert len(preds) == 200
+    err = rmse(y.iloc[:200], preds)
+    base = rmse(y.iloc[:200], np.full(200, float(y.mean())))
+    assert err < base  # neighborhoods beat the global mean on train pairs
+
+    # unknown ids -> global mean
+    out = model.predict(pd.DataFrame({"user_id": [10**9], "item_id": [10**9]}),
+                        bound_ratings=False)
+    np.testing.assert_allclose(out, [model.global_mean], atol=1e-6)
+
+    recs = model.recommend(user=X["user_id"].iloc[0], amount=5)
+    assert len(recs) == 5
