@@ -1,0 +1,19 @@
+.PHONY: native test bench clean
+
+native:
+	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
+	  matrix_factorization_tpu/native/loader.cpp \
+	  -o matrix_factorization_tpu/native/_loader.so
+	g++ -O3 -march=native -shared -fPIC -std=c++17 \
+	  matrix_factorization_tpu/native/oracle.cpp \
+	  -o matrix_factorization_tpu/native/_oracle.so
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+clean:
+	rm -f matrix_factorization_tpu/native/*.so
+	rm -rf .jax_cache __pycache__

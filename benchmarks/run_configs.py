@@ -1,0 +1,245 @@
+"""The five BASELINE.json benchmark configs, runnable on one chip.
+
+Each config prints one JSON line. Real MovieLens downloads are impossible
+in zero-egress environments, so workloads are synthetic at the *exact
+shape* of the named dataset (users x items x ratings); the metrics are
+throughput and internal-consistency checks (SGD-vs-ALS agreement,
+parity-vs-oracle, clamp behavior), not published-number reproduction.
+
+  1  ML-100K  KernelMF linear k=100 SGD        (examples/example.py path)
+  2  ML-1M    BaselineModel SGD vs ALS parity
+  3  ML-25M   KernelMF sigmoid + rbf, k=200, min/max clamp
+  4  ML-25M   item-item + user-user CF top-k (sparse)
+  5  100M     hybrid TF-IDF + KernelMF with update_users partial-fit
+
+Usage:  python benchmarks/run_configs.py --config 1 [--scale full|small]
+``--scale small`` shrinks shapes ~100x for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _persistent_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _gen(n_users, n_items, n_ratings, seed=0):
+    rng = np.random.default_rng(seed)
+    flat = rng.integers(0, n_users * n_items, int(n_ratings * 1.15),
+                        dtype=np.int64)
+    flat = np.unique(flat)[:n_ratings]
+    rng.shuffle(flat)
+    u = (flat // n_items).astype(np.int32)
+    i = (flat % n_items).astype(np.int32)
+    r = np.round(rng.uniform(0.5, 5, len(u)) * 2).astype(np.float32) / 2
+    return u, i, r
+
+
+def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr):
+    import jax
+    import jax.numpy as jnp
+
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size)
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                             float(r.mean()))
+    train = sgd.jit_sgd_train(cfg, epochs)
+    out, hist = train(params, data, jax.random.PRNGKey(1), lr)
+    float(jnp.sum(out.user_features))  # force
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                             float(r.mean()))
+    float(jnp.sum(params.user_features))
+    t0 = time.perf_counter()
+    out, hist = train(params, data, jax.random.PRNGKey(1), lr)
+    float(jnp.sum(out.user_features))
+    dt = time.perf_counter() - t0
+    return out, np.asarray(hist), epochs * len(r) / dt
+
+
+def config1(scale):
+    from matrix_factorization_tpu.core.config import SGDConfig
+
+    n_u, n_i, n_r = (943, 1682, 100_000) if scale == "full" else (200, 300, 5000)
+    u, i, r = _gen(n_u, n_i, n_r)
+    cfg = SGDConfig(kernel="linear", n_factors=100, lr=0.002, reg=0.005,
+                    batch_size=4096, compute_epoch_rmse=False)
+    out, hist, ups = _fit_throughput(u, i, r, n_u, n_i, cfg, 20, cfg.lr)
+    return {"config": "ml100k_kernelmf_linear_sgd",
+            "updates_per_sec": round(ups, 1),
+            "n_ratings": len(r)}
+
+
+def config2(scale):
+    import jax
+
+    from matrix_factorization_tpu.ops import als as als_ops
+    from matrix_factorization_tpu.ops.segment_sgd import pack_ratings
+
+    n_u, n_i, n_r = (6040, 3706, 1_000_000) if scale == "full" else (300, 200, 20_000)
+    u, i, r = _gen(n_u, n_i, n_r)
+    data = pack_ratings(u, i, r, 4096)
+    p0 = als_ops.init_bias_params(n_u, n_i, float(r.mean()))
+
+    t0 = time.perf_counter()
+    p_als, h_als = jax.jit(
+        lambda p, d: als_ops.als_train(p, d, reg=0.5, n_epochs=20)
+    )(p0, data)
+    rmse_als = float(np.asarray(h_als)[-1])
+    t_als = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    p_sgd, h_sgd = jax.jit(
+        lambda p, d, k: als_ops.bias_sgd_train(
+            p, d, k, lr=0.02, reg=0.02, n_epochs=20, batch_size=4096
+        )
+    )(p0, data, jax.random.PRNGKey(0))
+    rmse_sgd = float(np.asarray(h_sgd)[-1])
+    t_sgd = time.perf_counter() - t0
+
+    return {"config": "ml1m_baseline_sgd_vs_als",
+            "rmse_als": round(rmse_als, 4), "rmse_sgd": round(rmse_sgd, 4),
+            "rmse_gap": round(abs(rmse_als - rmse_sgd), 4),
+            "als_seconds": round(t_als, 2), "sgd_seconds": round(t_sgd, 2),
+            "n_ratings": len(r)}
+
+
+def config3(scale):
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+    import jax.numpy as jnp
+
+    n_u, n_i, n_r = (
+        (162_000, 59_392, 25_000_000) if scale == "full" else (2000, 1500, 200_000)
+    )
+    u, i, r = _gen(n_u, n_i, n_r)
+    out = {"config": "ml25m_kernelmf_sigmoid_rbf_k200", "n_ratings": len(r)}
+    for kernel, lr in (("sigmoid", 0.01), ("rbf", 0.05)):
+        cfg = SGDConfig(kernel=kernel, n_factors=200, lr=lr, reg=0.005,
+                        gamma=1 / 200, min_rating=0.5, max_rating=5.0,
+                        batch_size=131_072, compute_epoch_rmse=False)
+        params, hist, ups = _fit_throughput(u, i, r, n_u, n_i, cfg, 2, lr)
+        preds, _ = sgd.predict_pairs(
+            params, jnp.asarray(u[:4096]), jnp.asarray(i[:4096]), cfg,
+            bound_ratings=True,
+        )
+        p = np.asarray(preds)
+        assert p.min() >= 0.5 - 1e-5 and p.max() <= 5.0 + 1e-5
+        out[f"{kernel}_updates_per_sec"] = round(ups, 1)
+    return out
+
+
+def config4(scale):
+    from matrix_factorization_tpu.ops.sparse_gram import similarity_topk
+
+    n_u, n_i, n_r = (
+        (162_000, 59_392, 25_000_000) if scale == "full" else (2000, 1500, 100_000)
+    )
+    u, i, r = _gen(n_u, n_i, n_r)
+    out = {"config": "ml25m_cf_topk", "n_ratings": len(r)}
+    t0 = time.perf_counter()
+    sims, ids, _, _ = similarity_topk(u, i, r, n_u, n_i, k=50)
+    out["item_item_seconds"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    sims, ids, _, _ = similarity_topk(i, u, r, n_i, n_u, k=50)
+    out["user_user_seconds"] = round(time.perf_counter() - t0, 1)
+    return out
+
+
+def config5(scale):
+    import pandas as pd
+
+    from matrix_factorization_tpu import KernelMF
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+    from matrix_factorization_tpu.rank.hybrid import blend
+    from matrix_factorization_tpu.retrieval.index import build_tfidf_index
+    from matrix_factorization_tpu.retrieval.search import (
+        encode_query_for_index, search_topk,
+    )
+    import jax
+
+    n_u, n_i, n_r = (
+        (1_000_000, 100_000, 100_000_000) if scale == "full"
+        else (5000, 2000, 500_000)
+    )
+    u, i, r = _gen(n_u, n_i, n_r)
+    out = {"config": "hybrid_100m_tfidf_kernelmf_update_users",
+           "n_ratings": len(r)}
+
+    cfg = SGDConfig(kernel="linear", n_factors=64, lr=0.002, reg=0.005,
+                    batch_size=524_288, compute_epoch_rmse=False)
+    params, hist, ups = _fit_throughput(u, i, r, n_u, n_i, cfg, 2, cfg.lr)
+    out["fit_updates_per_sec"] = round(ups, 1)
+
+    # update_users: a cohort of brand-new users, item side frozen
+    n_new = 10_000 if scale == "full" else 100
+    rng = np.random.default_rng(9)
+    nu_ids = np.repeat(np.arange(n_u, n_u + n_new, dtype=np.int32), 10)
+    ni_ids = rng.integers(0, n_i, len(nu_ids)).astype(np.int32)
+    nr = np.round(rng.uniform(0.5, 5, len(nu_ids)) * 2).astype(np.float32) / 2
+    grown = sgd.round_up(n_u + n_new, 8)
+    pad = grown - params.user_features.shape[0]
+    import jax.numpy as jnp
+
+    fresh = sgd.fresh_user_rows(jax.random.PRNGKey(5), pad, cfg, 0.0, 0.1)
+    params = params._replace(
+        user_features=jnp.concatenate([params.user_features, fresh])
+    )
+    ucfg = SGDConfig(kernel="linear", n_factors=64, lr=0.01, reg=0.005,
+                     batch_size=16_384, compute_epoch_rmse=False,
+                     update_item_params=False)
+    data = sgd.pack_ratings(nu_ids, ni_ids, nr, ucfg.batch_size)
+    t0 = time.perf_counter()
+    params, _ = sgd.jit_sgd_train(ucfg, 20)(params, data,
+                                            jax.random.PRNGKey(6), ucfg.lr)
+    float(jnp.sum(params.user_features[-1]))
+    out["update_users_seconds"] = round(time.perf_counter() - t0, 2)
+
+    # hybrid: TF-IDF retrieval over item texts + model-score blend
+    n_idx = min(n_i, 20_000)
+    texts = [f"item {j} topic{j % 97} genre{j % 13}" for j in range(n_idx)]
+    index = build_tfidf_index([str(j) for j in range(n_idx)], texts, min_df=1)
+    qvec = encode_query_for_index(index, "topic13 genre5")
+    cands = search_topk(index, qvec, k=100)
+    ids = np.asarray([int(c[0]) for c in cands], np.int32)
+    sims = np.asarray([c[1] for c in cands], np.float32)
+    preds, _ = sgd.predict_pairs(
+        params, jnp.zeros(len(ids), jnp.int32), jnp.asarray(ids), cfg,
+        bound_ratings=False,
+    )
+    score = blend(np.asarray(preds), sims, alpha=0.5)
+    out["hybrid_candidates"] = int(len(score))
+    return out
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, required=True, choices=sorted(CONFIGS))
+    p.add_argument("--scale", choices=["small", "full"], default="small")
+    a = p.parse_args()
+    _persistent_cache()
+    t0 = time.perf_counter()
+    result = CONFIGS[a.config](a.scale)
+    result["scale"] = a.scale
+    result["total_seconds"] = round(time.perf_counter() - t0, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

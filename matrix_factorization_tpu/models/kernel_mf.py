@@ -44,7 +44,12 @@ class KernelMF(RecommenderBase):
         verbose: int = 0,
         batch_size: int = 1024,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
+        when given with >1 device on the data axis, ``fit`` trains
+        data-parallel (user-sharded P, psum'd item deltas) and gathers the
+        result for serving."""
         if kernel not in ("linear", "sigmoid", "rbf"):
             raise ValueError("Kernel must be one of linear, sigmoid, or rbf")
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
@@ -58,6 +63,7 @@ class KernelMF(RecommenderBase):
         self.init_sd = init_sd
         self.batch_size = batch_size
         self.seed = seed
+        self.mesh = mesh
         self._params: Optional[sgd.MFParams] = None
         self.train_rmse: list = []
 
@@ -80,6 +86,11 @@ class KernelMF(RecommenderBase):
             update_item_params=update_item_params,
             compute_epoch_rmse=compute_epoch_rmse,
         )
+
+    def _mesh_data_size(self) -> int:
+        from matrix_factorization_tpu.parallel.mesh import DATA_AXIS
+
+        return self.mesh.shape.get(DATA_AXIS, 1) if self.mesh else 1
 
     # -- capacity -----------------------------------------------------------
     def _ensure_user_capacity(self, n_needed: int, key: jax.Array) -> None:
@@ -129,11 +140,26 @@ class KernelMF(RecommenderBase):
             epoch_offset = 0
             self.train_rmse = []
         n_epochs = n_epochs or self.n_epochs
-        data = sgd.pack_ratings(u, i, r, cfg.batch_size)
         k_train = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_offset + 1)
-        params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
-            params, data, k_train, self.lr
-        )
+        if self.mesh is not None and not warm_start and self._mesh_data_size() > 1:
+            from matrix_factorization_tpu.parallel import distributed as dist
+
+            params, rmse_hist = dist.dp_fit(
+                u, i, r, self.n_users, self.n_items, cfg, n_epochs, self.lr,
+                self.mesh, seed=self.seed, init_mean=self.init_mean,
+                init_sd=self.init_sd,
+            )
+            # gather to single-device arrays for the serving paths
+            params = sgd.MFParams(
+                user_features=jnp.asarray(np.asarray(params.user_features)),
+                item_features=jnp.asarray(np.asarray(params.item_features)),
+                global_mean=jnp.asarray(np.asarray(params.global_mean)),
+            )
+        else:
+            data = sgd.pack_ratings(u, i, r, cfg.batch_size)
+            params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
+                params, data, k_train, self.lr
+            )
         self._params = params
         self.train_rmse = list(self.train_rmse) + np.asarray(rmse_hist).tolist()
         if self.verbose:

@@ -144,3 +144,23 @@ def test_graft_entry_and_dryrun():
     assert np.asarray(out).shape == (256,)
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_kernelmf_with_mesh_fits_and_serves():
+    """The model API trains data-parallel when given a mesh and serves
+    from the gathered parameters."""
+    from matrix_factorization_tpu import KernelMF
+    from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+    from matrix_factorization_tpu.utils.metrics import rmse as rmse_m
+
+    X, y = lowrank_ratings(n_users=64, n_items=40, density=0.5, seed=17)
+    mesh = make_mesh(n_data=8)
+    m = KernelMF(n_factors=8, n_epochs=15, lr=0.03, reg=0.01,
+                 batch_size=64, mesh=mesh)
+    m.fit(X, y)
+    assert m.train_rmse[-1] < m.train_rmse[0]
+    err = rmse_m(y, m.predict(X))
+    base = rmse_m(y, np.full(len(y), float(np.mean(y))))
+    assert err < base
+    recs = m.recommend(user=X["user_id"].iloc[0], amount=5)
+    assert len(recs) == 5
