@@ -11,10 +11,8 @@ fall back to pandas.
 from __future__ import annotations
 
 import ctypes
-import mmap
 import os
 import subprocess
-import sys
 import threading
 from pathlib import Path
 from typing import NamedTuple, Optional, Tuple

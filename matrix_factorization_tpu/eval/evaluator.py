@@ -9,7 +9,7 @@ the published model-comparison table (SURVEY.md §6).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd

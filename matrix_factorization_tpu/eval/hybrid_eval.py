@@ -14,7 +14,7 @@ one batched MXU matmul + ``lax.top_k`` instead of a per-user loop.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 import pandas as pd

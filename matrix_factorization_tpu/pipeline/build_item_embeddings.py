@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
 import pandas as pd
 
 from matrix_factorization_tpu.pipeline.common import add_paths_arg, cli_setup, require_columns

@@ -13,8 +13,6 @@ import argparse
 import io
 import zipfile
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

@@ -11,8 +11,6 @@ import argparse
 import ast
 import json
 from pathlib import Path
-from typing import Iterable, Optional
-
 import pandas as pd
 
 from matrix_factorization_tpu.pipeline.common import add_paths_arg, cli_setup

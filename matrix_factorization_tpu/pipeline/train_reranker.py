@@ -9,7 +9,6 @@ from __future__ import annotations
 import argparse
 import pickle
 import random
-from pathlib import Path
 from typing import Any, Dict, Optional
 
 import numpy as np

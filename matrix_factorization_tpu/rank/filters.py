@@ -19,7 +19,6 @@ from __future__ import annotations
 import re
 from typing import List, Optional, Sequence, Tuple
 
-import numpy as np
 import pandas as pd
 
 from matrix_factorization_tpu.rank.recipe_features import contains_any

@@ -8,7 +8,7 @@ zeros on any exception (``api.py:43-52``).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

@@ -10,21 +10,17 @@ frontends in ``serve.app`` are thin wrappers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Set
 
 import numpy as np
 
 from matrix_factorization_tpu.rank.diversity import select_diverse_greedy
-from matrix_factorization_tpu.rank.filters import (
-    apply_hard_filters,
-    parse_time_constraint_from_query,
-)
+from matrix_factorization_tpu.rank.filters import apply_hard_filters
 from matrix_factorization_tpu.rank.hybrid import blend, model_scores
 from matrix_factorization_tpu.rank.recipe_features import (
     expand_avoid_terms,
     extract_ingredient_phrases,
-    split_terms,
 )
 from matrix_factorization_tpu.rank.reranker import rerank_scores
 from matrix_factorization_tpu.retrieval.search import (

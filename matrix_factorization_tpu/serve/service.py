@@ -10,7 +10,7 @@ exception (``:43-52``), missing artifacts produce actionable errors
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
