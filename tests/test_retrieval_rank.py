@@ -211,3 +211,22 @@ def test_jax_logreg_learns_separable():
     p = clf.predict_proba(X)
     assert p.shape == (400, 2)
     np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_tfidf_batch_scores_match_scipy():
+    from matrix_factorization_tpu.retrieval.sparse_scoring import (
+        tfidf_batch_scores,
+        tfidf_batch_topk,
+    )
+
+    idx = build_tfidf_index(IDS, TEXTS, min_df=1)
+    queries = ["grilled chicken salad", "peanut butter", "tofu broccoli"]
+    got = tfidf_batch_scores(idx, queries, vocab_block=8)
+    want = np.vstack([
+        np.asarray((idx.matrix @ idx.vectorizer.transform([q]).T).todense()).ravel()
+        for q in queries
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    vals, pos = tfidf_batch_topk(idx, queries, k=2, vocab_block=8)
+    assert IDS[pos[0, 0]] == "a" and IDS[pos[1, 0]] == "b" and IDS[pos[2, 0]] == "d"

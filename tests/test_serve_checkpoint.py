@@ -193,3 +193,37 @@ def test_fit_resumable_resumes(tmp_path):
     assert len(m3.train_rmse) == 8
     # resumed training kept improving
     assert m3.train_rmse[-1] <= m3.train_rmse[0]
+
+
+def test_service_degrades_on_corrupt_model(tmp_path):
+    """Failure handling: a corrupt model.pkl degrades to retrieval-only
+    (reference api.py soft-fallback policy)."""
+    from matrix_factorization_tpu.retrieval.index import (
+        build_tfidf_index, save_item_index,
+    )
+
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    save_item_index(build_tfidf_index(IDS, TEXTS, min_df=1),
+                    art / "item_index.pkl")
+    (art / "model.pkl").write_bytes(b"not a pickle at all")
+    svc = RecommendService.from_artifacts(art)
+    assert svc.health()["has_model"] is False
+    res = svc.recommend("salmon salad", k=2)
+    assert res[0]["item_id"] == "r3"
+
+
+def test_service_model_exception_falls_back_to_zeros(artifacts):
+    """A model that raises at predict time contributes zero scores."""
+
+    class Exploding:
+        def contains_user(self, u):
+            return True
+
+        def predict(self, X, bound_ratings=True):
+            raise RuntimeError("boom")
+
+    svc = RecommendService.from_artifacts(artifacts)
+    svc.model = Exploding()
+    res = svc.recommend("salmon salad", user_id=1, k=2, alpha=0.9)
+    assert res[0]["item_id"] == "r3"  # similarity still ranks
