@@ -230,3 +230,51 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
         if not include_user:
             out = out.drop(columns=["user_id"])
         return out
+
+    def recommend_batch(
+        self,
+        users: list,
+        amount: int = 10,
+        items_known_map: Optional[dict] = None,
+        bound_ratings: bool = True,
+    ) -> pd.DataFrame:
+        """Top-``amount`` unseen items for MANY users in one call.
+
+        Models with a batched catalog scorer (``_catalog_scores_batch``)
+        score all users as one MXU matmul; others loop ``recommend``.
+        ``items_known_map``: optional {user: iterable of known items}.
+        """
+        self._require_fitted()
+        items_known_map = items_known_map or {}
+        batch_fn = getattr(self, "_catalog_scores_batch", None)
+        u_dense = self.user_vocab.encode(np.asarray(users, dtype=object))
+        frames = []
+        if batch_fn is not None and (u_dense >= 0).all():
+            scores = np.asarray(batch_fn(u_dense))  # (B, n_items)
+            raw_items = self.item_vocab.raw_ids
+            for row, user in enumerate(users):
+                s = scores[row]
+                known = items_known_map.get(user)
+                if known:
+                    known_dense = self.item_vocab.encode(
+                        np.asarray(list(known), dtype=object)
+                    )
+                    s = s.copy()
+                    s[known_dense[known_dense >= 0]] = -np.inf
+                order = np.argsort(-s, kind="stable")[:amount]
+                preds = s[order]
+                if bound_ratings:
+                    preds = np.clip(preds, self.min_rating, self.max_rating)
+                frames.append(pd.DataFrame({
+                    "user_id": [user] * len(order),
+                    "item_id": [raw_items[x] for x in order],
+                    "rating_pred": preds,
+                }))
+        else:
+            for user in users:
+                frames.append(self.recommend(
+                    user, amount=amount,
+                    items_known=items_known_map.get(user),
+                    bound_ratings=bound_ratings,
+                ))
+        return pd.concat(frames, ignore_index=True)

@@ -230,6 +230,23 @@ class KernelMF(RecommenderBase):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
 
+    def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
+        """(B, n_items) unbounded scores — one MXU matmul for a whole
+        user cohort (eval harnesses, batch serving)."""
+        from matrix_factorization_tpu.ops.scoring import score_catalog
+
+        cfg = self._cfg()
+        key = (cfg, "batch")
+        fn = _catalog_jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda mu, pu, Q: score_catalog(cfg, mu, pu, Q))
+            _catalog_jit_cache[key] = fn
+        pu = self._params.user_features[jnp.asarray(u_dense, jnp.int32)]
+        return np.asarray(
+            fn(self._params.global_mean, pu,
+               self._params.item_features[: self.n_items])
+        )
+
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
         """Unbounded scores of every known item for one user — the
         ``recommend`` hot path as a single MXU matmul with fused epilogue

@@ -14,6 +14,8 @@ biases ride inside ``P_ext Q_ext^T``, so
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -40,3 +42,48 @@ def score_catalog(
         )
         return cfg.a + cfg.c * jnp.exp(-cfg.gamma * jnp.maximum(sq, 0.0))
     raise ValueError(f"unknown kernel {cfg.kernel!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "tile"))
+def streaming_topk(
+    cfg: SGDConfig,
+    mu: jax.Array,
+    pu: jax.Array,  # (B, Kp)
+    Q: jax.Array,  # (I, Kp), I must be a multiple of tile
+    valid_items: jax.Array,  # (I,) f32 1/0
+    k: int,
+    tile: int = 8192,
+) -> tuple:
+    """Memory-bounded full-catalog top-k: scan over item tiles keeping a
+    running (B, k) candidate set — never materializes the (B, I) score
+    matrix (2.2M-item catalogs x 256 users would be 2.3GB).  Returns
+    (scores, global item indices), each (B, k)."""
+    B = pu.shape[0]
+    I = Q.shape[0]
+    assert I % tile == 0, "pad the item table to a multiple of tile"
+    n_tiles = I // tile
+    Qt = Q.reshape(n_tiles, tile, Q.shape[1])
+    Vt = valid_items.reshape(n_tiles, tile)
+    kk = min(k, tile)
+
+    def body(carry, xs):
+        best_v, best_i = carry
+        q_tile, v_tile, t = xs
+        s = score_catalog(cfg, mu, pu, q_tile)
+        s = jnp.where(v_tile[None, :] > 0, s, -jnp.inf)
+        tv, ti = jax.lax.top_k(s, kk)
+        ti = ti + t * tile
+        merged_v = jnp.concatenate([best_v, tv], axis=1)
+        merged_i = jnp.concatenate([best_i, ti], axis=1)
+        best_v, pos = jax.lax.top_k(merged_v, kk)
+        best_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (best_v, best_i), None
+
+    init = (
+        jnp.full((B, kk), -jnp.inf, jnp.float32),
+        jnp.zeros((B, kk), jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(
+        body, init, (Qt, Vt, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+    return vals[:, :k], idx[:, :k]
