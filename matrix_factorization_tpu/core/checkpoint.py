@@ -45,11 +45,16 @@ def save_model(model, path: Path) -> None:
     try:
         arrays = _model_arrays(model)
         np.savez(tmp / "arrays.npz", **arrays)
+        config = dict(model.get_params()) if hasattr(model, "get_params") else {}
+        # device meshes are runtime objects, not state: drop from the
+        # pickle (a restored model re-attaches a mesh explicitly if needed)
+        if "mesh" in config:
+            config["mesh"] = None
         meta = {
             "format_version": FORMAT_VERSION,
             "model_class": type(model).__name__,
             "params_class": type(model._params).__name__ if arrays else None,
-            "config": model.get_params() if hasattr(model, "get_params") else {},
+            "config": config,
             "user_raw_ids": model.user_vocab.raw_ids,
             "item_raw_ids": model.item_vocab.raw_ids,
             "train_rmse": list(getattr(model, "train_rmse", [])),

@@ -139,8 +139,7 @@ def _pandas_load(
     if check_duplicates:
         if pd.DataFrame({"u": users, "i": items}).duplicated().any():
             raise ValueError("Duplicate user-item ratings in matrix")
-    u_uniq, u_codes = np.unique(users, return_inverse=False), None
-    # first-seen order (np.unique sorts; use pd.factorize instead)
+    # first-seen order (np.unique would sort; pd.factorize preserves order)
     u_codes, u_uniq = pd.factorize(users, use_na_sentinel=False)
     i_codes, i_uniq = pd.factorize(items, use_na_sentinel=False)
     return LoadedRatings(

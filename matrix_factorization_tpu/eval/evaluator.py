@@ -70,6 +70,12 @@ class RecommenderEvaluator:
         test = X_test.copy()
         test["rating"] = np.asarray(y_test)
         train_items_by_user = X_train.groupby("user_id")["item_id"].agg(set)
+        # one groupby instead of a full-column scan per user
+        relevant_by_user = (
+            test.loc[test["rating"] >= self.positive_threshold]
+            .groupby("user_id")["item_id"]
+            .agg(set)
+        )
 
         users = test["user_id"].unique()
         if self.max_users:
@@ -79,13 +85,7 @@ class RecommenderEvaluator:
         rec_lists: List[set] = []
         recommended_all: set = set()
         for u in users:
-            rel = set(
-                test.loc[
-                    (test["user_id"] == u)
-                    & (test["rating"] >= self.positive_threshold),
-                    "item_id",
-                ]
-            )
+            rel = relevant_by_user.get(u, set())
             if not rel or not model.contains_user(u):
                 continue
             known = train_items_by_user.get(u, set())

@@ -262,6 +262,7 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
                     s = s.copy()
                     s[known_dense[known_dense >= 0]] = -np.inf
                 order = np.argsort(-s, kind="stable")[:amount]
+                order = order[np.isfinite(s[order])]  # drop masked knowns
                 preds = s[order]
                 if bound_ratings:
                     preds = np.clip(preds, self.min_rating, self.max_rating)

@@ -122,25 +122,16 @@ class KernelMF(RecommenderBase):
             i = self.item_vocab.encode(items, strict=True)
             r = np.asarray(y, dtype=np.float32)
             params = self._params
-            epoch_offset = getattr(self, "_epochs_done", 0)
         else:
             u, i, r = self._preprocess_fit(X, y)
             self.global_mean = float(np.mean(r))
-            key = jax.random.PRNGKey(self.seed)
-            k_init, _ = jax.random.split(key)
-            params = sgd.init_params(
-                k_init,
-                self.n_users,
-                self.n_items,
-                cfg,
-                self.global_mean,
-                self.init_mean,
-                self.init_sd,
-            )
-            epoch_offset = 0
+            params = None  # initialized below, on the path that uses it
             self.train_rmse = []
         n_epochs = n_epochs or self.n_epochs
-        k_train = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch_offset + 1)
+        # fresh shuffle randomness per fit call (epochs completed so far)
+        k_train = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), len(self.train_rmse) + 1
+        )
         if self.mesh is not None and not warm_start and self._mesh_data_size() > 1:
             from matrix_factorization_tpu.parallel import distributed as dist
 
@@ -156,6 +147,12 @@ class KernelMF(RecommenderBase):
                 global_mean=jnp.asarray(np.asarray(params.global_mean)),
             )
         else:
+            if params is None:
+                k_init, _ = jax.random.split(jax.random.PRNGKey(self.seed))
+                params = sgd.init_params(
+                    k_init, self.n_users, self.n_items, cfg,
+                    self.global_mean, self.init_mean, self.init_sd,
+                )
             data = sgd.pack_ratings(u, i, r, cfg.batch_size)
             params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
                 params, data, k_train, self.lr

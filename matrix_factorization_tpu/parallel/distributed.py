@@ -139,10 +139,15 @@ def dp_sgd_train(
                     x[perm].reshape(nb, cfg.batch_size)
                     for x in (u_l, i_l, r_l, w_l)
                 )
-            else:  # 'batch' / 'none': shuffle batch order only
+            elif cfg.shuffle == "batch":
                 bperm = jax.random.permutation(k, nb)
                 xs = tuple(
                     x.reshape(nb, cfg.batch_size)[bperm]
+                    for x in (u_l, i_l, r_l, w_l)
+                )
+            else:  # 'none': fixed visit order (debugging/parity mode)
+                xs = tuple(
+                    x.reshape(nb, cfg.batch_size)
                     for x in (u_l, i_l, r_l, w_l)
                 )
             carry, _ = jax.lax.scan(

@@ -76,7 +76,9 @@ def main() -> None:
         summaries = [r.get("summary", "") for r in rich]
     else:
         tags = keyword_tags(texts, a.top_k)
-        summaries = [t.splitlines()[0][:120] for t in texts]
+        summaries = [
+            (t.splitlines()[0][:120] if t.strip() else "") for t in texts
+        ]
 
     out = pd.DataFrame(
         {

@@ -69,10 +69,14 @@ def build_items(
             meta["_key"] = meta[name_col].astype(str)
             text_cols = [c for c in meta.columns if c not in (name_col, "_key")]
             meta["_text"] = meta[text_cols].astype(str).agg(" | ".join, axis=1)
+            # dedup metadata names BEFORE merging — a duplicate name would
+            # expand the merge and misalign every subsequent item's text
+            meta = meta.drop_duplicates(subset="_key", keep="first")
             joined = items.merge(
                 meta[["_key", "_text"]], left_on="item_id", right_on="_key",
                 how="left",
             )
+            assert len(joined) == len(items)
             items["text"] = (
                 joined["item_id"] + " | " + joined["_text"].fillna("")
             ).str.rstrip(" |")

@@ -16,7 +16,7 @@ from typing import List, Union
 import numpy as np
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity hash: weak-cacheable
 class DenseItemIndex:
     """L2-normalized float32 embeddings (reference retrieval.py:12-17)."""
 

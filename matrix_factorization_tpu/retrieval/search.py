@@ -23,14 +23,19 @@ from matrix_factorization_tpu.retrieval.index import (
 
 IndexT = Union[DenseItemIndex, TfidfItemIndex]
 
-_device_cache: dict = {}
+# weak-keyed: entries die with their index (no id-reuse staleness, no
+# device-memory leak across index reloads)
+import weakref
+
+_device_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _device_embeddings(index: DenseItemIndex) -> jax.Array:
-    key = id(index)
-    if key not in _device_cache:
-        _device_cache[key] = jnp.asarray(index.embeddings)
-    return _device_cache[key]
+    arr = _device_cache.get(index)
+    if arr is None:
+        arr = jnp.asarray(index.embeddings)
+        _device_cache[index] = arr
+    return arr
 
 
 def encode_query(text: str, model_name: Optional[str] = None,

@@ -63,3 +63,16 @@ def test_streaming_topk_matches_dense():
     np.testing.assert_allclose(np.asarray(vals), want_vals, atol=1e-5)
     got_scores = np.take_along_axis(dense, np.asarray(idx), axis=1)
     np.testing.assert_allclose(got_scores, want_vals, atol=1e-5)
+
+
+def test_recommend_batch_exhausted_candidates():
+    """When known items exhaust the catalog, masked entries are dropped
+    rather than returned at min_rating (matches recommend())."""
+    X, y = lowrank_ratings(n_users=20, n_items=10, density=0.9, seed=33)
+    m = KernelMF(n_factors=4, n_epochs=5, lr=0.02, batch_size=64).fit(X, y)
+    user = X["user_id"].iloc[0]
+    all_items = list(m.known_items)
+    known = set(all_items[:-2])  # leave only 2 candidates
+    out = m.recommend_batch([user], amount=5, items_known_map={user: known})
+    assert len(out) == 2
+    assert not set(out["item_id"]).intersection(known)

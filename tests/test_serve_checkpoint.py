@@ -227,3 +227,20 @@ def test_service_model_exception_falls_back_to_zeros(artifacts):
     svc.model = Exploding()
     res = svc.recommend("salmon salad", user_id=1, k=2, alpha=0.9)
     assert res[0]["item_id"] == "r3"  # similarity still ranks
+
+
+def test_checkpoint_mesh_model(tmp_path):
+    """A mesh-configured model must checkpoint (mesh is runtime state,
+    not persisted)."""
+    import jax
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=32, n_items=20, density=0.5, seed=22)
+    m = KernelMF(n_factors=4, n_epochs=5, lr=0.03, batch_size=64,
+                 mesh=make_mesh(n_data=8))
+    m.fit(X, y)
+    save_model(m, tmp_path / "mesh_ckpt")
+    m2 = load_model(tmp_path / "mesh_ckpt")
+    assert m2.mesh is None
+    np.testing.assert_allclose(m2.predict(X.iloc[:10]), m.predict(X.iloc[:10]),
+                               atol=1e-6)
