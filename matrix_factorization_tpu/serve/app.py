@@ -23,6 +23,9 @@ def main() -> None:
     p = argparse.ArgumentParser(description="Daily meal-plan recommender")
     p.add_argument("--artifacts", type=str, default="workdir/artifacts")
     p.add_argument("--features", type=str, default="workdir/features")
+    p.add_argument("--query", default="",
+                   help="free-text mode: retrieve for this query directly "
+                   "(the reference UI's second tab)")
     p.add_argument("--goal", default="")
     p.add_argument("--meals", default="早餐,午餐,晚餐")
     p.add_argument("--cuisines", default="")
@@ -43,7 +46,8 @@ def main() -> None:
     )
     req = PlanRequest(
         goal=a.goal,
-        meals=split_terms(a.meals),
+        meals=["不限"] if a.query else split_terms(a.meals),
+        extra=a.query,
         cuisines=split_terms(a.cuisines),
         dietary=split_terms(a.dietary),
         must_include=split_terms(a.must_include),

@@ -81,3 +81,14 @@ def test_missing_item_id_column_raises(data):
     X, y = data
     with pytest.raises(ValueError, match="item_id"):
         ContentBasedRecommender().fit(X, y, item_features=pd.DataFrame({"g": [1.0]}))
+
+
+def test_partial_item_features(data, features):
+    """Items without feature rows are skipped in profiles (reference
+    semantics) and predicted via the global-mean fallback paths."""
+    X, y = data
+    partial = features.iloc[: len(features) // 2]
+    m = ContentBasedRecommender().fit(X, y, item_features=partial)
+    preds = m.predict(X.iloc[:20])
+    assert len(preds) == 20
+    assert all(np.isfinite(preds))

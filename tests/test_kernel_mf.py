@@ -163,3 +163,26 @@ def test_duplicate_ratings_raise(data):
 def test_invalid_kernel_raises():
     with pytest.raises(ValueError):
         KernelMF(kernel="quadratic")
+
+
+def test_update_users_capacity_growth(data):
+    """New users beyond the table capacity trigger padded growth without
+    retraining from scratch."""
+    X, y = data
+    m = KernelMF(n_factors=6, n_epochs=5, lr=0.02, reg=0.02, batch_size=256)
+    m.fit(X, y)
+    cap_before = m._params.user_features.shape[0]
+
+    n_new = cap_before + 50  # force growth past the initial capacity
+    rng = np.random.default_rng(0)
+    items = X["item_id"].unique()
+    Xn = pd.DataFrame({
+        "user_id": np.repeat(np.arange(10_000, 10_000 + n_new), 2),
+        "item_id": rng.choice(items, 2 * n_new),
+    }).drop_duplicates()
+    yn = pd.Series(rng.uniform(1, 5, len(Xn)))
+    m.update_users(Xn, yn, n_epochs=2)
+    assert m._params.user_features.shape[0] >= m.n_users
+    assert m.contains_user(10_000)
+    preds = m.predict(Xn.iloc[:5])
+    assert len(preds) == 5
