@@ -45,13 +45,22 @@ class KernelMF(RecommenderBase):
         batch_size: int = 1024,
         seed: int = 0,
         mesh=None,
+        method: str = "sgd",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
         data-parallel (user-sharded P, psum'd item deltas) and gathers the
-        result for serving."""
+        result for serving.
+
+        ``method``: 'sgd' (reference semantics) or 'als' (extension: exact
+        alternating least squares for factors+biases — linear kernel only,
+        typically converges in far fewer epochs; see ``ops/ials.py``)."""
         if kernel not in ("linear", "sigmoid", "rbf"):
             raise ValueError("Kernel must be one of linear, sigmoid, or rbf")
+        if method not in ("sgd", "als"):
+            raise ValueError("Method must be 'sgd' or 'als'")
+        if method == "als" and kernel != "linear":
+            raise ValueError("method='als' requires the linear kernel")
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
         self.n_factors = n_factors
         self.n_epochs = n_epochs
@@ -64,6 +73,7 @@ class KernelMF(RecommenderBase):
         self.batch_size = batch_size
         self.seed = seed
         self.mesh = mesh
+        self.method = method
         self._params: Optional[sgd.MFParams] = None
         self.train_rmse: list = []
 
@@ -154,9 +164,18 @@ class KernelMF(RecommenderBase):
                     self.global_mean, self.init_mean, self.init_sd,
                 )
             data = sgd.pack_ratings(u, i, r, cfg.batch_size)
-            params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
-                params, data, k_train, self.lr
-            )
+            if self.method == "als":
+                from matrix_factorization_tpu.ops import ials
+
+                by_user = ials.group_by_entity(u, i, r, self.n_users)
+                by_item = ials.group_by_entity(i, u, r, self.n_items)
+                params, rmse_hist = ials.jit_ials_train(cfg, n_epochs)(
+                    params, by_user, by_item, data
+                )
+            else:
+                params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
+                    params, data, k_train, self.lr
+                )
         self._params = params
         self.train_rmse = list(self.train_rmse) + np.asarray(rmse_hist).tolist()
         if self.verbose:

@@ -1,0 +1,146 @@
+"""Alternating least squares for the full factor model (linear kernel).
+
+The reference only has ALS for the bias model (``baseline_model.py:283``).
+This extends closed-form alternation to the factors themselves — the
+iALS family (cf. "iALS++: Speeding up Matrix Factorization with Subspace
+Optimization", arXiv:2110.14044, consulted for the method shape only) —
+which is a *much* better fit for the TPU than SGD: each half-sweep is a
+batch of dense normal-equation solves (MXU einsums + batched Cholesky),
+with no scatter in sight.
+
+Bias folding (see ``ops/segment_sgd.py``) makes the bias a free extra
+column: for the user sweep each rating's design row is
+``x_i = [q_i, 1]`` (d = k+1) with target ``y_i = r - mu - b_i``, and the
+solution ``[p_u, b_u]`` writes straight back into the extended user row.
+The item sweep is symmetric.
+
+Layout: ratings are grouped per entity on the host and padded to the max
+count L, giving (E, L) index/rating/mask arrays; the device pass gathers
+(E, L, d) design blocks, forms per-entity grams via one einsum, and
+solves.  v1 materializes the (E, L, d) gather — fine up to ~10M ratings /
+moderate L; count-bucketing for 25M+ scale is a round-2 follow-up.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops.segment_sgd import (
+    MFParams,
+    RatingBatches,
+    bias_col,
+    const_col,
+    masked_sse,
+    round_up,
+)
+
+
+class GroupedRatings(NamedTuple):
+    """Per-entity padded rating lists: all arrays (n_entities, L)."""
+
+    other_ids: jax.Array  # int32: the counterpart entity per rating
+    ratings: jax.Array  # f32
+    mask: jax.Array  # f32 1/0
+
+
+def group_by_entity(
+    ids: np.ndarray, other_ids: np.ndarray, ratings: np.ndarray,
+    n_entities: int,
+) -> GroupedRatings:
+    order = np.argsort(ids, kind="stable")
+    ids_s, other_s, r_s = ids[order], other_ids[order], ratings[order]
+    counts = np.bincount(ids_s, minlength=n_entities)
+    L = round_up(max(1, int(counts.max())), 8)
+    oi = np.zeros((n_entities, L), np.int32)
+    rr = np.zeros((n_entities, L), np.float32)
+    mm = np.zeros((n_entities, L), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for e in range(n_entities):
+        c = int(counts[e])
+        if c:
+            sl = slice(starts[e], starts[e] + c)
+            oi[e, :c] = other_s[sl]
+            rr[e, :c] = r_s[sl]
+            mm[e, :c] = 1.0
+    return GroupedRatings(jnp.asarray(oi), jnp.asarray(rr), jnp.asarray(mm))
+
+
+def ials_train(
+    params: MFParams,
+    by_user: GroupedRatings,
+    by_item: GroupedRatings,
+    data: RatingBatches,
+    cfg: SGDConfig,
+    n_epochs: int,
+    update_user_params: bool = True,
+    update_item_params: bool = True,
+) -> Tuple[MFParams, jax.Array]:
+    """Alternate exact user/item sweeps; returns (params, per-epoch RMSE)."""
+    if cfg.kernel != "linear":
+        raise ValueError("factor ALS requires the linear kernel")
+    mu = params.global_mean
+
+    def sweep(own, other, grouped, own_side):
+        k = cfg.n_factors
+        d = k + 1
+        o_bias = bias_col(cfg, "item" if own_side == "user" else "user")
+        o_const = const_col(cfg, "item" if own_side == "user" else "user")
+        rows = other[grouped.other_ids]
+        X = jnp.concatenate(
+            [rows[..., :k], rows[..., o_const:o_const + 1]], axis=-1
+        )
+        y = (grouped.ratings - mu - rows[..., o_bias]) * grouped.mask
+        Xm = X * grouped.mask[..., None]
+        A = jnp.einsum("eld,elf->edf", Xm, Xm,
+                       preferred_element_type=jnp.float32)
+        A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
+        b = jnp.einsum("eld,el->ed", Xm, y,
+                       preferred_element_type=jnp.float32)
+        sol = jnp.linalg.solve(A, b[..., None])[..., 0]
+        has_data = grouped.mask.sum(axis=1) > 0
+        own_b = bias_col(cfg, own_side)
+        E = grouped.other_ids.shape[0]
+        own_live = own[:E]
+        upd = own_live.at[:, :k].set(
+            jnp.where(has_data[:, None], sol[:, :k], own_live[:, :k])
+        )
+        upd = upd.at[:, own_b].set(
+            jnp.where(has_data, sol[:, k], own_live[:, own_b])
+        )
+        return own.at[:E].set(upd)
+
+    def epoch(p: MFParams, _):
+        P, Q = p.user_features, p.item_features
+        if update_user_params:
+            P = sweep(P, Q, by_user, "user")
+        if update_item_params:
+            Q = sweep(Q, P, by_item, "item")
+        p = MFParams(P, Q, mu)
+        rmse = (
+            jnp.sqrt(masked_sse(p, data, cfg) / max(data.n_real, 1))
+            if cfg.compute_epoch_rmse else jnp.float32(0.0)
+        )
+        return p, rmse
+
+    return jax.lax.scan(epoch, params, None, length=n_epochs)
+
+
+_ials_cache: dict = {}
+
+
+def jit_ials_train(cfg: SGDConfig, n_epochs: int, update_user_params=True,
+                   update_item_params=True):
+    key = (cfg, n_epochs, update_user_params, update_item_params)
+    if key not in _ials_cache:
+        _ials_cache[key] = jax.jit(
+            lambda p, bu, bi, d: ials_train(
+                p, bu, bi, d, cfg, n_epochs, update_user_params,
+                update_item_params,
+            )
+        )
+    return _ials_cache[key]

@@ -1,0 +1,69 @@
+"""Factor ALS (iALS extension): exact single-entity solve vs numpy ridge,
+convergence dominance over SGD-at-same-epochs, model integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from matrix_factorization_tpu import KernelMF
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+from matrix_factorization_tpu.ops import ials
+from matrix_factorization_tpu.ops import segment_sgd as sgd
+from matrix_factorization_tpu.utils.metrics import rmse
+
+
+def test_user_sweep_matches_numpy_ridge(rng):
+    """One user sweep = per-user ridge regression on [q_i, 1] -> [p_u, b_u]."""
+    n_users, n_items, k, n = 6, 15, 4, 60
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    mu = float(r.mean())
+    reg = 0.3
+
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=reg, batch_size=32,
+                    compute_epoch_rmse=False)
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg, mu)
+    by_user = ials.group_by_entity(u, i, r, n_users)
+    by_item = ials.group_by_entity(i, u, r, n_items)
+    out, _ = ials.jit_ials_train(cfg, 1, update_item_params=False)(
+        params, by_user, by_item, sgd.pack_ratings(u, i, r, 32)
+    )
+
+    Q = np.asarray(params.item_features, np.float64)
+    bi_col = sgd.bias_col(cfg, "item")
+    for user in range(n_users):
+        rows = np.where(u == user)[0]
+        X = np.column_stack([Q[i[rows], :k], np.ones(len(rows))])
+        y = r[rows].astype(np.float64) - mu - Q[i[rows], bi_col]
+        sol = np.linalg.solve(X.T @ X + reg * np.eye(k + 1), X.T @ y)
+        got_p = np.asarray(out.user_features[user, :k], np.float64)
+        got_b = float(out.user_features[user, sgd.bias_col(cfg, "user")])
+        np.testing.assert_allclose(got_p, sol[:k], atol=2e-3)
+        np.testing.assert_allclose(got_b, sol[k], atol=2e-3)
+
+
+def test_kernelmf_als_converges_fast():
+    X, y = lowrank_ratings(n_users=100, n_items=80, n_factors=4,
+                           density=0.4, noise_sd=0.05, seed=2)
+    als = KernelMF(n_factors=8, n_epochs=5, method="als", reg=0.1,
+                   batch_size=256).fit(X, y)
+    sgd_m = KernelMF(n_factors=8, n_epochs=5, method="sgd", lr=0.02,
+                     reg=0.02, batch_size=256).fit(X, y)
+    e_als = rmse(y, als.predict(X))
+    e_sgd = rmse(y, sgd_m.predict(X))
+    # exact alternation should dominate 5 epochs of SGD
+    assert e_als < e_sgd
+    assert als.train_rmse[-1] <= als.train_rmse[0]
+    # lifecycle still works
+    recs = als.recommend(user=X["user_id"].iloc[0], amount=5)
+    assert len(recs) == 5
+
+
+def test_als_rejects_nonlinear_kernels():
+    with pytest.raises(ValueError, match="linear"):
+        KernelMF(kernel="rbf", method="als")
+    with pytest.raises(ValueError, match="Method"):
+        KernelMF(method="newton")
