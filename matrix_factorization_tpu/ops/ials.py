@@ -101,7 +101,9 @@ def ials_train(
         A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
-        sol = jnp.linalg.solve(A, b[..., None])[..., 0]
+        # A is SPD (gram + reg*I): batched Cholesky beats generic LU
+        chol = jax.lax.linalg.cholesky(A)
+        sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
         has_data = grouped.mask.sum(axis=1) > 0
         own_b = bias_col(cfg, own_side)
         E = grouped.other_ids.shape[0]
