@@ -242,8 +242,9 @@ def sgd_minibatch_step(
     deltas of colliding rows sum via scatter-add.  The column masks keep
     the constant-1 extension column and the padding frozen.
     """
-    pu = params.user_features[u]
-    qi = params.item_features[i]
+    # ids are vocab-encoded (pads use row 0): skip the bounds-clamp logic
+    pu = params.user_features.at[u].get(mode="promise_in_bounds")
+    qi = params.item_features.at[i].get(mode="promise_in_bounds")
     pred, d_pu, d_qi = ext_forward_and_rowgrads(cfg, params.global_mean, pu, qi)
     err = (pred - r) * w
 
@@ -307,8 +308,11 @@ def masked_sse(params: MFParams, data: RatingBatches, cfg: SGDConfig) -> jax.Arr
 
     def body(acc, batch):
         u, i, r, w = batch
-        pred = ext_forward(cfg, params.global_mean, params.user_features[u],
-                           params.item_features[i])
+        pred = ext_forward(
+            cfg, params.global_mean,
+            params.user_features.at[u].get(mode="promise_in_bounds"),
+            params.item_features.at[i].get(mode="promise_in_bounds"),
+        )
         e = (pred - r) * w
         return acc + jnp.sum(e * e), None
 

@@ -86,8 +86,8 @@ def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr):
     """One synchronous step: local P scatter, psum'd Q deltas."""
     P_l, Q, mu = carry
     u, i, r, w = batch
-    pu = P_l[u]
-    qi = Q[i]
+    pu = P_l.at[u].get(mode="promise_in_bounds")
+    qi = Q.at[i].get(mode="promise_in_bounds")
     pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
     err = (pred - r) * w
 
