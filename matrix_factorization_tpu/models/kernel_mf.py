@@ -236,9 +236,20 @@ class KernelMF(RecommenderBase):
         pack_bs = min(self.batch_size, max(1, len(r)))
         cfg = self._cfg(batch_size=pack_bs, update_item_params=False)
         data = sgd.pack_ratings(u, i, r, pack_bs)
-        params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
-            self._params, data, k_train, lr
-        )
+        if self.method == "als":
+            # exact user-side sweep, item side frozen — one closed-form
+            # solve replaces the SGD epochs
+            from matrix_factorization_tpu.ops import ials
+
+            by_user = ials.group_by_entity(u, i, r, self.n_users)
+            by_item = ials.group_by_entity(i, u, r, self.n_items)
+            params, rmse_hist = ials.jit_ials_train(
+                cfg, max(1, min(n_epochs, 2)), update_item_params=False
+            )(self._params, by_user, by_item, data)
+        else:
+            params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
+                self._params, data, k_train, lr
+            )
         self._params = params
         self.train_rmse = np.asarray(rmse_hist).tolist()
         if verbose:

@@ -62,20 +62,49 @@ def make_handler(service: RecommendService):
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        def _read_body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
         def do_POST(self):
-            if self.path.rstrip("/") != "/recommend":
-                self._send(404, {"error": f"unknown path {self.path}"})
+            path = self.path.rstrip("/")
+            try:
+                body = self._read_body()
+            except json.JSONDecodeError as e:
+                self._send(422, {"error": f"invalid JSON: {e}"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(n) or b"{}")
-                req = _validate_recommend_body(body)
-            except (ValueError, json.JSONDecodeError) as e:
+                if path == "/recommend":
+                    req = _validate_recommend_body(body)
+                    self._send(200, {"results": service.recommend(**req)})
+                elif path == "/recommend_batch":
+                    queries = body.get("queries")
+                    if not isinstance(queries, list) or not queries:
+                        raise ValueError("'queries' must be a non-empty list")
+                    shared = {k: v for k, v in body.items() if k != "queries"}
+                    results = [
+                        service.recommend(
+                            **_validate_recommend_body({**shared, "query": q})
+                        )
+                        for q in queries
+                    ]
+                    self._send(200, {"results": results})
+                elif path == "/plan":
+                    from matrix_factorization_tpu.serve.planner import (
+                        PlanRequest,
+                        plan_meals,
+                    )
+
+                    allowed = set(PlanRequest.__dataclass_fields__)
+                    bad = set(body) - allowed
+                    if bad:
+                        raise ValueError(f"unknown plan fields: {sorted(bad)}")
+                    rows = plan_meals(service, PlanRequest(**body))
+                    self._send(200, {"plan": rows})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except ValueError as e:
                 self._send(422, {"error": str(e)})
-                return
-            try:
-                results = service.recommend(**req)
-                self._send(200, {"results": results})
             except Exception as e:  # soft failure, actionable message
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -67,3 +67,16 @@ def test_als_rejects_nonlinear_kernels():
         KernelMF(kernel="rbf", method="als")
     with pytest.raises(ValueError, match="Method"):
         KernelMF(method="newton")
+
+
+def test_als_update_users_cold_start():
+    X, y = lowrank_ratings(n_users=60, n_items=40, density=0.5, seed=19)
+    holdout = X["user_id"] == 0
+    m = KernelMF(n_factors=6, method="als", reg=0.1, n_epochs=5,
+                 batch_size=128).fit(X[~holdout], y[~holdout])
+    items_before = m.item_features.copy()
+    m.update_users(X[holdout], y[holdout], n_epochs=5)
+    np.testing.assert_array_equal(m.item_features, items_before)
+    err = rmse(y[holdout], m.predict(X[holdout]))
+    base = rmse(y[holdout], np.full(int(holdout.sum()), float(y.mean())))
+    assert err < base

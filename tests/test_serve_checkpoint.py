@@ -244,3 +244,40 @@ def test_checkpoint_mesh_model(tmp_path):
     assert m2.mesh is None
     np.testing.assert_allclose(m2.predict(X.iloc[:10]), m.predict(X.iloc[:10]),
                                atol=1e-6)
+
+
+def test_http_batch_and_plan_endpoints(artifacts):
+    svc = RecommendService.from_artifacts(artifacts)
+    httpd = serve(svc, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/recommend_batch",
+            data=json.dumps({"queries": ["salmon salad", "tofu curry"],
+                             "k": 2}).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["results"][0][0]["item_id"] == "r3"
+        assert out["results"][1][0]["item_id"] == "r4"
+
+        req2 = urllib.request.Request(
+            f"{base}/plan",
+            data=json.dumps({"meals": ["午餐"], "per_meal_k": 2,
+                             "avoid": ["peanut"], "use_reranker": False}).encode(),
+        )
+        with urllib.request.urlopen(req2) as r:
+            plan = json.loads(r.read())["plan"]
+        assert plan and all(row["item_id"] != "r2" for row in plan)
+
+        # probe: unknown plan field -> 422
+        bad = urllib.request.Request(
+            f"{base}/plan", data=json.dumps({"nope": 1}).encode()
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad)
+        assert exc.value.code == 422
+    finally:
+        httpd.shutdown()
