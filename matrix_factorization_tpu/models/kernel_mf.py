@@ -28,6 +28,15 @@ from matrix_factorization_tpu.ops import segment_sgd as sgd
 _catalog_jit_cache: dict = {}
 
 
+def _als_needs_buckets(u, i, n_users: int, n_items: int,
+                       budget_rows: int = 30_000_000) -> bool:
+    """Global-pad ALS materializes (E, L_max) tables per side; switch to
+    count-bucketed sweeps when that exceeds the memory budget."""
+    lu = int(np.bincount(u, minlength=n_users).max()) if len(u) else 1
+    li = int(np.bincount(i, minlength=n_items).max()) if len(i) else 1
+    return n_users * lu > budget_rows or n_items * li > budget_rows
+
+
 class KernelMF(RecommenderBase):
     def __init__(
         self,
@@ -167,11 +176,18 @@ class KernelMF(RecommenderBase):
             if self.method == "als":
                 from matrix_factorization_tpu.ops import ials
 
-                by_user = ials.group_by_entity(u, i, r, self.n_users)
-                by_item = ials.group_by_entity(i, u, r, self.n_items)
-                params, rmse_hist = ials.jit_ials_train(cfg, n_epochs)(
-                    params, by_user, by_item, data
-                )
+                if _als_needs_buckets(u, i, self.n_users, self.n_items):
+                    bu = ials.group_by_entity_bucketed(u, i, r, self.n_users)
+                    bi = ials.group_by_entity_bucketed(i, u, r, self.n_items)
+                    params, rmse_hist = ials.ials_train_bucketed(
+                        params, bu, bi, data, cfg, n_epochs
+                    )
+                else:
+                    by_user = ials.group_by_entity(u, i, r, self.n_users)
+                    by_item = ials.group_by_entity(i, u, r, self.n_items)
+                    params, rmse_hist = ials.jit_ials_train(cfg, n_epochs)(
+                        params, by_user, by_item, data
+                    )
             else:
                 params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
                     params, data, k_train, self.lr

@@ -132,6 +132,135 @@ def ials_train(
     return jax.lax.scan(epoch, params, None, length=n_epochs)
 
 
+# ---------------------------------------------------------------------------
+# Scale path: count-bucketed sweeps (bounds padding waste and memory)
+# ---------------------------------------------------------------------------
+
+
+class Bucket(NamedTuple):
+    entity_ids: jax.Array  # (E_b,) int32 — which rows this bucket solves
+    other_ids: jax.Array  # (E_b, L_b)
+    ratings: jax.Array
+    mask: jax.Array
+
+
+def group_by_entity_bucketed(
+    ids: np.ndarray,
+    other_ids: np.ndarray,
+    ratings: np.ndarray,
+    n_entities: int,
+    max_block_rows: int = 4_000_000,
+) -> list:
+    """Bucket entities by rating count (power-of-two L), chunking each
+    bucket so E_b * L_b stays under ``max_block_rows`` — (E, L, Kp)
+    gathers never exceed ~2GB regardless of the heaviest entity."""
+    order = np.argsort(ids, kind="stable")
+    ids_s, other_s, r_s = ids[order], other_ids[order], ratings[order]
+    counts = np.bincount(ids_s, minlength=n_entities)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    active = np.nonzero(counts)[0]
+    # bucket label = next power of two >= count (min 8)
+    L_of = np.maximum(8, 1 << np.ceil(np.log2(np.maximum(counts[active], 1))
+                                      ).astype(int))
+    buckets = []
+    for L in np.unique(L_of):
+        members = active[L_of == L]
+        max_e = max(1, int(max_block_rows // L))
+        for lo in range(0, len(members), max_e):
+            chunk = members[lo:lo + max_e]
+            E = len(chunk)
+            oi = np.zeros((E, L), np.int32)
+            rr = np.zeros((E, L), np.float32)
+            mm = np.zeros((E, L), np.float32)
+            for row, e in enumerate(chunk):
+                c = int(counts[e])
+                sl = slice(starts[e], starts[e] + c)
+                oi[row, :c] = other_s[sl]
+                rr[row, :c] = r_s[sl]
+                mm[row, :c] = 1.0
+            buckets.append(Bucket(
+                jnp.asarray(chunk.astype(np.int32)), jnp.asarray(oi),
+                jnp.asarray(rr), jnp.asarray(mm),
+            ))
+    return buckets
+
+
+_sweep_cache: dict = {}
+
+
+def _jit_bucket_sweep(cfg: SGDConfig, own_side: str):
+    key = (cfg, own_side)
+    if key in _sweep_cache:
+        return _sweep_cache[key]
+
+    def sweep(own, other, entity_ids, other_ids, ratings, mask, mu):
+        k = cfg.n_factors
+        d = k + 1
+        o_bias = bias_col(cfg, "item" if own_side == "user" else "user")
+        o_const = const_col(cfg, "item" if own_side == "user" else "user")
+        rows = other.at[other_ids].get(mode="promise_in_bounds")
+        X = jnp.concatenate(
+            [rows[..., :k], rows[..., o_const:o_const + 1]], axis=-1
+        )
+        y = (ratings - mu - rows[..., o_bias]) * mask
+        Xm = X * mask[..., None]
+        A = jnp.einsum("eld,elf->edf", Xm, Xm,
+                       preferred_element_type=jnp.float32)
+        A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
+        b = jnp.einsum("eld,el->ed", Xm, y,
+                       preferred_element_type=jnp.float32)
+        chol = jax.lax.linalg.cholesky(A)
+        sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+        own_b = bias_col(cfg, own_side)
+        new_rows = own.at[entity_ids].get(mode="promise_in_bounds")
+        new_rows = new_rows.at[:, :k].set(sol[:, :k])
+        new_rows = new_rows.at[:, own_b].set(sol[:, k])
+        return own.at[entity_ids].set(new_rows)
+
+    fn = jax.jit(sweep, donate_argnums=(0,))
+    _sweep_cache[key] = fn
+    return fn
+
+
+def ials_train_bucketed(
+    params: MFParams,
+    buckets_user: list,
+    buckets_item: list,
+    data: RatingBatches,
+    cfg: SGDConfig,
+    n_epochs: int,
+    update_user_params: bool = True,
+    update_item_params: bool = True,
+) -> Tuple[MFParams, np.ndarray]:
+    """Python-level epoch loop over per-bucket jitted sweeps (one compile
+    per bucket shape; scales to heavy-tailed rating counts)."""
+    if cfg.kernel != "linear":
+        raise ValueError("factor ALS requires the linear kernel")
+    mu = params.global_mean
+    P, Q = params.user_features, params.item_features
+    u_sweep = _jit_bucket_sweep(cfg, "user")
+    i_sweep = _jit_bucket_sweep(cfg, "item")
+    rmse_fn = jax.jit(
+        lambda p: jnp.sqrt(masked_sse(p, data, cfg) / max(data.n_real, 1))
+    )
+    hist = []
+    for _ in range(n_epochs):
+        if update_user_params:
+            for b in buckets_user:
+                P = u_sweep(P, Q, b.entity_ids, b.other_ids, b.ratings,
+                            b.mask, mu)
+        if update_item_params:
+            for b in buckets_item:
+                Q = i_sweep(Q, P, b.entity_ids, b.other_ids, b.ratings,
+                            b.mask, mu)
+        if cfg.compute_epoch_rmse:
+            hist.append(float(rmse_fn(MFParams(P, Q, mu))))
+        else:
+            hist.append(0.0)
+    return MFParams(P, Q, mu), np.asarray(hist, np.float32)
+
+
 _ials_cache: dict = {}
 
 

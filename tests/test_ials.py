@@ -80,3 +80,38 @@ def test_als_update_users_cold_start():
     err = rmse(y[holdout], m.predict(X[holdout]))
     base = rmse(y[holdout], np.full(int(holdout.sum()), float(y.mean())))
     assert err < base
+
+
+def test_bucketed_matches_simple_path(rng):
+    """The count-bucketed sweep produces the same solution as the simple
+    single-pad path (both are exact solves)."""
+    n_users, n_items, k, n = 25, 18, 4, 300
+    flat = rng.choice(n_users * n_items, size=n, replace=False)
+    u = (flat // n_items).astype(np.int32)
+    i = (flat % n_items).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    mu = float(r.mean())
+
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.2, batch_size=64,
+                    compute_epoch_rmse=True)
+    params = sgd.init_params(jax.random.PRNGKey(3), n_users, n_items, cfg, mu)
+    data = sgd.pack_ratings(u, i, r, 64)
+
+    by_user = ials.group_by_entity(u, i, r, n_users)
+    by_item = ials.group_by_entity(i, u, r, n_items)
+    simple, h1 = ials.jit_ials_train(cfg, 3)(params, by_user, by_item, data)
+
+    bu = ials.group_by_entity_bucketed(u, i, r, n_users, max_block_rows=64)
+    bi = ials.group_by_entity_bucketed(i, u, r, n_items, max_block_rows=64)
+    assert len(bu) > 1  # the tiny cap forces multiple buckets/chunks
+    bucketed, h2 = ials.ials_train_bucketed(params, bu, bi, data, cfg, 3)
+
+    np.testing.assert_allclose(
+        np.asarray(simple.user_features), np.asarray(bucketed.user_features),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(simple.item_features), np.asarray(bucketed.item_features),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(np.asarray(h1), h2, atol=1e-4)
