@@ -163,6 +163,9 @@ def group_by_entity_bucketed(
     # bucket label = next power of two >= count (min 8)
     L_of = np.maximum(8, 1 << np.ceil(np.log2(np.maximum(counts[active], 1))
                                       ).astype(int))
+    # vectorized packing: per-entry position within its entity, then one
+    # flat scatter per chunk (no per-entity python loop)
+    pos_in_entity = np.arange(len(ids_s), dtype=np.int64) - starts[ids_s]
     buckets = []
     for L in np.unique(L_of):
         members = active[L_of == L]
@@ -170,18 +173,22 @@ def group_by_entity_bucketed(
         for lo in range(0, len(members), max_e):
             chunk = members[lo:lo + max_e]
             E = len(chunk)
-            oi = np.zeros((E, L), np.int32)
-            rr = np.zeros((E, L), np.float32)
-            mm = np.zeros((E, L), np.float32)
-            for row, e in enumerate(chunk):
-                c = int(counts[e])
-                sl = slice(starts[e], starts[e] + c)
-                oi[row, :c] = other_s[sl]
-                rr[row, :c] = r_s[sl]
-                mm[row, :c] = 1.0
+            row_of = np.full(n_entities, -1, np.int64)
+            row_of[chunk] = np.arange(E)
+            rows = row_of[ids_s]
+            sel = rows >= 0
+            flat = rows[sel] * L + pos_in_entity[sel]
+            oi = np.zeros(E * L, np.int32)
+            rr = np.zeros(E * L, np.float32)
+            mm = np.zeros(E * L, np.float32)
+            oi[flat] = other_s[sel]
+            rr[flat] = r_s[sel]
+            mm[flat] = 1.0
             buckets.append(Bucket(
-                jnp.asarray(chunk.astype(np.int32)), jnp.asarray(oi),
-                jnp.asarray(rr), jnp.asarray(mm),
+                jnp.asarray(chunk.astype(np.int32)),
+                jnp.asarray(oi.reshape(E, L)),
+                jnp.asarray(rr.reshape(E, L)),
+                jnp.asarray(mm.reshape(E, L)),
             ))
     return buckets
 
