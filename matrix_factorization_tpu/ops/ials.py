@@ -248,8 +248,10 @@ def ials_train_bucketed(
     P, Q = params.user_features, params.item_features
     u_sweep = _jit_bucket_sweep(cfg, "user")
     i_sweep = _jit_bucket_sweep(cfg, "item")
+    # data must be an ARGUMENT, not a closure: closed-over arrays embed as
+    # program constants (a 25M-rating stream blows compile-request limits)
     rmse_fn = jax.jit(
-        lambda p: jnp.sqrt(masked_sse(p, data, cfg) / max(data.n_real, 1))
+        lambda p, d: jnp.sqrt(masked_sse(p, d, cfg) / max(data.n_real, 1))
     )
     hist = []
     for _ in range(n_epochs):
@@ -262,7 +264,7 @@ def ials_train_bucketed(
                 Q = i_sweep(Q, P, b.entity_ids, b.other_ids, b.ratings,
                             b.mask, mu)
         if cfg.compute_epoch_rmse:
-            hist.append(float(rmse_fn(MFParams(P, Q, mu))))
+            hist.append(float(rmse_fn(MFParams(P, Q, mu), data)))
         else:
             hist.append(0.0)
     return MFParams(P, Q, mu), np.asarray(hist, np.float32)
