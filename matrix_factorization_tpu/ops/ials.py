@@ -163,33 +163,45 @@ def group_by_entity_bucketed(
     # bucket label = next power of two >= count (min 8)
     L_of = np.maximum(8, 1 << np.ceil(np.log2(np.maximum(counts[active], 1))
                                       ).astype(int))
-    # vectorized packing: per-entry position within its entity, then one
-    # flat scatter per chunk (no per-entity python loop)
+    # single-pass packing: assign every entity a (chunk, row) once, map
+    # entries through it, and flat-scatter per chunk — three O(nnz) passes
+    # total instead of a rescan per chunk
     pos_in_entity = np.arange(len(ids_s), dtype=np.int64) - starts[ids_s]
-    buckets = []
+    chunk_of = np.full(n_entities, -1, np.int64)
+    row_of = np.full(n_entities, -1, np.int64)
+    chunk_meta = []  # (L, entity_ids)
     for L in np.unique(L_of):
         members = active[L_of == L]
         max_e = max(1, int(max_block_rows // L))
         for lo in range(0, len(members), max_e):
             chunk = members[lo:lo + max_e]
-            E = len(chunk)
-            row_of = np.full(n_entities, -1, np.int64)
-            row_of[chunk] = np.arange(E)
-            rows = row_of[ids_s]
-            sel = rows >= 0
-            flat = rows[sel] * L + pos_in_entity[sel]
-            oi = np.zeros(E * L, np.int32)
-            rr = np.zeros(E * L, np.float32)
-            mm = np.zeros(E * L, np.float32)
-            oi[flat] = other_s[sel]
-            rr[flat] = r_s[sel]
-            mm[flat] = 1.0
-            buckets.append(Bucket(
-                jnp.asarray(chunk.astype(np.int32)),
-                jnp.asarray(oi.reshape(E, L)),
-                jnp.asarray(rr.reshape(E, L)),
-                jnp.asarray(mm.reshape(E, L)),
-            ))
+            chunk_of[chunk] = len(chunk_meta)
+            row_of[chunk] = np.arange(len(chunk))
+            chunk_meta.append((int(L), chunk))
+
+    entry_chunk = chunk_of[ids_s]
+    entry_row = row_of[ids_s]
+    order2 = np.argsort(entry_chunk, kind="stable")
+    ec_s = entry_chunk[order2]
+    bounds = np.searchsorted(ec_s, np.arange(len(chunk_meta) + 1))
+
+    buckets = []
+    for c, (L, chunk) in enumerate(chunk_meta):
+        sl = order2[bounds[c]:bounds[c + 1]]
+        E = len(chunk)
+        flat = entry_row[sl] * L + pos_in_entity[sl]
+        oi = np.zeros(E * L, np.int32)
+        rr = np.zeros(E * L, np.float32)
+        mm = np.zeros(E * L, np.float32)
+        oi[flat] = other_s[sl]
+        rr[flat] = r_s[sl]
+        mm[flat] = 1.0
+        buckets.append(Bucket(
+            jnp.asarray(chunk.astype(np.int32)),
+            jnp.asarray(oi.reshape(E, L)),
+            jnp.asarray(rr.reshape(E, L)),
+            jnp.asarray(mm.reshape(E, L)),
+        ))
     return buckets
 
 
