@@ -210,6 +210,9 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
         if catalog is not None and u_dense >= 0:
             # full-catalog scoring as one MXU matmul (models that support it)
             preds = np.asarray(catalog(int(u_dense)))[item_ids]
+            # parity: reference recommend sets predictions_possible via its
+            # predict call (user and all catalog items are known here)
+            self.predictions_possible = [True] * len(item_ids)
         else:
             u = np.full(item_ids.shape, u_dense, dtype=np.int32)
             preds = self._predict_dense(u, item_ids, bound_ratings=False)
