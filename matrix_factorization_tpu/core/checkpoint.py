@@ -104,6 +104,67 @@ def load_model(path: Path):
     return model
 
 
+def save_model_orbax(model, path: Path) -> None:
+    """Orbax-format checkpoint: the device arrays go through
+    ``orbax.checkpoint`` (sharding-aware, async-capable ecosystems);
+    vocab/config metadata stays in ``meta.pkl`` beside it."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    path.mkdir(parents=True, exist_ok=True)
+    arrays = _model_arrays(model)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "arrays_orbax", dict(arrays), force=True)
+    ckptr.wait_until_finished()
+    config = dict(model.get_params()) if hasattr(model, "get_params") else {}
+    if "mesh" in config:
+        config["mesh"] = None
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "model_class": type(model).__name__,
+        "params_class": type(model._params).__name__ if arrays else None,
+        "config": config,
+        "user_raw_ids": model.user_vocab.raw_ids,
+        "item_raw_ids": model.item_vocab.raw_ids,
+        "train_rmse": list(getattr(model, "train_rmse", [])),
+        "global_mean": float(getattr(model, "global_mean", 0.0)),
+        "epochs_done": int(getattr(model, "_epochs_done", 0)),
+    }
+    with (path / "meta.pkl").open("wb") as f:
+        pickle.dump(meta, f)
+
+
+def load_model_orbax(path: Path):
+    import orbax.checkpoint as ocp
+
+    from matrix_factorization_tpu.core.ids import IdVocab
+    from matrix_factorization_tpu.models.baseline import BaselineModel
+    from matrix_factorization_tpu.models.kernel_mf import KernelMF
+    from matrix_factorization_tpu.ops.als import BiasParams
+    from matrix_factorization_tpu.ops.segment_sgd import MFParams
+
+    path = Path(path).resolve()
+    with (path / "meta.pkl").open("rb") as f:
+        meta = pickle.load(f)
+    classes = {"KernelMF": KernelMF, "BaselineModel": BaselineModel}
+    model = classes[meta["model_class"]](**meta["config"])
+    model.user_vocab = IdVocab(meta["user_raw_ids"])
+    model.item_vocab = IdVocab(meta["item_raw_ids"])
+    model.train_rmse = meta["train_rmse"]
+    model.global_mean = meta["global_mean"]
+    model._epochs_done = meta["epochs_done"]
+    if meta["params_class"]:
+        ckptr = ocp.StandardCheckpointer()
+        tree = ckptr.restore(path / "arrays_orbax")
+        params_cls = {"MFParams": MFParams, "BiasParams": BiasParams}[
+            meta["params_class"]
+        ]
+        model._params = params_cls(
+            **{k: jnp.asarray(v) for k, v in tree.items()}
+        )
+    return model
+
+
 def fit_resumable(
     model,
     X,

@@ -281,3 +281,18 @@ def test_http_batch_and_plan_endpoints(artifacts):
         assert exc.value.code == 422
     finally:
         httpd.shutdown()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from matrix_factorization_tpu.core.checkpoint import (
+        load_model_orbax,
+        save_model_orbax,
+    )
+
+    X, y = lowrank_ratings(n_users=30, n_items=20, density=0.5, seed=24)
+    m = KernelMF(n_factors=4, n_epochs=5, lr=0.02, batch_size=64).fit(X, y)
+    save_model_orbax(m, tmp_path / "ock")
+    m2 = load_model_orbax(tmp_path / "ock")
+    np.testing.assert_allclose(m2.predict(X.iloc[:15]), m.predict(X.iloc[:15]),
+                               atol=1e-6)
+    assert m2.known_items == m.known_items
