@@ -26,8 +26,29 @@ from matrix_factorization_tpu.eval.topk_eval import (
     pick_test_items,
 )
 from matrix_factorization_tpu.rank.hybrid import minmax, model_scores
-from matrix_factorization_tpu.retrieval.index import DenseItemIndex
+from matrix_factorization_tpu.retrieval.index import (
+    DenseItemIndex,
+    TfidfItemIndex,
+)
 from matrix_factorization_tpu.retrieval.search import search_topk_batch
+
+
+def _profile_topk(index, profiles, k: int):
+    """(sims, positions) of each profile vs the whole catalog, for either
+    index family: dense -> device matmul; tfidf -> sparse host product."""
+    if isinstance(index, TfidfItemIndex):
+        import scipy.sparse as sp
+
+        prof = sp.vstack([sp.csr_matrix(p) for p in profiles])
+        sims_all = np.asarray((prof @ index.matrix.T).todense(), np.float32)
+        k = min(k, sims_all.shape[1])
+        part = np.argpartition(-sims_all, kth=k - 1, axis=1)[:, :k]
+        vals = np.take_along_axis(sims_all, part, axis=1)
+        order = np.argsort(-vals, axis=1)
+        return np.take_along_axis(vals, order, axis=1), np.take_along_axis(
+            part, order, axis=1
+        )
+    return search_topk_batch(index, np.stack(profiles), k=k)
 
 
 def evaluate_hybrid(
@@ -67,15 +88,18 @@ def evaluate_hybrid(
         if not pos:
             continue
         eval_users.append(u)
-        profiles.append(index.embeddings[pos].mean(axis=0))
+        if isinstance(index, TfidfItemIndex):
+            profiles.append(index.matrix[pos].mean(axis=0))
+        else:
+            profiles.append(index.embeddings[pos].mean(axis=0))
         train_sets.append({str(it) for it in train_items})
         relevant_sets.append({str(it) for it in test_items})
 
     if not eval_users:
         return TopKResult(0.0, 0.0, 0.0, 0)
 
-    sims, cand_pos = search_topk_batch(
-        index, np.stack(profiles), k=candidate_k + max(len(s) for s in train_sets)
+    sims, cand_pos = _profile_topk(
+        index, profiles, k=candidate_k + max(len(s) for s in train_sets)
     )
 
     # 2) per user: drop train items, blend, take top-k, score

@@ -94,3 +94,14 @@ def test_evaluate_case_keywords_with_must_include():
     assert rep.avg_relevance > 0
     assert rep.violation_rate == 0.0
     assert rep.to_jsonable()["items"]
+
+
+def test_evaluate_hybrid_tfidf_index():
+    df = _ratings()
+    items = sorted(df["item_id"].unique())
+    texts = [f"item text number {i} with words w{i} w{i%5}" for i in items]
+    index = build_tfidf_index([str(i) for i in items], texts, min_df=1)
+    res = evaluate_hybrid(df, index, model=None, alpha=0.0, k=5,
+                          candidate_k=20, positive_threshold=3.0, n_test=2)
+    assert res.n_users > 0
+    assert 0.0 <= res.precision <= 1.0
