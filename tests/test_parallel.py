@@ -146,6 +146,18 @@ def test_graft_entry_and_dryrun():
     ge.dryrun_multichip(4)
 
 
+def test_graft_dryrun_self_provisions_when_short_on_devices():
+    """Asking for more devices than the live backend has must re-exec on
+    a virtual CPU mesh of the right size (the driver host has 1 TPU)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    ge = importlib.import_module("__graft_entry__")
+    assert len(jax.devices()) < 16
+    ge.dryrun_multichip(16)  # completes via the subprocess path or raises
+
+
 def test_kernelmf_with_mesh_fits_and_serves():
     """The model API trains data-parallel when given a mesh and serves
     from the gathered parameters."""
