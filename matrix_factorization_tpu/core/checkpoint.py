@@ -41,7 +41,10 @@ def _model_arrays(model) -> Dict[str, np.ndarray]:
 def save_model(model, path: Path) -> None:
     """Checkpoint a fitted model to a directory (atomic)."""
     path = Path(path)
-    tmp = Path(tempfile.mkdtemp(dir=path.parent if path.parent.exists() else None))
+    # the temp dir must live on the same filesystem as the target or the
+    # final rename fails (EXDEV); create missing parents up front
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = Path(tempfile.mkdtemp(dir=path.parent))
     try:
         arrays = _model_arrays(model)
         np.savez(tmp / "arrays.npz", **arrays)
@@ -63,9 +66,15 @@ def save_model(model, path: Path) -> None:
         }
         with (tmp / "meta.pkl").open("wb") as f:
             pickle.dump(meta, f)
+        # move any existing checkpoint aside with a rename (fast) so the
+        # window with no checkpoint on disk is two renames, not an rmtree
+        old = None
         if path.exists():
-            shutil.rmtree(path)
+            old = path.parent / (path.name + ".old." + tmp.name)
+            path.rename(old)
         tmp.rename(path)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

@@ -40,14 +40,24 @@ def _profile_topk(index, profiles, k: int):
         import scipy.sparse as sp
 
         prof = sp.vstack([sp.csr_matrix(p) for p in profiles])
-        sims_all = np.asarray((prof @ index.matrix.T).todense(), np.float32)
-        k = min(k, sims_all.shape[1])
-        part = np.argpartition(-sims_all, kth=k - 1, axis=1)[:, :k]
-        vals = np.take_along_axis(sims_all, part, axis=1)
-        order = np.argsort(-vals, axis=1)
-        return np.take_along_axis(vals, order, axis=1), np.take_along_axis(
-            part, order, axis=1
-        )
+        n_items = index.matrix.shape[0]
+        k = min(k, n_items)
+        # blocked: never materialize the full (users x items) similarity
+        # matrix — at 25M-scale catalogs a dense U x I blows host memory
+        block = max(1, min(prof.shape[0], 4_000_000 // n_items + 1))
+        vals_out = np.empty((prof.shape[0], k), np.float32)
+        pos_out = np.empty((prof.shape[0], k), np.int64)
+        for lo in range(0, prof.shape[0], block):
+            hi = min(lo + block, prof.shape[0])
+            sims_blk = np.asarray(
+                (prof[lo:hi] @ index.matrix.T).todense(), np.float32
+            )
+            part = np.argpartition(-sims_blk, kth=k - 1, axis=1)[:, :k]
+            vals = np.take_along_axis(sims_blk, part, axis=1)
+            order = np.argsort(-vals, axis=1)
+            vals_out[lo:hi] = np.take_along_axis(vals, order, axis=1)
+            pos_out[lo:hi] = np.take_along_axis(part, order, axis=1)
+        return vals_out, pos_out
     return search_topk_batch(index, np.stack(profiles), k=k)
 
 

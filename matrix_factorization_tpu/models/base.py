@@ -177,12 +177,18 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
 
     def _predict_dense(
         self, u: np.ndarray, i: np.ndarray, bound_ratings: bool
-    ) -> np.ndarray:
-        """Dense-id fast path used by ``recommend``; models override."""
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Dense-id fast path used by ``recommend``; models override.
+
+        Returns ``(predictions, possible)`` so recommend can refresh
+        ``predictions_possible`` exactly like the predict path does
+        (reference recommend always goes through predict,
+        ``recommender_base.py:245-271``)."""
         users = [self.user_vocab.raw_ids[x] if x >= 0 else "__unknown__" for x in u]
         items = [self.item_vocab.raw_ids[x] if x >= 0 else "__unknown__" for x in i]
         df = pd.DataFrame({"user_id": users, "item_id": items})
-        return np.asarray(self.predict(df, bound_ratings=bound_ratings))
+        preds = np.asarray(self.predict(df, bound_ratings=bound_ratings))
+        return preds, np.asarray(self.predictions_possible, dtype=bool)
 
     def recommend(
         self,
@@ -215,7 +221,8 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
             self.predictions_possible = [True] * len(item_ids)
         else:
             u = np.full(item_ids.shape, u_dense, dtype=np.int32)
-            preds = self._predict_dense(u, item_ids, bound_ratings=False)
+            preds, possible = self._predict_dense(u, item_ids, bound_ratings=False)
+            self.predictions_possible = np.asarray(possible).tolist()
 
         order = np.argsort(-preds, kind="stable")[:amount]
         top_items = item_ids[order]

@@ -137,7 +137,7 @@ class _TopKNeighborCF(RecommenderBase):
     def _predict_dense(self, u, i, bound_ratings):
         return self._predict_arrays(
             np.asarray(u, np.int32), np.asarray(i, np.int32), bound_ratings
-        )[0]
+        )
 
 
 class TopKItemItemCF(_TopKNeighborCF):

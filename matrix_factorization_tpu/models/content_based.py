@@ -133,10 +133,9 @@ class ContentBasedRecommender(RecommenderBase):
         return preds.tolist()
 
     def _predict_dense(self, u, i, bound_ratings):
-        preds, _ = self._predict_arrays(
+        return self._predict_arrays(
             np.asarray(u, np.int32), np.asarray(i, np.int32), bound_ratings
         )
-        return preds
 
     @property
     def user_profiles(self) -> dict:

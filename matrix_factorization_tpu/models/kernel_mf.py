@@ -217,7 +217,7 @@ class KernelMF(RecommenderBase):
     def _predict_dense(self, u, i, bound_ratings):
         return self._predict_arrays(
             np.asarray(u, np.int32), np.asarray(i, np.int32), bound_ratings
-        )[0]
+        )
 
     def update_users(
         self,

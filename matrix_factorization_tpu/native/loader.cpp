@@ -136,10 +136,14 @@ bool parse_line(const char** p, const char* end, int cu, int ci, int cr,
 }
 
 // Open-addressing hash set/map on uint64 keys (bitcast doubles).
+// `n` is only a size HINT: the table rehashes to 2x capacity whenever
+// occupancy would cross load factor 1/2, so any number of distinct keys
+// is safe (a column can be all-unique — n distinct ids).
 struct FlatMap {
   std::vector<uint64_t> keys;
   std::vector<int32_t> vals;
   size_t mask;
+  size_t count = 0;
   static constexpr uint64_t kEmpty = 0xffffffffffffffffULL;
 
   explicit FlatMap(size_t n) {
@@ -157,13 +161,31 @@ struct FlatMap {
     x ^= x >> 33;
     return x;
   }
+  void grow() {
+    size_t new_cap = (mask + 1) * 2;
+    std::vector<uint64_t> nk(new_cap, kEmpty);
+    std::vector<int32_t> nv(new_cap, -1);
+    size_t nmask = new_cap - 1;
+    for (size_t p = 0; p <= mask; ++p) {
+      if (keys[p] == kEmpty) continue;
+      size_t q = mix(keys[p]) & nmask;
+      while (nk[q] != kEmpty) q = (q + 1) & nmask;
+      nk[q] = keys[p];
+      nv[q] = vals[p];
+    }
+    keys.swap(nk);
+    vals.swap(nv);
+    mask = nmask;
+  }
   // returns existing value or inserts next_val; sets *inserted
   int32_t get_or_insert(uint64_t key, int32_t next_val, bool* inserted) {
+    if ((count + 1) * 2 > mask + 1) grow();
     size_t pos = mix(key) & mask;
     for (;;) {
       if (keys[pos] == kEmpty) {
         keys[pos] = key;
         vals[pos] = next_val;
+        ++count;
         *inserted = true;
         return next_val;
       }

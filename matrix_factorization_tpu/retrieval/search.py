@@ -9,6 +9,7 @@ path (a query touches only its own term columns).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple, Union
 
 import jax
@@ -88,17 +89,22 @@ def search_topk_pos(
     ]
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_scores(emb, q, k: int):
+    scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
 def search_topk_batch(
     index: DenseItemIndex, query_vecs: np.ndarray, k: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Batched accelerator top-k for serving: (scores, positions) (B, k)."""
+    """Batched accelerator top-k for serving: (scores, positions) (B, k).
+
+    The jitted kernel is module-level with static ``k`` so repeat serving
+    calls hit the jit cache (compiles cost 30-90s on the remote-compile
+    TPU backend; a per-call closure retraced every time).
+    """
     emb = _device_embeddings(index)
     q = jnp.asarray(np.asarray(query_vecs, np.float32))
-
-    @jax.jit
-    def run(emb, q):
-        scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
-        return jax.lax.top_k(scores, min(k, emb.shape[0]))
-
-    vals, idx = run(emb, q)
+    vals, idx = _topk_scores(emb, q, min(k, emb.shape[0]))
     return np.asarray(vals), np.asarray(idx)

@@ -152,6 +152,20 @@ def test_recommend_top_amount(data):
     assert (recs["rating_pred"] <= m.max_rating).all()
 
 
+def test_recommend_fallback_refreshes_predictions_possible(data):
+    """Regression (ADVICE r1): recommend's non-catalog fallback (unknown
+    user) must refresh predictions_possible like the reference's
+    predict-backed recommend, not leave it stale from a prior call."""
+    X, y = data
+    m = KernelMF(n_factors=4, n_epochs=3, batch_size=256).fit(X, y)
+    m.predict(X.iloc[:3])
+    assert m.predictions_possible == [True, True, True]  # stale baseline
+    recs = m.recommend(user="__never_seen__", amount=5)
+    assert len(recs) == 5
+    assert len(m.predictions_possible) == m.n_items
+    assert not any(m.predictions_possible)  # unknown user: nothing possible
+
+
 def test_duplicate_ratings_raise(data):
     X, y = data
     X2 = pd.concat([X, X.iloc[[0]]])

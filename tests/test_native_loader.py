@@ -68,3 +68,24 @@ def test_no_header_and_column_selection(tmp_path):
     out = load_ratings_csv(path, has_header=False, cols=(0, 1, 3))
     assert out.ratings.tolist() == [4.5, 3.0]
     assert out.user_uniques.astype(int).tolist() == [7, 8]
+
+
+def test_all_unique_ids_do_not_hang(tmp_path):
+    """Regression (ADVICE r1 high): the dense-encode FlatMap was sized for
+    ~n/2 distinct keys and spun forever once full; near-unique user ids
+    (valid data) deadlocked training. The map must grow instead."""
+    n = 6000  # > the old fixed capacity for this n
+    df = pd.DataFrame(
+        {
+            "userId": np.arange(n),  # all-unique
+            "movieId": np.arange(n)[::-1],  # all-unique
+            "rating": np.full(n, 3.0),
+        }
+    )
+    path = tmp_path / "unique.csv"
+    df.to_csv(path, index=False)
+    nat = load_ratings_csv(path, force_backend="native")
+    pdl = load_ratings_csv(path, force_backend="pandas")
+    assert len(nat.user_uniques) == n and len(nat.item_uniques) == n
+    np.testing.assert_array_equal(nat.user_ids, pdl.user_ids)
+    np.testing.assert_array_equal(nat.item_ids, pdl.item_ids)

@@ -163,6 +163,23 @@ def test_checkpoint_roundtrip_kernelmf(tmp_path):
     assert m2.known_users == m.known_users
 
 
+def test_checkpoint_to_new_nested_directory(tmp_path):
+    """Regression (ADVICE r1): saving under a not-yet-existing parent used
+    to mkdtemp on the system tmp and fail the cross-directory rename."""
+    X, y = lowrank_ratings(n_users=20, n_items=15, density=0.5, seed=8)
+    m = BaselineModel(method="als", n_epochs=3).fit(X, y)
+    deep = tmp_path / "a" / "b" / "ckpt"
+    save_model(m, deep)
+    m2 = load_model(deep)
+    np.testing.assert_allclose(m2.predict(X.iloc[:10]), m.predict(X.iloc[:10]),
+                               atol=1e-6)
+    # overwrite of an existing checkpoint still works (rename-aside path)
+    save_model(m, deep)
+    assert load_model(deep) is not None
+    leftovers = [p for p in deep.parent.iterdir() if p.name != "ckpt"]
+    assert not leftovers, f"stale temp dirs left behind: {leftovers}"
+
+
 def test_checkpoint_roundtrip_baseline(tmp_path):
     X, y = lowrank_ratings(n_users=30, n_items=20, density=0.5, seed=7)
     m = BaselineModel(method="als", n_epochs=5).fit(X, y)
