@@ -6,8 +6,17 @@ updates/s/core numba loop measured in
 MovieLens-25M-shaped synthetic workload.  Prints ONE JSON line:
 ``{"metric", "value", "unit", "vs_baseline"}`` where vs_baseline is the
 speedup over the reference's single-core throughput.
+
+Uses the chunk-item-sorted epoch layout (``pack_ratings(order='item')``)
+— MXU tile-aggregated updates instead of per-row scatters; held-out RMSE
+parity vs the sequential reference-semantics oracle is regression-tested
+(tests/test_parity_oracle.py::test_item_order_rmse_parity_vs_oracle).
+
+``--config 1..5`` instead runs one of the five BASELINE.json configs
+(delegates to benchmarks/run_configs.py, one JSON line each).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -56,7 +65,7 @@ def main() -> None:
         compute_epoch_rmse=False,
         shuffle="batch",
     )
-    data = sgd.pack_ratings(u, i, r, cfg.batch_size)
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size, order="item")
     params = sgd.init_params(
         jax.random.PRNGKey(0), N_USERS, N_ITEMS, cfg, float(r.mean())
     )
@@ -92,5 +101,25 @@ def main() -> None:
     )
 
 
+def _dispatch() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, default=0, choices=range(0, 6),
+                   help="0 = headline metric; 1..5 = BASELINE.json configs")
+    p.add_argument("--scale", choices=["small", "full"], default="full")
+    a = p.parse_args()
+    if a.config == 0:
+        main()
+        return
+    sys.path.insert(0, "benchmarks")
+    import run_configs
+
+    run_configs._persistent_cache()
+    t0 = time.perf_counter()
+    result = run_configs.CONFIGS[a.config](a.scale)
+    result["scale"] = a.scale
+    result["total_seconds"] = round(time.perf_counter() - t0, 1)
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_dispatch())

@@ -47,26 +47,36 @@ def _gen(n_users, n_items, n_ratings, seed=0):
     return u, i, r
 
 
-def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr):
+def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr,
+                    order="item", trials=3):
+    """Best-of-``trials`` epochs/sec.  ``order='item'`` is the fast
+    chunk-sorted layout (oracle RMSE parity regression-tested,
+    tests/test_parity_oracle.py); pass 'shuffle' for the reference
+    visit order."""
     import jax
     import jax.numpy as jnp
 
     from matrix_factorization_tpu.ops import segment_sgd as sgd
 
-    data = sgd.pack_ratings(u, i, r, cfg.batch_size)
-    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
-                             float(r.mean()))
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size, order=order)
     train = sgd.jit_sgd_train(cfg, epochs)
-    out, hist = train(params, data, jax.random.PRNGKey(1), lr)
-    float(jnp.sum(out.user_features))  # force
-    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
-                             float(r.mean()))
-    float(jnp.sum(params.user_features))
-    t0 = time.perf_counter()
-    out, hist = train(params, data, jax.random.PRNGKey(1), lr)
-    float(jnp.sum(out.user_features))
-    dt = time.perf_counter() - t0
-    return out, np.asarray(hist), epochs * len(r) / dt
+
+    def mk():
+        p = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                            float(r.mean()))
+        float(jnp.sum(p.user_features))
+        return p
+
+    out, hist = train(mk(), data, jax.random.PRNGKey(1), lr)
+    float(jnp.sum(out.user_features))  # force (warm-up/compile)
+    best = float("inf")
+    for _ in range(trials):
+        params = mk()
+        t0 = time.perf_counter()
+        out, hist = train(params, data, jax.random.PRNGKey(1), lr)
+        float(jnp.sum(out.user_features))
+        best = min(best, time.perf_counter() - t0)
+    return out, np.asarray(hist), epochs * len(r) / best
 
 
 def config1(scale):

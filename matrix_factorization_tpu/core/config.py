@@ -43,6 +43,11 @@ class SGDConfig:
     # 'full'  = per-epoch element permutation (reference-exact semantics);
     # 'none'  = fixed visit order (debugging / sequential-parity mode)
     shuffle: str = "batch"
+    # 'auto' = use tile-aggregated updates when the packed data carries
+    # tile metadata (MXU one-hot aggregation instead of per-row scatter;
+    # identical update up to float summation order); 'none' = always
+    # per-row scatter.  'full' shuffle always uses the scatter path.
+    aggregate: str = "auto"
 
     @property
     def padded_factors(self) -> int:

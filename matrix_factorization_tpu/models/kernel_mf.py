@@ -55,6 +55,7 @@ class KernelMF(RecommenderBase):
         seed: int = 0,
         mesh=None,
         method: str = "sgd",
+        epoch_order: str = "shuffle",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
@@ -63,11 +64,19 @@ class KernelMF(RecommenderBase):
 
         ``method``: 'sgd' (reference semantics) or 'als' (extension: exact
         alternating least squares for factors+biases — linear kernel only,
-        typically converges in far fewer epochs; see ``ops/ials.py``)."""
+        typically converges in far fewer epochs; see ``ops/ials.py``).
+
+        ``epoch_order``: 'shuffle' (reference semantics: random visit
+        order) or 'item' (extension: item-sorted epochs with per-epoch
+        batch-order shuffling — tiny aggregation tiles make SGD ~1.4x
+        faster per epoch; final-RMSE parity with 'shuffle' is verified in
+        tests/test_kernel_mf.py and PARITY.md #6)."""
         if kernel not in ("linear", "sigmoid", "rbf"):
             raise ValueError("Kernel must be one of linear, sigmoid, or rbf")
         if method not in ("sgd", "als"):
             raise ValueError("Method must be 'sgd' or 'als'")
+        if epoch_order not in ("shuffle", "item"):
+            raise ValueError("epoch_order must be 'shuffle' or 'item'")
         if method == "als" and kernel != "linear":
             raise ValueError("method='als' requires the linear kernel")
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
@@ -83,6 +92,7 @@ class KernelMF(RecommenderBase):
         self.seed = seed
         self.mesh = mesh
         self.method = method
+        self.epoch_order = epoch_order
         self._params: Optional[sgd.MFParams] = None
         self.train_rmse: list = []
 
@@ -172,7 +182,8 @@ class KernelMF(RecommenderBase):
                     k_init, self.n_users, self.n_items, cfg,
                     self.global_mean, self.init_mean, self.init_sd,
                 )
-            data = sgd.pack_ratings(u, i, r, cfg.batch_size)
+            data = sgd.pack_ratings(u, i, r, cfg.batch_size,
+                                    order=self.epoch_order)
             if self.method == "als":
                 from matrix_factorization_tpu.ops import ials
 

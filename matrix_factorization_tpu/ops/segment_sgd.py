@@ -67,6 +67,14 @@ class RatingBatches:
 
     ``n_real`` is static metadata (not a traced leaf) so jitted code can
     use it as a Python int.
+
+    When tile-aggregation metadata is present (the default), each batch is
+    stored sorted by item id and carries, per side, tile bases plus a
+    user-sort permutation, letting the minibatch step replace the two
+    per-row scatters (~6ns/row on v5e, the round-1 throughput ceiling)
+    with per-tile one-hot einsums on the MXU and a C/S-times-smaller
+    block scatter.  ``agg_item``/``agg_user`` are static ``(S, C)`` tile
+    shapes; ``(0, 0)`` disables that side.
     """
 
     user_ids: jax.Array  # (nb, bs) int32
@@ -74,6 +82,12 @@ class RatingBatches:
     ratings: jax.Array  # (nb, bs) f32
     weights: jax.Array  # (nb, bs) f32, 1.0 real / 0.0 pad
     n_real: int = struct.field(pytree_node=False)
+    item_tile_base: Optional[jax.Array] = None  # (nb, bs/S_i) int32
+    user_ids_sorted: Optional[jax.Array] = None  # (nb, bs) int32
+    user_perm: Optional[jax.Array] = None  # (nb, bs) int32
+    user_tile_base: Optional[jax.Array] = None  # (nb, bs/S_u) int32
+    agg_item: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    agg_user: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
 
 
 def round_up(x: int, m: int) -> int:
@@ -150,33 +164,141 @@ def fresh_user_rows(key: jax.Array, n: int, cfg: SGDConfig,
     return f
 
 
+_SCATTER_NS_PER_ROW = 6.0  # measured v5e (benchmarks/micro_rowops.py)
+_EINSUM_NS_PER_ENTRY_COL = 0.0013  # K=128 MAC on MXU, f32
+_ONEHOT_NS_PER_ENTRY_COL = 0.0005  # one-hot build (fused into the einsum)
+
+
+_TILE_CANDIDATES = (2048, 1024, 512, 256, 128)  # large-to-small
+
+
+def _tile_meta(
+    ids_2d: np.ndarray, bs: int, c_max: int, max_id: int,
+    min_gain: float = 0.2,
+) -> Optional[Tuple[np.ndarray, int, int]]:
+    """Pick the (S, C) tile shape minimizing the modeled update cost for
+    per-row-SORTED ``ids_2d`` (nb, bs); returns (tile_bases, S, C) or None
+    when a plain scatter is modeled cheaper (or the id space is tiny).
+    ``min_gain`` is the required modeled advantage over the plain scatter
+    (negative forces tiling on, for tests)."""
+    best = None
+    best_cost = _SCATTER_NS_PER_ROW * bs * (1.0 - min_gain)
+    for S in _TILE_CANDIDATES:
+        if bs % S or S > bs:
+            continue
+        tiles = ids_2d.reshape(ids_2d.shape[0], -1, S)
+        span = int((tiles[:, :, -1] - tiles[:, :, 0]).max()) + 1
+        C = round_up(span, 32)
+        if C > c_max or C > max_id + 1:
+            continue
+        cost = (bs // S) * C * _SCATTER_NS_PER_ROW + bs * C * (
+            _EINSUM_NS_PER_ENTRY_COL + _ONEHOT_NS_PER_ENTRY_COL
+        )
+        # require a strict 3% gain to move to a smaller tile: on ties,
+        # larger tiles win empirically (fewer, wider scatter blocks)
+        if cost < best_cost * (0.97 if best is not None else 1.0):
+            best_cost = cost
+            base = np.minimum(tiles[:, :, 0], max_id + 1 - C).astype(np.int32)
+            best = (base, S, C)
+    return best
+
+
 def pack_ratings(
     user_ids: np.ndarray,
     item_ids: np.ndarray,
     ratings: np.ndarray,
     batch_size: int,
     shuffle_seed: Optional[int] = 0,
+    order: str = "shuffle",
+    aggregate: bool = True,
+    c_max: int = 512,
+    agg_min_gain: float = 0.2,
+    item_sort_chunks: int = 8,
 ) -> RatingBatches:
-    """Host-side packing into (nb, bs) blocks, pre-shuffled once."""
+    """Host-side packing into (nb, bs) blocks, pre-shuffled once.
+
+    ``order='item'`` splits the (shuffled) stream into
+    ``item_sort_chunks`` chunks and sorts each by item id, so batches
+    cover narrow item windows (tiny aggregation tiles) while every item
+    still receives multiple spread-out updates per epoch — a full sort
+    collapses each item to one update/epoch and measurably degrades
+    fixed-epoch RMSE.  Visit order still deviates from the reference's
+    random shuffle; oracle parity is regression-tested
+    (``tests/test_parity_oracle.py::test_item_order_rmse_parity_vs_oracle``).
+    ``aggregate`` precomputes the per-batch tile metadata (in-batch
+    item sort + user sort permutation); within-batch order is
+    irrelevant to the summed minibatch update, so this never changes
+    semantics beyond float summation order.
+    """
     n = int(len(ratings))
     if shuffle_seed is not None and n > 1:
         perm = np.random.default_rng(shuffle_seed).permutation(n)
         user_ids, item_ids, ratings = (
             user_ids[perm], item_ids[perm], ratings[perm],
         )
+    if order not in ("shuffle", "item"):
+        raise ValueError(f"unknown pack order {order!r}")
     n_pad = max(batch_size, round_up(n, batch_size))
     pad = n_pad - n
     nb = n_pad // batch_size
-    u = np.concatenate([user_ids.astype(np.int32), np.zeros(pad, np.int32)])
-    i = np.concatenate([item_ids.astype(np.int32), np.zeros(pad, np.int32)])
+    # pads repeat the last real ids (weight 0 makes them no-ops) so they
+    # sort adjacent to real entries and never widen an aggregation tile
+    pad_u = np.full(pad, user_ids[-1] if n else 0, np.int32)
+    pad_i = np.full(pad, item_ids[-1] if n else 0, np.int32)
+    u = np.concatenate([user_ids.astype(np.int32), pad_u])
+    i = np.concatenate([item_ids.astype(np.int32), pad_i])
     r = np.concatenate([ratings.astype(np.float32), np.zeros(pad, np.float32)])
     w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    if order == "item" and n > 1:
+        # sort whole-batch chunks by item id: chunk bounds are batch
+        # boundaries, so no aggregation tile ever straddles two chunks
+        # (a mixed tile would span the whole id space and disable the
+        # tile path); pads carry weight 0, sorting them in is harmless
+        chunks = max(1, min(item_sort_chunks, nb))
+        for lo_b in range(0, nb, -(-nb // chunks)):
+            lo = lo_b * batch_size
+            hi = min(lo + -(-nb // chunks) * batch_size, n_pad)
+            srt = np.argsort(i[lo:hi], kind="stable")
+            u[lo:hi] = u[lo:hi][srt]
+            i[lo:hi] = i[lo:hi][srt]
+            r[lo:hi] = r[lo:hi][srt]
+            w[lo:hi] = w[lo:hi][srt]
+    u = u.reshape(nb, batch_size)
+    i = i.reshape(nb, batch_size)
+    r = r.reshape(nb, batch_size)
+    w = w.reshape(nb, batch_size)
+
+    kw: dict = {}
+    agg_item = agg_user = (0, 0)
+    if aggregate and n > 0:
+        # store each batch item-sorted; the item side then needs no perm
+        isort = np.argsort(i, axis=1, kind="stable")
+        u = np.take_along_axis(u, isort, axis=1)
+        i = np.take_along_axis(i, isort, axis=1)
+        r = np.take_along_axis(r, isort, axis=1)
+        w = np.take_along_axis(w, isort, axis=1)
+        mi = _tile_meta(i, batch_size, c_max, int(i.max()), agg_min_gain)
+        if mi is not None:
+            kw["item_tile_base"] = jnp.asarray(mi[0])
+            agg_item = (mi[1], mi[2])
+        usort = np.argsort(u, axis=1, kind="stable").astype(np.int32)
+        us = np.take_along_axis(u, usort, axis=1)
+        mu_ = _tile_meta(us, batch_size, c_max, int(u.max()), agg_min_gain)
+        if mu_ is not None:
+            kw["user_ids_sorted"] = jnp.asarray(us)
+            kw["user_perm"] = jnp.asarray(usort)
+            kw["user_tile_base"] = jnp.asarray(mu_[0])
+            agg_user = (mu_[1], mu_[2])
+
     return RatingBatches(
-        jnp.asarray(u.reshape(nb, batch_size)),
-        jnp.asarray(i.reshape(nb, batch_size)),
-        jnp.asarray(r.reshape(nb, batch_size)),
-        jnp.asarray(w.reshape(nb, batch_size)),
+        jnp.asarray(u),
+        jnp.asarray(i),
+        jnp.asarray(r),
+        jnp.asarray(w),
         n,
+        agg_item=agg_item,
+        agg_user=agg_user,
+        **kw,
     )
 
 
@@ -269,6 +391,95 @@ def sgd_minibatch_step(
 
 
 # ---------------------------------------------------------------------------
+# Tile-aggregated updates (MXU one-hot einsum instead of per-row scatter)
+# ---------------------------------------------------------------------------
+
+
+def _tile_scatter_add(
+    table: jax.Array,
+    rows: jax.Array,
+    ids_sorted: jax.Array,
+    tile_base: jax.Array,
+    S: int,
+    C: int,
+) -> jax.Array:
+    """``table.at[ids_sorted].add(rows)`` for per-tile-sorted ids.
+
+    Each tile of ``S`` consecutive (sorted) entries spans < ``C`` ids, so
+    its row deltas collapse onto a (C, width) block via a one-hot matmul
+    on the MXU, and only ``C/S`` as many rows hit the XLA scatter (the
+    ~6ns/row bottleneck).  Bases are pre-clamped so ``base + C`` never
+    exceeds the id space; one-hot columns past a tile's actual ids are
+    all-zero, so the extra block rows add exact zeros.
+    """
+    bs, kp = rows.shape
+    T = bs // S
+    lidx = ids_sorted.reshape(T, S) - tile_base[:, None]
+    oh = (
+        lidx[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    ).astype(rows.dtype)
+    agg = jnp.einsum(
+        "tsc,tsk->tck", oh, rows.reshape(T, S, kp),
+        preferred_element_type=jnp.float32,
+    )
+    idx = (tile_base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :])
+    return table.at[idx.reshape(-1)].add(
+        agg.reshape(-1, kp), mode="promise_in_bounds"
+    )
+
+
+def _minibatch_update(
+    params: MFParams,
+    b: dict,
+    cfg: SGDConfig,
+    lr,
+    agg_item: Tuple[int, int],
+    agg_user: Tuple[int, int],
+) -> MFParams:
+    """One synchronous mini-batch update; per-side scatter or tile path."""
+    u, i, r, w = b["u"], b["i"], b["r"], b["w"]
+    pu = params.user_features.at[u].get(mode="promise_in_bounds")
+    qi = params.item_features.at[i].get(mode="promise_in_bounds")
+    pred, d_pu, d_qi = ext_forward_and_rowgrads(cfg, params.global_mean, pu, qi)
+    err = (pred - r) * w
+
+    new = params
+    if cfg.update_user_params:
+        umask = jnp.asarray(update_mask(cfg, "user"))
+        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
+        if "ub" in b:
+            new = new._replace(
+                user_features=_tile_scatter_add(
+                    new.user_features, (-lr * g)[b["up"]], b["us"], b["ub"],
+                    *agg_user,
+                )
+            )
+        else:
+            new = new._replace(
+                user_features=new.user_features.at[u].add(
+                    -lr * g, mode="promise_in_bounds"
+                )
+            )
+    if cfg.update_item_params:
+        imask = jnp.asarray(update_mask(cfg, "item"))
+        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
+        if "ib" in b:
+            new = new._replace(
+                item_features=_tile_scatter_add(
+                    new.item_features, -lr * g, i, b["ib"], *agg_item,
+                )
+            )
+        else:
+            new = new._replace(
+                item_features=new.item_features.at[i].add(
+                    -lr * g, mode="promise_in_bounds"
+                )
+            )
+    return new
+
+
+# ---------------------------------------------------------------------------
 # Epoch and multi-epoch drivers
 # ---------------------------------------------------------------------------
 
@@ -276,25 +487,36 @@ def sgd_minibatch_step(
 def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
            cfg: SGDConfig, lr):
     nb = data.user_ids.shape[0]
+    xs = {
+        "u": data.user_ids, "i": data.item_ids,
+        "r": data.ratings, "w": data.weights,
+    }
+    agg_item = agg_user = (0, 0)
+    if cfg.shuffle != "full" and cfg.aggregate != "none":
+        if data.agg_item[1] and cfg.update_item_params:
+            xs["ib"] = data.item_tile_base
+            agg_item = data.agg_item
+        if data.agg_user[1] and cfg.update_user_params:
+            xs["us"] = data.user_ids_sorted
+            xs["up"] = data.user_perm
+            xs["ub"] = data.user_tile_base
+            agg_user = data.agg_user
+
     if cfg.shuffle == "full":
         n_pad = nb * cfg.batch_size
         perm = jax.random.permutation(key, n_pad)
-        xs = tuple(
-            x.reshape(-1)[perm].reshape(nb, cfg.batch_size)
-            for x in (data.user_ids, data.item_ids, data.ratings, data.weights)
-        )
+        xs = {
+            k: v.reshape(-1)[perm].reshape(nb, cfg.batch_size)
+            for k, v in xs.items()
+        }
     elif cfg.shuffle == "batch":
         bperm = jax.random.permutation(key, nb)
-        xs = tuple(
-            x[bperm]
-            for x in (data.user_ids, data.item_ids, data.ratings, data.weights)
-        )
-    else:  # 'none'
-        xs = (data.user_ids, data.item_ids, data.ratings, data.weights)
+        xs = {k: v[bperm] for k, v in xs.items()}
+    elif cfg.shuffle != "none":
+        raise ValueError(f"unknown shuffle {cfg.shuffle!r}")
 
     def body(p, batch):
-        uu, ii, rr, ww = batch
-        return sgd_minibatch_step(p, uu, ii, rr, ww, cfg, lr), None
+        return _minibatch_update(p, batch, cfg, lr, agg_item, agg_user), None
 
     params, _ = jax.lax.scan(body, params, xs)
     return params

@@ -152,6 +152,44 @@ def test_recommend_top_amount(data):
     assert (recs["rating_pred"] <= m.max_rating).all()
 
 
+@pytest.mark.parametrize("kernel", ["linear", "sigmoid", "rbf"])
+def test_tile_aggregation_matches_scatter_path(kernel, rng):
+    """The MXU tile-aggregated update must equal the per-row scatter
+    update exactly (up to float summation order)."""
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+    import jax
+
+    n, U, I = 4000, 250, 180
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel=kernel, n_factors=12, batch_size=512, lr=0.01,
+                    reg=0.02, compute_epoch_rmse=True, shuffle="batch")
+    p0 = sgd.init_params(jax.random.PRNGKey(0), U, I, cfg, float(r.mean()))
+    d_agg = sgd.pack_ratings(u, i, r, 512, agg_min_gain=-10)
+    d_pln = sgd.pack_ratings(u, i, r, 512, aggregate=False)
+    assert d_agg.agg_item[1] > 0 and d_agg.agg_user[1] > 0
+    pa, ha = sgd.sgd_train(p0, d_agg, jax.random.PRNGKey(1), cfg, 3, cfg.lr)
+    pp, hp = sgd.sgd_train(p0, d_pln, jax.random.PRNGKey(1), cfg, 3, cfg.lr)
+    np.testing.assert_allclose(pa.user_features, pp.user_features, atol=2e-6)
+    np.testing.assert_allclose(pa.item_features, pp.item_features, atol=2e-6)
+    np.testing.assert_allclose(ha, hp, atol=1e-5)
+
+
+def test_item_epoch_order_rmse_parity(data):
+    """epoch_order='item' (fast tile path) must reach the same quality as
+    the reference's shuffled visit order — final-metric parity."""
+    X, y = data
+    rmse = {}
+    for order in ("shuffle", "item"):
+        m = KernelMF(n_factors=8, n_epochs=25, lr=0.02, reg=0.02,
+                     batch_size=512, epoch_order=order)
+        m.fit(X, y)
+        rmse[order] = m.train_rmse[-1]
+    assert abs(rmse["shuffle"] - rmse["item"]) < 0.01, rmse
+
+
 def test_recommend_fallback_refreshes_predictions_possible(data):
     """Regression (ADVICE r1): recommend's non-catalog fallback (unknown
     user) must refresh predictions_possible like the reference's
