@@ -163,8 +163,15 @@ class KernelMF(RecommenderBase):
         )
         if self.mesh is not None and not warm_start and self._mesh_data_size() > 1:
             from matrix_factorization_tpu.parallel import distributed as dist
+            from matrix_factorization_tpu.parallel.mesh import MODEL_AXIS
 
-            params, rmse_hist = dist.dp_fit(
+            # model axis > 1: shard the item table too (2D training)
+            fit_fn = (
+                dist.dp_tp_fit
+                if self.mesh.shape.get(MODEL_AXIS, 1) > 1
+                else dist.dp_fit
+            )
+            params, rmse_hist = fit_fn(
                 u, i, r, self.n_users, self.n_items, cfg, n_epochs, self.lr,
                 self.mesh, seed=self.seed, init_mean=self.init_mean,
                 init_sd=self.init_sd,

@@ -1,6 +1,11 @@
-"""Data-parallel segment-SGD over a device mesh.
+"""Data- and model-parallel segment-SGD over a device mesh.
 
-Layout (the scaling design SURVEY.md §2.4 calls for):
+Two trainers: ``dp_fit`` (P sharded, Q replicated — fastest when the
+catalog fits one device) and ``dp_tp_fit`` (BOTH tables sharded over a 2D
+(data x model) mesh with cell-partitioned ratings — catalogs bigger than
+one device's HBM, SURVEY §2.4).
+
+``dp_fit`` layout:
 
 * **P (extended user rows, bias folded) is row-sharded** over the ``data``
   axis; ratings are pre-sharded by user range so every P update is local to
@@ -28,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from matrix_factorization_tpu.core.config import SGDConfig
 from matrix_factorization_tpu.ops import segment_sgd as sgd
 from matrix_factorization_tpu.ops.segment_sgd import MFParams, round_up
-from matrix_factorization_tpu.parallel.mesh import DATA_AXIS
+from matrix_factorization_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 class ShardedRatings(NamedTuple):
@@ -194,6 +199,232 @@ def place_params(params: MFParams, mesh: Mesh) -> MFParams:
         item_features=jax.device_put(params.item_features, rep),
         global_mean=jax.device_put(params.global_mean, rep),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D (data x model) training: BOTH tables sharded
+# ---------------------------------------------------------------------------
+#
+# SURVEY §2.4 calls for sharding P *and* Q at 100M-rating scale: a
+# replicated item table caps the catalog at one device's HBM.  Layout:
+#
+# * P row-sharded over ``data`` (replicated over ``model``);
+#   Q row-sharded over ``model`` (replicated over ``data``).
+# * Ratings are partitioned into (user-range x item-range) CELLS so that
+#   device (d, m) owns exactly the ratings whose user falls in P-shard d
+#   and whose item falls in Q-shard m — every gather and scatter is
+#   device-local; no all-gather of table rows is ever needed.
+# * Each synchronous step psums the local P deltas over ``model`` (a
+#   user's ratings are split across item shards) and the local Q deltas
+#   over ``data`` — both ride ICI.  Replicas stay bit-identical.
+
+
+def shard_ratings_2d(
+    u: np.ndarray,
+    i: np.ndarray,
+    r: np.ndarray,
+    user_capacity: int,
+    item_capacity: int,
+    n_data: int,
+    n_model: int,
+    batch_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Partition ratings into (n_data x n_model) cells.
+
+    Returns device-major (u_local, i_local, r, w) flattened in (d, m)
+    order plus the per-device padded length (max cell size rounded up to
+    whole batches; all cells padded identically so shapes are static).
+    """
+    assert user_capacity % n_data == 0 and item_capacity % n_model == 0
+    users_per = user_capacity // n_data
+    items_per = item_capacity // n_model
+    cell = (u // users_per).astype(np.int64) * n_model + (i // items_per)
+    order = np.argsort(cell, kind="stable")
+    u, i, r, cell = u[order], i[order], r[order], cell[order]
+    counts = np.bincount(cell, minlength=n_data * n_model)
+    n_pad = max(batch_size, round_up(int(counts.max()), batch_size))
+
+    n_dev = n_data * n_model
+    uu = np.zeros((n_dev, n_pad), np.int32)
+    ii = np.zeros((n_dev, n_pad), np.int32)
+    rr = np.zeros((n_dev, n_pad), np.float32)
+    ww = np.zeros((n_dev, n_pad), np.float32)
+    start = 0
+    for c in range(n_dev):
+        cnt = int(counts[c])
+        sl = slice(start, start + cnt)
+        d, m = divmod(c, n_model)
+        uu[c, :cnt] = u[sl] - d * users_per
+        ii[c, :cnt] = i[sl] - m * items_per
+        rr[c, :cnt] = r[sl]
+        ww[c, :cnt] = 1.0
+        start += cnt
+    return uu.reshape(-1), ii.reshape(-1), rr.reshape(-1), ww.reshape(-1), n_pad
+
+
+def _local_minibatch_step_2d(carry, batch, cfg: SGDConfig, lr):
+    """One synchronous step with BOTH deltas psum'd across the other axis."""
+    P_l, Q_l, mu = carry
+    u, i, r, w = batch
+    pu = P_l.at[u].get(mode="promise_in_bounds")
+    qi = Q_l.at[i].get(mode="promise_in_bounds")
+    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
+    err = (pred - r) * w
+
+    if cfg.update_user_params:
+        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
+        dP = jnp.zeros_like(P_l).at[u].add(-lr * g, mode="promise_in_bounds")
+        P_l = P_l + jax.lax.psum(dP, MODEL_AXIS)
+    if cfg.update_item_params:
+        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
+        dQ = jnp.zeros_like(Q_l).at[i].add(-lr * g, mode="promise_in_bounds")
+        Q_l = Q_l + jax.lax.psum(dQ, DATA_AXIS)
+    return (P_l, Q_l, mu), None
+
+
+def dp_tp_sgd_train(
+    params: MFParams,
+    data: ShardedRatings,
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr: float,
+    mesh: Mesh,
+    n_real: int,
+) -> Tuple[MFParams, jax.Array]:
+    """Multi-epoch 2D-sharded training under ``shard_map``.
+
+    ``params.user_features`` must be row-sharded over ``data``,
+    ``params.item_features`` row-sharded over ``model``; ``data`` arrays
+    device-major in (d, m) order with LOCAL ids (see
+    :func:`shard_ratings_2d`).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+    n_pad_local = data.total_len // (n_data * n_model)
+    nb = n_pad_local // cfg.batch_size
+
+    def local_train(P_l, Q_l, mu, u_l, i_l, r_l, w_l, keys):
+        d = jax.lax.axis_index(DATA_AXIS)
+        m = jax.lax.axis_index(MODEL_AXIS)
+
+        def epoch(carry, k):
+            k = jax.random.fold_in(jax.random.fold_in(k, d), m)
+            if cfg.shuffle == "full":
+                perm = jax.random.permutation(k, n_pad_local)
+                xs = tuple(
+                    x[perm].reshape(nb, cfg.batch_size)
+                    for x in (u_l, i_l, r_l, w_l)
+                )
+            elif cfg.shuffle == "batch":
+                bperm = jax.random.permutation(k, nb)
+                xs = tuple(
+                    x.reshape(nb, cfg.batch_size)[bperm]
+                    for x in (u_l, i_l, r_l, w_l)
+                )
+            else:
+                xs = tuple(
+                    x.reshape(nb, cfg.batch_size)
+                    for x in (u_l, i_l, r_l, w_l)
+                )
+            carry, _ = jax.lax.scan(
+                lambda c, b: _local_minibatch_step_2d(c, b, cfg, lr), carry, xs
+            )
+            if cfg.compute_epoch_rmse:
+                sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
+                sse = jax.lax.psum(jax.lax.psum(sse, DATA_AXIS), MODEL_AXIS)
+                rmse = jnp.sqrt(sse / max(n_real, 1))
+            else:
+                rmse = jnp.float32(0.0)
+            return carry, rmse
+
+        (P_l, Q_l, mu), hist = jax.lax.scan(epoch, (P_l, Q_l, mu), keys)
+        return P_l, Q_l, hist
+
+    fn = jax.shard_map(
+        local_train,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS), P(MODEL_AXIS), P(),
+            P((DATA_AXIS, MODEL_AXIS)), P((DATA_AXIS, MODEL_AXIS)),
+            P((DATA_AXIS, MODEL_AXIS)), P((DATA_AXIS, MODEL_AXIS)), P(),
+        ),
+        out_specs=(P(DATA_AXIS), P(MODEL_AXIS), P()),
+    )
+    keys = jax.random.split(key, n_epochs)
+    P_new, Q_new, hist = fn(
+        params.user_features,
+        params.item_features,
+        params.global_mean,
+        data.user_ids,
+        data.item_ids,
+        data.ratings,
+        data.weights,
+        keys,
+    )
+    return MFParams(P_new, Q_new, params.global_mean), hist
+
+
+def place_params_2d(params: MFParams, mesh: Mesh) -> MFParams:
+    """P row-sharded over data, Q row-sharded over model."""
+    return MFParams(
+        user_features=jax.device_put(
+            params.user_features, NamedSharding(mesh, P(DATA_AXIS))
+        ),
+        item_features=jax.device_put(
+            params.item_features, NamedSharding(mesh, P(MODEL_AXIS))
+        ),
+        global_mean=jax.device_put(
+            params.global_mean, NamedSharding(mesh, P())
+        ),
+    )
+
+
+def dp_tp_fit(
+    u: np.ndarray,
+    i: np.ndarray,
+    r: np.ndarray,
+    n_users: int,
+    n_items: int,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr: float,
+    mesh: Mesh,
+    seed: int = 0,
+    init_mean: float = 0.0,
+    init_sd: float = 0.1,
+) -> Tuple[MFParams, np.ndarray]:
+    """End-to-end 2D-sharded fit (sharded P AND Q)."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+    ucap = round_up(n_users, 8 * n_data)
+    icap = round_up(n_items, 8 * n_model)
+    key = jax.random.PRNGKey(seed)
+    k_init, k_train = jax.random.split(key)
+    params = sgd.init_params(
+        k_init, n_users, n_items, cfg, float(np.mean(r)),
+        init_mean, init_sd, user_capacity=ucap, item_capacity=icap,
+    )
+    params = place_params_2d(params, mesh)
+    su, si, sr, sw, _ = shard_ratings_2d(
+        u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
+        ucap, icap, n_data, n_model, cfg.batch_size,
+    )
+    shard = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+    data = ShardedRatings(
+        jax.device_put(su, shard),
+        jax.device_put(si, shard),
+        jax.device_put(sr, shard),
+        jax.device_put(sw, shard),
+    )
+    train = jax.jit(
+        lambda p, d, k: dp_tp_sgd_train(p, d, k, cfg, n_epochs, lr, mesh,
+                                        len(r))
+    )
+    params, hist = train(params, data, k_train)
+    return params, np.asarray(hist)
 
 
 def dp_fit(

@@ -94,6 +94,82 @@ def test_dp_fit_converges(ratings):
     assert hist[-1] < hist[0]
 
 
+def test_2d_one_step_matches_single_device(ratings):
+    """One global synchronous step on a 2x2 (data x model) mesh with BOTH
+    tables sharded must equal the single-device step over the whole batch."""
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=2, n_model=2)
+    ucap = sgd.round_up(n_users, 8 * 2)
+    icap = sgd.round_up(n_items, 8 * 2)
+
+    _, _, _, _, n_pad = dist.shard_ratings_2d(u, i, r, ucap, icap, 2, 2, 1)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=n_pad, compute_epoch_rmse=True)
+    params0 = sgd.init_params(jax.random.PRNGKey(1), n_users, n_items, cfg,
+                              float(r.mean()), user_capacity=ucap,
+                              item_capacity=icap)
+
+    w = jnp.ones_like(jnp.asarray(r))
+    expected = sgd.sgd_minibatch_step(
+        params0, jnp.asarray(u), jnp.asarray(i), jnp.asarray(r), w, cfg, cfg.lr
+    )
+
+    su, si, sr, sw, n_pad2 = dist.shard_ratings_2d(
+        u, i, r, ucap, icap, 2, 2, n_pad)
+    assert n_pad2 == n_pad
+    shard = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+    data = dist.ShardedRatings(
+        jax.device_put(su, shard), jax.device_put(si, shard),
+        jax.device_put(sr, shard), jax.device_put(sw, shard),
+    )
+    placed = dist.place_params_2d(params0, mesh)
+    # Q really is sharded: each addressable shard holds 1/n_model rows
+    qshard = placed.item_features.addressable_shards[0].data
+    assert qshard.shape[0] == icap // 2
+    got, hist = jax.jit(
+        lambda p, d, k: dist.dp_tp_sgd_train(p, d, k, cfg, 1, cfg.lr, mesh,
+                                             len(r))
+    )(placed, data, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(
+        np.asarray(got.user_features), np.asarray(expected.user_features),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.item_features), np.asarray(expected.item_features),
+        atol=1e-5,
+    )
+    pred = float(expected.global_mean) + np.einsum(
+        "nk,nk->n",
+        np.asarray(expected.user_features)[u],
+        np.asarray(expected.item_features)[i],
+    )
+    want_rmse = np.sqrt(np.mean((pred - r) ** 2))
+    np.testing.assert_allclose(float(hist[0]), want_rmse, rtol=1e-5)
+
+
+def test_2d_fit_converges_and_matches_replicated_q(ratings):
+    """dp_tp_fit (sharded Q) trains; with model=1 it must match dp_fit
+    (replicated Q) batch-for-batch when shuffling is off."""
+    u, i, r, n_users, n_items = ratings
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=32, shuffle="none")
+    mesh2d = make_mesh(n_data=4, n_model=2)
+    params, hist = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg, n_epochs=10,
+                                  lr=cfg.lr, mesh=mesh2d)
+    assert hist[-1] < hist[0]
+
+    # degenerate model axis == the 1D data-parallel trainer
+    mesh1d = make_mesh(n_data=4, n_model=1)
+    p2, h2 = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg, n_epochs=3,
+                            lr=cfg.lr, mesh=mesh1d)
+    p1, h1 = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=3,
+                         lr=cfg.lr, mesh=mesh1d)
+    np.testing.assert_allclose(h2, h1, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2.item_features),
+                               np.asarray(p1.item_features), atol=1e-5)
+
+
 def test_distributed_topk_matches_dense(ratings):
     u, i, r, n_users, n_items = ratings
     mesh = make_mesh(n_data=4, n_model=2)
