@@ -152,6 +152,9 @@ def config3(scale):
 
 
 def config4(scale):
+    import pandas as pd
+
+    from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF
     from matrix_factorization_tpu.ops.sparse_gram import similarity_topk
 
     n_u, n_i, n_r = (
@@ -160,8 +163,25 @@ def config4(scale):
     u, i, r = _gen(n_u, n_i, n_r)
     out = {"config": "ml25m_cf_topk", "n_ratings": len(r)}
     t0 = time.perf_counter()
-    sims, ids, _, _ = similarity_topk(u, i, r, n_u, n_i, k=50)
+    model = TopKItemItemCF(n_neighbors=50, min_rating=0.5, max_rating=5.0)
+    model.fit(pd.DataFrame({"user_id": u, "item_id": i}), pd.Series(r))
     out["item_item_seconds"] = round(time.perf_counter() - t0, 1)
+
+    # ML-25M-shaped BULK predict, fully on device (CSR binary-search
+    # lookups — no pandas in the hot path, VERDICT r1 #5)
+    rng = np.random.default_rng(4)
+    n_q = 1_000_000 if scale == "full" else 20_000
+    qu = rng.integers(0, n_u, n_q).astype(np.int32)
+    qi = rng.integers(0, n_i, n_q).astype(np.int32)
+    model._predict_arrays(qu[:1024], qi[:1024], True)  # warm compile
+    t0 = time.perf_counter()
+    preds, _ = model._predict_arrays(qu, qi, True)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(preds).all()
+    out["bulk_predict_pairs"] = n_q
+    out["bulk_predict_seconds"] = round(dt, 2)
+    out["bulk_predict_pairs_per_sec"] = round(n_q / dt, 1)
+
     t0 = time.perf_counter()
     sims, ids, _, _ = similarity_topk(i, u, r, n_i, n_u, k=50)
     out["user_user_seconds"] = round(time.perf_counter() - t0, 1)

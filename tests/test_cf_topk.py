@@ -61,3 +61,51 @@ def test_topk_cf_end_to_end(cls):
 
     recs = model.recommend(user=X["user_id"].iloc[0], amount=5)
     assert len(recs) == 5
+
+
+def test_device_predict_matches_reference_formula(rng):
+    """The CSR binary-search predictor must reproduce the neighborhood
+    formula pred = mean_e + sum(sim*(r - mean_n))/sum(|sim|) over the
+    (neighbor-list ∩ rated) intersection exactly (it replaced a host-side
+    pandas merge — VERDICT r1 #5)."""
+    import pandas as pd
+    from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF
+
+    n_u, n_i, n = 60, 45, 900
+    u = rng.integers(0, n_u, n).astype(np.int32)
+    i = rng.integers(0, n_i, n).astype(np.int32)
+    keep = ~pd.DataFrame({"u": u, "i": i}).duplicated().to_numpy()
+    u, i = u[keep], i[keep]
+    r = rng.uniform(0.5, 5, len(u)).astype(np.float32)
+    X = pd.DataFrame({"user_id": u, "item_id": i})
+    m = TopKItemItemCF(n_neighbors=8, min_rating=0.5, max_rating=5.0)
+    m.fit(X, pd.Series(r))
+
+    qu = rng.integers(-1, n_u, 300).astype(np.int32)
+    qi = rng.integers(-1, n_i, 300).astype(np.int32)
+    got, poss = m._predict_arrays(qu, qi, bound_ratings=True)
+
+    # host reference: same formula via explicit loops — in DENSE id space
+    # (_predict_arrays takes vocab-encoded ids; tables are dense-indexed)
+    du = m.user_vocab.encode(u)
+    di = m.item_vocab.encode(i)
+    sims = np.asarray(m._neighbor_sims, np.float64)
+    ids = np.asarray(m._neighbor_ids)
+    means = np.asarray(m._means, np.float64)
+    rated = {(int(a), int(b)): float(c) for a, b, c in zip(du, di, r)}
+    want = np.empty(300)
+    for p, (a, b) in enumerate(zip(qu, qi)):
+        if a < 0 or b < 0:
+            want[p] = m.global_mean
+            continue
+        num = den = 0.0
+        for j, s in zip(ids[b], sims[b]):
+            key = (int(a), int(j))
+            if key in rated:
+                num += s * (rated[key] - means[j])
+                den += abs(s)
+        base = means[b]
+        want[p] = base + num / max(den, 1e-12) if den > 0 else base
+    want = np.clip(want, 0.5, 5.0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert (np.asarray(poss) == ((qu >= 0) & (qi >= 0))).all()
