@@ -38,15 +38,15 @@ void mf_sequential_sgd(
     int kernel, const int32_t* u, const int32_t* it, const double* r,
     long long n, int nu, int ni, int k, double mu, double lr, double reg,
     double gamma, double a, double c, int n_epochs, uint64_t seed,
-    int update_user_params, int update_item_params,
+    int do_shuffle, int update_user_params, int update_item_params,
     double* P, double* Q, double* bu, double* bi, double* rmse_out) {
   std::mt19937_64 rng(seed);
   std::vector<long long> order(static_cast<size_t>(n));
   for (long long x = 0; x < n; ++x) order[static_cast<size_t>(x)] = x;
 
   for (int e = 0; e < n_epochs; ++e) {
-    // Fisher-Yates shuffle
-    for (long long x = n - 1; x > 0; --x) {
+    // Fisher-Yates shuffle (skipped in test-vector mode: do_shuffle=0)
+    for (long long x = do_shuffle ? n - 1 : 0; x > 0; --x) {
       long long j = static_cast<long long>(rng() % static_cast<uint64_t>(x + 1));
       std::swap(order[static_cast<size_t>(x)], order[static_cast<size_t>(j)]);
     }

@@ -44,7 +44,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-            f64p, f64p, f64p, f64p, f64p,
+            ctypes.c_int, f64p, f64p, f64p, f64p, f64p,
         ]
         lib.mf_sequential_sgd.restype = None
         _lib = lib
@@ -71,16 +71,23 @@ def sequential_sgd(
     seed: int = 0,
     update_user_params: bool = True,
     update_item_params: bool = True,
+    shuffle: bool = True,
+    bu0: Optional[np.ndarray] = None,
+    bi0: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Run the reference-semantics sequential SGD; returns
-    (P, Q, bu, bi, rmse_history)."""
+    (P, Q, bu, bi, rmse_history).  ``shuffle=False`` visits ratings in
+    input order (hand-vector tests); ``bu0``/``bi0`` override the zero
+    bias initialization."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("oracle native library unavailable (g++ missing?)")
     P = np.ascontiguousarray(P0, np.float64).copy()
     Q = np.ascontiguousarray(Q0, np.float64).copy()
-    bu = np.zeros(n_users, np.float64)
-    bi = np.zeros(n_items, np.float64)
+    bu = (np.zeros(n_users, np.float64) if bu0 is None
+          else np.ascontiguousarray(bu0, np.float64).copy())
+    bi = (np.zeros(n_items, np.float64) if bi0 is None
+          else np.ascontiguousarray(bi0, np.float64).copy())
     hist = np.zeros(n_epochs, np.float64)
     lib.mf_sequential_sgd(
         _KERNELS[kernel],
@@ -90,7 +97,7 @@ def sequential_sgd(
         len(r), n_users, n_items, n_factors,
         float(global_mean), float(lr), float(reg), float(gamma),
         float(min_rating), float(max_rating - min_rating),
-        int(n_epochs), int(seed),
+        int(n_epochs), int(seed), int(shuffle),
         int(update_user_params), int(update_item_params),
         P, Q, bu, bi, hist,
     )
