@@ -48,7 +48,7 @@ def _gen(n_users, n_items, n_ratings, seed=0):
 
 
 def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr,
-                    order="item", trials=3):
+                    order="auto", trials=3):
     """Best-of-``trials`` epochs/sec.  ``order='item'`` is the fast
     chunk-sorted layout (oracle RMSE parity regression-tested,
     tests/test_parity_oracle.py); pass 'shuffle' for the reference

@@ -67,16 +67,18 @@ class KernelMF(RecommenderBase):
         typically converges in far fewer epochs; see ``ops/ials.py``).
 
         ``epoch_order``: 'shuffle' (reference semantics: random visit
-        order) or 'item' (extension: item-sorted epochs with per-epoch
-        batch-order shuffling — tiny aggregation tiles make SGD ~1.4x
-        faster per epoch; final-RMSE parity with 'shuffle' is verified in
-        tests/test_kernel_mf.py and PARITY.md #6)."""
+        order), 'item'/'user' (extension: chunk-sorted epochs with
+        per-epoch batch-order shuffling — tiny aggregation tiles make
+        SGD ~1.4x faster per epoch; final-RMSE parity with 'shuffle' is
+        verified in tests/test_kernel_mf.py and PARITY.md), or 'auto'
+        (sorts whichever id space is larger)."""
         if kernel not in ("linear", "sigmoid", "rbf"):
             raise ValueError("Kernel must be one of linear, sigmoid, or rbf")
         if method not in ("sgd", "als"):
             raise ValueError("Method must be 'sgd' or 'als'")
-        if epoch_order not in ("shuffle", "item"):
-            raise ValueError("epoch_order must be 'shuffle' or 'item'")
+        if epoch_order not in ("shuffle", "item", "user", "auto"):
+            raise ValueError(
+                "epoch_order must be 'shuffle', 'item', 'user' or 'auto'")
         if method == "als" and kernel != "linear":
             raise ValueError("method='als' requires the linear kernel")
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)

@@ -222,8 +222,11 @@ def pack_ratings(
     cover narrow item windows (tiny aggregation tiles) while every item
     still receives multiple spread-out updates per epoch — a full sort
     collapses each item to one update/epoch and measurably degrades
-    fixed-epoch RMSE.  Visit order still deviates from the reference's
-    random shuffle; oracle parity is regression-tested
+    fixed-epoch RMSE.  ``order='user'`` is the symmetric layout (narrow
+    USER windows — better when the user axis is the bigger id space);
+    ``order='auto'`` picks the side with more ids.  Visit order still
+    deviates from the reference's random shuffle; oracle parity is
+    regression-tested
     (``tests/test_parity_oracle.py::test_item_order_rmse_parity_vs_oracle``).
     ``aggregate`` precomputes the per-batch tile metadata (in-batch
     item sort + user sort permutation); within-batch order is
@@ -236,29 +239,40 @@ def pack_ratings(
         user_ids, item_ids, ratings = (
             user_ids[perm], item_ids[perm], ratings[perm],
         )
-    if order not in ("shuffle", "item"):
+    if order == "auto" and n > 0:
+        order = "user" if int(user_ids.max()) > int(item_ids.max()) else "item"
+    elif order == "auto":
+        order = "item"
+    if order not in ("shuffle", "item", "user"):
         raise ValueError(f"unknown pack order {order!r}")
     n_pad = max(batch_size, round_up(n, batch_size))
     pad = n_pad - n
     nb = n_pad // batch_size
-    # pads repeat the last real ids (weight 0 makes them no-ops) so they
-    # sort adjacent to real entries and never widen an aggregation tile
-    pad_u = np.full(pad, user_ids[-1] if n else 0, np.int32)
-    pad_i = np.full(pad, item_ids[-1] if n else 0, np.int32)
+    # pads resample the TAIL of the real stream cyclically (weight 0 makes
+    # them no-ops): they follow the local id distribution of the chunk
+    # they land in, so the pad-heavy last batch keeps the same sorted-tile
+    # spans as full batches instead of leaving its few real ids spread
+    # thin (which would blow up the C bound)
+    tail = min(n, max(pad, 1))
+    pad_u = (np.resize(user_ids[n - tail:].astype(np.int32), pad) if n
+             else np.zeros(pad, np.int32))
+    pad_i = (np.resize(item_ids[n - tail:].astype(np.int32), pad) if n
+             else np.zeros(pad, np.int32))
     u = np.concatenate([user_ids.astype(np.int32), pad_u])
     i = np.concatenate([item_ids.astype(np.int32), pad_i])
     r = np.concatenate([ratings.astype(np.float32), np.zeros(pad, np.float32)])
     w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
-    if order == "item" and n > 1:
-        # sort whole-batch chunks by item id: chunk bounds are batch
+    if order in ("item", "user") and n > 1:
+        # sort whole-batch chunks by the chosen id: chunk bounds are batch
         # boundaries, so no aggregation tile ever straddles two chunks
         # (a mixed tile would span the whole id space and disable the
         # tile path); pads carry weight 0, sorting them in is harmless
+        sort_key = i if order == "item" else u
         chunks = max(1, min(item_sort_chunks, nb))
         for lo_b in range(0, nb, -(-nb // chunks)):
             lo = lo_b * batch_size
             hi = min(lo + -(-nb // chunks) * batch_size, n_pad)
-            srt = np.argsort(i[lo:hi], kind="stable")
+            srt = np.argsort(sort_key[lo:hi], kind="stable")
             u[lo:hi] = u[lo:hi][srt]
             i[lo:hi] = i[lo:hi][srt]
             r[lo:hi] = r[lo:hi][srt]
