@@ -33,7 +33,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from matrix_factorization_tpu.core.config import SGDConfig
 from matrix_factorization_tpu.ops import segment_sgd as sgd
 from matrix_factorization_tpu.ops.segment_sgd import MFParams, round_up
-from matrix_factorization_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from matrix_factorization_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_axes_of,
+)
 
 
 class ShardedRatings(NamedTuple):
@@ -87,8 +91,11 @@ def shard_ratings_by_user(
     return uu.reshape(-1), ii.reshape(-1), rr.reshape(-1), ww.reshape(-1), n_pad
 
 
-def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr):
-    """One synchronous step: local P scatter, psum'd Q deltas."""
+def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr,
+                          data_axes=(DATA_AXIS,)):
+    """One synchronous step: local P scatter, psum'd Q deltas (the psum
+    spans the DCN slice axis too on multi-slice meshes — the one
+    unavoidable cross-slice collective of synchronous SGD)."""
     P_l, Q, mu = carry
     u, i, r, w = batch
     pu = P_l.at[u].get(mode="promise_in_bounds")
@@ -104,7 +111,7 @@ def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr):
         imask = jnp.asarray(sgd.update_mask(cfg, "item"))
         g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
         dQ = jnp.zeros_like(Q).at[i].add(-lr * g, mode="promise_in_bounds")
-        Q = Q + jax.lax.psum(dQ, DATA_AXIS)
+        Q = Q + jax.lax.psum(dQ, data_axes)
     return (P_l, Q, mu), None
 
 
@@ -128,13 +135,19 @@ def dp_sgd_train(
 
     ``params.user_features`` must be placed row-sharded over ``data``;
     the item table replicated; ``data`` arrays device-major row-sharded.
+    On a multi-slice mesh the user shard spans ``(slice, data)``.
     """
-    n_dev = mesh.shape[DATA_AXIS]
+    data_axes = data_axes_of(mesh)
+    n_dev = 1
+    for a in data_axes:
+        n_dev *= mesh.shape[a]
     n_pad_local = data.total_len // n_dev
     nb = n_pad_local // cfg.batch_size
 
     def local_train(P_l, Q, mu, u_l, i_l, r_l, w_l, keys):
-        dev = jax.lax.axis_index(DATA_AXIS)
+        dev = jnp.int32(0)
+        for a in data_axes:
+            dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
 
         def epoch(carry, k):
             k = jax.random.fold_in(k, dev)
@@ -156,11 +169,12 @@ def dp_sgd_train(
                     for x in (u_l, i_l, r_l, w_l)
                 )
             carry, _ = jax.lax.scan(
-                lambda c, b: _local_minibatch_step(c, b, cfg, lr), carry, xs
+                lambda c, b: _local_minibatch_step(c, b, cfg, lr, data_axes),
+                carry, xs,
             )
             if cfg.compute_epoch_rmse:
                 sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
-                rmse = jnp.sqrt(jax.lax.psum(sse, DATA_AXIS) / max(n_real, 1))
+                rmse = jnp.sqrt(jax.lax.psum(sse, data_axes) / max(n_real, 1))
             else:
                 rmse = jnp.float32(0.0)
             return carry, rmse
@@ -168,7 +182,7 @@ def dp_sgd_train(
         (P_l, Q, mu), hist = jax.lax.scan(epoch, (P_l, Q, mu), keys)
         return P_l, Q, hist
 
-    shard = P(DATA_AXIS)
+    shard = P(data_axes)
     rep = P()
     fn = jax.shard_map(
         local_train,
@@ -191,8 +205,8 @@ def dp_sgd_train(
 
 
 def place_params(params: MFParams, mesh: Mesh) -> MFParams:
-    """Place P row-sharded over data, item table replicated."""
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    """Place P row-sharded over the data axes, item table replicated."""
+    shard = NamedSharding(mesh, P(data_axes_of(mesh)))
     rep = NamedSharding(mesh, P())
     return MFParams(
         user_features=jax.device_put(params.user_features, shard),
@@ -262,7 +276,8 @@ def shard_ratings_2d(
     return uu.reshape(-1), ii.reshape(-1), rr.reshape(-1), ww.reshape(-1), n_pad
 
 
-def _local_minibatch_step_2d(carry, batch, cfg: SGDConfig, lr):
+def _local_minibatch_step_2d(carry, batch, cfg: SGDConfig, lr,
+                             data_axes=(DATA_AXIS,)):
     """One synchronous step with BOTH deltas psum'd across the other axis."""
     P_l, Q_l, mu = carry
     u, i, r, w = batch
@@ -280,7 +295,7 @@ def _local_minibatch_step_2d(carry, batch, cfg: SGDConfig, lr):
         imask = jnp.asarray(sgd.update_mask(cfg, "item"))
         g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
         dQ = jnp.zeros_like(Q_l).at[i].add(-lr * g, mode="promise_in_bounds")
-        Q_l = Q_l + jax.lax.psum(dQ, DATA_AXIS)
+        Q_l = Q_l + jax.lax.psum(dQ, data_axes)
     return (P_l, Q_l, mu), None
 
 
@@ -301,13 +316,18 @@ def dp_tp_sgd_train(
     device-major in (d, m) order with LOCAL ids (see
     :func:`shard_ratings_2d`).
     """
-    n_data = mesh.shape[DATA_AXIS]
+    data_axes = data_axes_of(mesh)
+    n_data = 1
+    for a in data_axes:
+        n_data *= mesh.shape[a]
     n_model = mesh.shape[MODEL_AXIS]
     n_pad_local = data.total_len // (n_data * n_model)
     nb = n_pad_local // cfg.batch_size
 
     def local_train(P_l, Q_l, mu, u_l, i_l, r_l, w_l, keys):
-        d = jax.lax.axis_index(DATA_AXIS)
+        d = jnp.int32(0)
+        for a in data_axes:
+            d = d * mesh.shape[a] + jax.lax.axis_index(a)
         m = jax.lax.axis_index(MODEL_AXIS)
 
         def epoch(carry, k):
@@ -330,11 +350,13 @@ def dp_tp_sgd_train(
                     for x in (u_l, i_l, r_l, w_l)
                 )
             carry, _ = jax.lax.scan(
-                lambda c, b: _local_minibatch_step_2d(c, b, cfg, lr), carry, xs
+                lambda c, b: _local_minibatch_step_2d(c, b, cfg, lr,
+                                                      data_axes),
+                carry, xs,
             )
             if cfg.compute_epoch_rmse:
                 sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
-                sse = jax.lax.psum(jax.lax.psum(sse, DATA_AXIS), MODEL_AXIS)
+                sse = jax.lax.psum(jax.lax.psum(sse, data_axes), MODEL_AXIS)
                 rmse = jnp.sqrt(sse / max(n_real, 1))
             else:
                 rmse = jnp.float32(0.0)
@@ -343,15 +365,15 @@ def dp_tp_sgd_train(
         (P_l, Q_l, mu), hist = jax.lax.scan(epoch, (P_l, Q_l, mu), keys)
         return P_l, Q_l, hist
 
+    cell_axes = data_axes + (MODEL_AXIS,)
     fn = jax.shard_map(
         local_train,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS), P(MODEL_AXIS), P(),
-            P((DATA_AXIS, MODEL_AXIS)), P((DATA_AXIS, MODEL_AXIS)),
-            P((DATA_AXIS, MODEL_AXIS)), P((DATA_AXIS, MODEL_AXIS)), P(),
+            P(data_axes), P(MODEL_AXIS), P(),
+            P(cell_axes), P(cell_axes), P(cell_axes), P(cell_axes), P(),
         ),
-        out_specs=(P(DATA_AXIS), P(MODEL_AXIS), P()),
+        out_specs=(P(data_axes), P(MODEL_AXIS), P()),
     )
     keys = jax.random.split(key, n_epochs)
     P_new, Q_new, hist = fn(
@@ -368,10 +390,10 @@ def dp_tp_sgd_train(
 
 
 def place_params_2d(params: MFParams, mesh: Mesh) -> MFParams:
-    """P row-sharded over data, Q row-sharded over model."""
+    """P row-sharded over the data axes, Q row-sharded over model."""
     return MFParams(
         user_features=jax.device_put(
-            params.user_features, NamedSharding(mesh, P(DATA_AXIS))
+            params.user_features, NamedSharding(mesh, P(data_axes_of(mesh)))
         ),
         item_features=jax.device_put(
             params.item_features, NamedSharding(mesh, P(MODEL_AXIS))
@@ -397,7 +419,10 @@ def dp_tp_fit(
     init_sd: float = 0.1,
 ) -> Tuple[MFParams, np.ndarray]:
     """End-to-end 2D-sharded fit (sharded P AND Q)."""
-    n_data = mesh.shape[DATA_AXIS]
+    data_axes = data_axes_of(mesh)
+    n_data = 1
+    for a in data_axes:
+        n_data *= mesh.shape[a]
     n_model = mesh.shape[MODEL_AXIS]
     ucap = round_up(n_users, 8 * n_data)
     icap = round_up(n_items, 8 * n_model)
@@ -412,7 +437,7 @@ def dp_tp_fit(
         u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
         ucap, icap, n_data, n_model, cfg.batch_size,
     )
-    shard = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
+    shard = NamedSharding(mesh, P(data_axes + (MODEL_AXIS,)))
     data = ShardedRatings(
         jax.device_put(su, shard),
         jax.device_put(si, shard),
@@ -442,7 +467,10 @@ def dp_fit(
     init_sd: float = 0.1,
 ) -> Tuple[MFParams, np.ndarray]:
     """End-to-end sharded fit: init, shard, train, return device params."""
-    n_dev = mesh.shape[DATA_AXIS]
+    data_axes = data_axes_of(mesh)
+    n_dev = 1
+    for a in data_axes:
+        n_dev *= mesh.shape[a]
     ucap = round_up(n_users, 8 * n_dev)
     key = jax.random.PRNGKey(seed)
     k_init, k_train = jax.random.split(key)
@@ -455,7 +483,7 @@ def dp_fit(
         u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
         ucap, n_dev, cfg.batch_size,
     )
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(data_axes))
     data = ShardedRatings(
         jax.device_put(su, shard),
         jax.device_put(si, shard),

@@ -1,9 +1,19 @@
 """Device mesh construction and sharding helpers.
 
 Axis convention (see ``core.config.MeshConfig``):
+* ``slice`` — optional DCN-major outer axis for multi-slice topologies
+  (inter-slice traffic rides the data-center network, ~10-100x slower
+  than ICI: keep per-step collectives off it where possible).
 * ``data``  — shards the rating stream and the user-side tables (users are
   the data axis of this workload: P rows ride with their ratings).
 * ``model`` — shards the item catalog for full-catalog scoring / top-k.
+
+Communication placement (SURVEY §5.8): with ratings sharded by user over
+``(slice, data)``, the user-side updates are always local; the ONLY
+cross-slice traffic in ``dp_fit`` is the per-step item-delta ``psum``
+(unavoidable for synchronous SGD), and ``dp_tp_fit`` keeps its item
+gathers ICI-local by sharding Q over ``model`` (an intra-slice axis) and
+replicating the shards across slices.
 """
 
 from __future__ import annotations
@@ -14,6 +24,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+DCN_AXIS = "slice"
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -34,6 +45,39 @@ def make_mesh(
         )
     grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_multislice_mesh(
+    n_slices: int,
+    n_data: int = -1,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (slice, data, model) mesh with a DCN-major outer axis.
+
+    Devices are grouped slice-major: on real multi-slice hardware pass
+    devices ordered by slice (``jax.devices()`` already is; or use
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` and wrap
+    the result), so that the inner ``(data, model)`` axes stay within a
+    slice (ICI) and only the outer axis crosses DCN.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data == -1:
+        n_data = len(devices) // (n_slices * n_model)
+    need = n_slices * n_data * n_model
+    if need > len(devices) or n_data < 1:
+        raise ValueError(
+            f"mesh {n_slices}x{n_data}x{n_model} needs {need} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.array(devices[:need]).reshape(n_slices, n_data, n_model)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def data_axes_of(mesh: Mesh) -> tuple:
+    """The axes the rating stream / user table shard over: ``data``, plus
+    the DCN ``slice`` axis when present (slice-major order)."""
+    return tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.axis_names)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -170,6 +170,47 @@ def test_2d_fit_converges_and_matches_replicated_q(ratings):
                                np.asarray(p1.item_features), atol=1e-5)
 
 
+def test_multislice_dp_matches_flat_dp(ratings):
+    """A (2 slice x 2 data) mesh must train EXACTLY like a flat 4-device
+    data mesh: the DCN axis only changes where collectives ride, not the
+    math (SURVEY §5.8)."""
+    from matrix_factorization_tpu.parallel.mesh import make_multislice_mesh
+
+    u, i, r, n_users, n_items = ratings
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=32, shuffle="none")
+    ms = make_multislice_mesh(n_slices=2, n_data=2, n_model=1)
+    p_ms, h_ms = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=5,
+                             lr=cfg.lr, mesh=ms)
+    flat = make_mesh(n_data=4, n_model=1)
+    p_f, h_f = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=5,
+                           lr=cfg.lr, mesh=flat)
+    np.testing.assert_allclose(h_ms, h_f, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_ms.item_features),
+                               np.asarray(p_f.item_features), atol=1e-5)
+    assert h_ms[-1] < h_ms[0]
+
+
+def test_multislice_2d_trains(ratings):
+    """Full 3-axis (slice x data x model) mesh: sharded P AND Q with the
+    DCN-major outer axis; Q shards replicated across slices."""
+    from matrix_factorization_tpu.parallel.mesh import (
+        DCN_AXIS, make_multislice_mesh,
+    )
+
+    u, i, r, n_users, n_items = ratings
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=32)
+    ms = make_multislice_mesh(n_slices=2, n_data=2, n_model=2)
+    assert ms.shape[DCN_AXIS] == 2
+    params, hist = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg,
+                                  n_epochs=10, lr=cfg.lr, mesh=ms)
+    assert hist[-1] < hist[0]
+    # Q is sharded over model only: each shard holds 1/2 the rows
+    qshard = params.item_features.addressable_shards[0].data
+    assert qshard.shape[0] == params.item_features.shape[0] // 2
+
+
 def test_distributed_topk_matches_dense(ratings):
     u, i, r, n_users, n_items = ratings
     mesh = make_mesh(n_data=4, n_model=2)
