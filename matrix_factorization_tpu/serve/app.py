@@ -79,39 +79,103 @@ def main() -> None:
               f"{extras}\n     {r['preview']}")
 
 
-def streamlit_main() -> None:  # pragma: no cover - needs streamlit
-    try:
-        import streamlit as st
-    except ImportError as e:
-        raise ImportError(
-            "streamlit is not installed; use the CLI frontend: "
-            "python -m matrix_factorization_tpu.serve.app"
-        ) from e
+def streamlit_main(st=None) -> None:
+    """Two-tab Streamlit UI mirroring the reference's structure
+    (``project_template/app/streamlit_app.py:195-625``): a questionnaire
+    tab (goal/meals/filters -> daily plan) and a free-text retrieval tab,
+    with ``st.cache_resource``-cached artifacts and sidebar controls for
+    the alpha blend, reranker and diversity penalty.
+
+    ``st`` defaults to the installed streamlit module; tests inject a
+    recording stub (``tests/test_streamlit_app.py``) so the full widget
+    flow is exercised without the streamlit runtime (absent in CI).
+    """
+    if st is None:  # pragma: no cover - needs streamlit installed
+        try:
+            import streamlit as st
+        except ImportError as e:
+            raise ImportError(
+                "streamlit is not installed; use the CLI frontend: "
+                "python -m matrix_factorization_tpu.serve.app"
+            ) from e
 
     st.title("Meal-plan recommender")
     artifacts = st.sidebar.text_input("artifacts dir", "workdir/artifacts")
     features = st.sidebar.text_input("features dir", "workdir/features")
-    service = RecommendService.from_artifacts(
-        Path(artifacts), Path(features) if Path(features).exists() else None
-    )
-    goal = st.selectbox("goal", ["随便推荐", "减脂/低卡", "增肌/高蛋白",
-                                 "控糖/低碳", "清淡/低盐"])
-    daily = st.checkbox("daily plan (3 meals)", True)
-    must = st.text_input("must include (comma separated)", "")
-    avoid = st.text_input("avoid (comma separated)", "")
-    max_time = st.number_input("max cook time (min, 0=any)", 0, 240, 0)
-    if st.button("recommend"):
-        req = PlanRequest(
-            goal=goal,
-            meals=["早餐", "午餐", "晚餐"] if daily else ["不限"],
-            must_include=split_terms(must),
-            avoid=split_terms(avoid),
-            max_time_min=int(max_time),
-        )
-        rows = plan_meals(service, req)
-        import pandas as pd
+    alpha = st.sidebar.slider("alpha (model/retrieval blend)", 0.0, 1.0, 0.0)
+    use_reranker = st.sidebar.checkbox("use reranker", True)
+    per_meal_k = st.sidebar.number_input("results per meal", 1, 10, 3)
+    diversity = st.sidebar.slider("diversity penalty", 0.0, 1.0, 0.6)
+    # hard filters are shared by both tabs (reference applies them at
+    # serve time in both flows — streamlit_app.py:375-445)
+    must = st.sidebar.text_input("must include (comma separated)", "")
+    avoid = st.sidebar.text_input("avoid (comma separated)", "")
+    max_time = st.sidebar.number_input("max cook time (min, 0=any)", 0, 240, 0)
 
-        st.dataframe(pd.DataFrame(rows))
+    @st.cache_resource
+    def _load_service(artifacts_dir: str, features_dir: str):
+        return RecommendService.from_artifacts(
+            Path(artifacts_dir),
+            Path(features_dir) if Path(features_dir).exists() else None,
+        )
+
+    service = _load_service(artifacts, features)
+    tab_plan, tab_free = st.tabs(["问卷推荐", "自由检索"])
+
+    with tab_plan:
+        goal = st.selectbox("goal", ["随便推荐", "减脂/低卡", "增肌/高蛋白",
+                                     "控糖/低碳", "清淡/低盐"])
+        daily = st.checkbox("daily plan (3 meals)", True)
+        cuisines = st.text_input("cuisines (comma separated)", "")
+        dietary = st.text_input("dietary (comma separated)", "")
+        if st.button("recommend", key="plan"):
+            req = PlanRequest(
+                goal=goal,
+                meals=["早餐", "午餐", "晚餐"] if daily else ["不限"],
+                cuisines=split_terms(cuisines),
+                dietary=split_terms(dietary),
+                must_include=split_terms(must),
+                avoid=split_terms(avoid),
+                max_time_min=int(max_time),
+                per_meal_k=int(per_meal_k),
+                alpha=float(alpha),
+                use_reranker=bool(use_reranker),
+                diversity_penalty=float(diversity),
+            )
+            rows = plan_meals(service, req)
+            if rows:
+                import pandas as pd
+
+                st.dataframe(pd.DataFrame(rows))
+            else:
+                st.warning("no candidates after filtering — relax the "
+                           "constraints or increase candidate_k")
+
+    with tab_free:
+        query = st.text_input("free-text query", "")
+        if st.button("search", key="free"):
+            if not query:
+                st.warning("enter a query first")
+            else:
+                req = PlanRequest(
+                    goal="",
+                    meals=["不限"],
+                    extra=query,
+                    must_include=split_terms(must),
+                    avoid=split_terms(avoid),
+                    max_time_min=int(max_time),
+                    per_meal_k=int(per_meal_k),
+                    alpha=float(alpha),
+                    use_reranker=bool(use_reranker),
+                    diversity_penalty=float(diversity),
+                )
+                rows = plan_meals(service, req)
+                if rows:
+                    import pandas as pd
+
+                    st.dataframe(pd.DataFrame(rows))
+                else:
+                    st.warning("no results for this query")
 
 
 if __name__ == "__main__":
