@@ -73,6 +73,13 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         lib.mf_dense_encode.restype = ll
         lib.mf_find_duplicate_pair.argtypes = [dp, dp, ll]
         lib.mf_find_duplicate_pair.restype = ll
+        llp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.mf_entity_counts.argtypes = [ip, ll, i32, ip]
+        lib.mf_entity_counts.restype = None
+        lib.mf_pack_grouped.argtypes = [
+            ip, ip, fp, ll, ip, ip, ip, llp, ip, fp, fp, ip,
+        ]
+        lib.mf_pack_grouped.restype = None
         _lib = lib
         return _lib
 

@@ -360,4 +360,41 @@ long long mf_find_duplicate_pair(const double* users, const double* items,
   return -1;
 }
 
+// ---------------------------------------------------------------------------
+// iALS grouped packing (ops/ials.py host side).
+//
+// The numpy path needs two stable argsorts plus several full-stream fancy
+// gathers (minutes at 25M ratings on this class of host); these two
+// functions replace all of it with O(n) passes and NO sorting — a stable
+// counting layout preserves input order within each entity, so the packed
+// bytes are identical to the argsort(kind='stable') layout.
+// ---------------------------------------------------------------------------
+
+// Per-entity occurrence counts. ids must be in [0, n_entities).
+void mf_entity_counts(const int32_t* ids, long long n, int32_t n_entities,
+                      int32_t* counts /* zeroed, n_entities */) {
+  for (long long k = 0; k < n; ++k) ++counts[ids[k]];
+}
+
+// One pass over the raw entries, writing each into its (chunk, row, slot)
+// cell.  Layout arrays are per entity (chunk_of/row_of) and per chunk
+// (L_of_chunk, chunk_base into the flat pools).  fill must be zeroed.
+void mf_pack_grouped(const int32_t* ids, const int32_t* other, const float* r,
+                     long long n, const int32_t* chunk_of,
+                     const int32_t* row_of, const int32_t* L_of_chunk,
+                     const long long* chunk_base, int32_t* oi_pool,
+                     float* rr_pool, float* mm_pool,
+                     int32_t* fill /* zeroed, n_entities */) {
+  for (long long k = 0; k < n; ++k) {
+    const int32_t e = ids[k];
+    const int32_t c = chunk_of[e];
+    const long long L = L_of_chunk[c];
+    const long long slot =
+        chunk_base[c] + static_cast<long long>(row_of[e]) * L + fill[e]++;
+    oi_pool[slot] = other[k];
+    rr_pool[slot] = r[k];
+    mm_pool[slot] = 1.0f;
+  }
+}
+
 }  // extern "C"

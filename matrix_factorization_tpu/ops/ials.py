@@ -48,10 +48,67 @@ class GroupedRatings(NamedTuple):
     mask: jax.Array  # f32 1/0
 
 
+def _native_counts(ids: np.ndarray, n_entities: int):
+    """Per-entity counts via the native O(n) pass (None if lib missing)."""
+    from matrix_factorization_tpu.data.loader import get_native_lib
+
+    lib = get_native_lib()
+    if lib is None:
+        return None, None
+    counts = np.zeros(n_entities, np.int32)
+    lib.mf_entity_counts(np.ascontiguousarray(ids, np.int32), len(ids),
+                         n_entities, counts)
+    return lib, counts
+
+
+def _native_pack(lib, ids, other_ids, ratings, chunk_of, row_of,
+                 L_of_chunk, chunk_base, pool_size, n_entities):
+    """One native pass filling every chunk's (E_c, L_c) buffers at once."""
+    oi = np.zeros(pool_size, np.int32)
+    rr = np.zeros(pool_size, np.float32)
+    mm = np.zeros(pool_size, np.float32)
+    fill = np.zeros(n_entities, np.int32)
+    lib.mf_pack_grouped(
+        np.ascontiguousarray(ids, np.int32),
+        np.ascontiguousarray(other_ids, np.int32),
+        np.ascontiguousarray(ratings, np.float32),
+        len(ids),
+        np.ascontiguousarray(chunk_of, np.int32),
+        np.ascontiguousarray(row_of, np.int32),
+        np.ascontiguousarray(L_of_chunk, np.int32),
+        np.ascontiguousarray(chunk_base, np.int64),
+        oi, rr, mm, fill,
+    )
+    return oi, rr, mm
+
+
 def group_by_entity(
     ids: np.ndarray, other_ids: np.ndarray, ratings: np.ndarray,
     n_entities: int,
 ) -> GroupedRatings:
+    """(n_entities, L) padded per-entity rating lists, input order kept.
+
+    Packing is a single native O(n) pass (``native/loader.cpp::
+    mf_pack_grouped``) when the lib is available — the numpy fallback
+    costs two stable argsorts + a Python loop over entities.
+    """
+    lib, counts = _native_counts(np.asarray(ids, np.int32), n_entities)
+    if lib is not None:
+        L = round_up(max(1, int(counts.max())), 8)
+        oi, rr, mm = _native_pack(
+            lib, ids, other_ids, ratings,
+            chunk_of=np.zeros(n_entities, np.int32),
+            row_of=np.arange(n_entities, dtype=np.int32),
+            L_of_chunk=np.asarray([L], np.int32),
+            chunk_base=np.asarray([0], np.int64),
+            pool_size=n_entities * L,
+            n_entities=n_entities,
+        )
+        return GroupedRatings(
+            jnp.asarray(oi.reshape(n_entities, L)),
+            jnp.asarray(rr.reshape(n_entities, L)),
+            jnp.asarray(mm.reshape(n_entities, L)),
+        )
     order = np.argsort(ids, kind="stable")
     ids_s, other_s, r_s = ids[order], other_ids[order], ratings[order]
     counts = np.bincount(ids_s, minlength=n_entities)
@@ -153,20 +210,26 @@ def group_by_entity_bucketed(
 ) -> list:
     """Bucket entities by rating count (power-of-two L), chunking each
     bucket so E_b * L_b stays under ``max_block_rows`` — (E, L, Kp)
-    gathers never exceed ~2GB regardless of the heaviest entity."""
-    order = np.argsort(ids, kind="stable")
-    ids_s, other_s, r_s = ids[order], other_ids[order], ratings[order]
-    counts = np.bincount(ids_s, minlength=n_entities)
-    starts = np.concatenate([[0], np.cumsum(counts)])
+    gathers never exceed ~2GB regardless of the heaviest entity.
+
+    Packing is ONE native O(n) pass over the raw (unsorted) entries when
+    the native lib is available (``mf_pack_grouped``): input order within
+    each entity is preserved, byte-identical to the argsort layout the
+    numpy fallback produces (regression-tested).  At 25M ratings this
+    replaces two stable argsorts + several full-stream gathers.
+    """
+    lib, counts = _native_counts(np.asarray(ids, np.int32), n_entities)
+    if lib is None:
+        order = np.argsort(ids, kind="stable")
+        ids_s, other_s, r_s = ids[order], other_ids[order], ratings[order]
+        counts = np.bincount(ids_s, minlength=n_entities)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos_in_entity = np.arange(len(ids_s), dtype=np.int64) - starts[ids_s]
 
     active = np.nonzero(counts)[0]
     # bucket label = next power of two >= count (min 8)
     L_of = np.maximum(8, 1 << np.ceil(np.log2(np.maximum(counts[active], 1))
                                       ).astype(int))
-    # single-pass packing: assign every entity a (chunk, row) once, map
-    # entries through it, and flat-scatter per chunk — three O(nnz) passes
-    # total instead of a rescan per chunk
-    pos_in_entity = np.arange(len(ids_s), dtype=np.int64) - starts[ids_s]
     chunk_of = np.full(n_entities, -1, np.int64)
     row_of = np.full(n_entities, -1, np.int64)
     chunk_meta = []  # (L, entity_ids)
@@ -179,6 +242,33 @@ def group_by_entity_bucketed(
             row_of[chunk] = np.arange(len(chunk))
             chunk_meta.append((int(L), chunk))
 
+    if lib is not None:
+        L_of_chunk = np.asarray([L for L, _ in chunk_meta], np.int32)
+        sizes = np.asarray(
+            [L * len(chunk) for L, chunk in chunk_meta], np.int64)
+        chunk_base = np.concatenate([[0], np.cumsum(sizes)])
+        oi, rr, mm = _native_pack(
+            lib, ids, other_ids, ratings,
+            chunk_of=chunk_of.astype(np.int32),
+            row_of=row_of.astype(np.int32),
+            L_of_chunk=L_of_chunk,
+            chunk_base=chunk_base[:-1],
+            pool_size=int(sizes.sum()),
+            n_entities=n_entities,
+        )
+        buckets = []
+        for c, (L, chunk) in enumerate(chunk_meta):
+            E = len(chunk)
+            lo, hi = int(chunk_base[c]), int(chunk_base[c] + E * L)
+            buckets.append(Bucket(
+                jnp.asarray(chunk.astype(np.int32)),
+                jnp.asarray(oi[lo:hi].reshape(E, L)),
+                jnp.asarray(rr[lo:hi].reshape(E, L)),
+                jnp.asarray(mm[lo:hi].reshape(E, L)),
+            ))
+        return buckets
+
+    # numpy fallback: three O(nnz) passes + a flat scatter per chunk
     entry_chunk = chunk_of[ids_s]
     entry_row = row_of[ids_s]
     order2 = np.argsort(entry_chunk, kind="stable")

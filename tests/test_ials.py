@@ -115,3 +115,38 @@ def test_bucketed_matches_simple_path(rng):
         atol=2e-4,
     )
     np.testing.assert_allclose(np.asarray(h1), h2, atol=1e-4)
+
+
+def test_native_packing_byte_identical_to_numpy(rng):
+    """The native O(n) packer (loader.cpp::mf_pack_grouped, ~13x faster
+    at 25M ratings) must produce byte-identical buckets to the numpy
+    stable-argsort fallback (VERDICT r1 #10)."""
+    from matrix_factorization_tpu.data import loader
+
+    n, U = 30_000, 700
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, 300, n).astype(np.int32)
+    r = rng.uniform(0.5, 5, n).astype(np.float32)
+
+    lib = loader.get_native_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    nat_b = ials.group_by_entity_bucketed(u, i, r, U, max_block_rows=50_000)
+    nat_g = ials.group_by_entity(u, i, r, U)
+    loader._lib = None
+    loader._build_failed = True
+    try:
+        ref_b = ials.group_by_entity_bucketed(u, i, r, U,
+                                              max_block_rows=50_000)
+        ref_g = ials.group_by_entity(u, i, r, U)
+    finally:
+        loader._lib = lib
+        loader._build_failed = False
+    assert len(nat_b) == len(ref_b) > 1
+    for a, b in zip(nat_b, ref_b):
+        for f in a._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                          np.asarray(getattr(b, f)))
+    for f in nat_g._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(nat_g, f)),
+                                      np.asarray(getattr(ref_g, f)))
