@@ -65,7 +65,8 @@ def main() -> None:
         compute_epoch_rmse=False,
         shuffle="batch",
     )
-    data = sgd.pack_ratings(u, i, r, cfg.batch_size, order="auto")
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size, order="auto",
+                            row_width=cfg.padded_factors)
     params = sgd.init_params(
         jax.random.PRNGKey(0), N_USERS, N_ITEMS, cfg, float(r.mean())
     )

@@ -58,7 +58,8 @@ def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr,
 
     from matrix_factorization_tpu.ops import segment_sgd as sgd
 
-    data = sgd.pack_ratings(u, i, r, cfg.batch_size, order=order)
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size, order=order,
+                            row_width=cfg.padded_factors)
     train = sgd.jit_sgd_train(cfg, epochs)
 
     def mk():

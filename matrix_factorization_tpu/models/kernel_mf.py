@@ -192,7 +192,8 @@ class KernelMF(RecommenderBase):
                     self.global_mean, self.init_mean, self.init_sd,
                 )
             data = sgd.pack_ratings(u, i, r, cfg.batch_size,
-                                    order=self.epoch_order)
+                                    order=self.epoch_order,
+                                    row_width=cfg.padded_factors)
             if self.method == "als":
                 from matrix_factorization_tpu.ops import ials
 

@@ -174,7 +174,7 @@ _TILE_CANDIDATES = (2048, 1024, 512, 256, 128)  # large-to-small
 
 def _tile_meta(
     ids_2d: np.ndarray, bs: int, c_max: int, max_id: int,
-    min_gain: float = 0.2,
+    min_gain: float = 0.2, row_width: int = 128,
 ) -> Optional[Tuple[np.ndarray, int, int]]:
     """Pick the (S, C) tile shape minimizing the modeled update cost for
     per-row-SORTED ``ids_2d`` (nb, bs); returns (tile_bases, S, C) or None
@@ -191,8 +191,10 @@ def _tile_meta(
         C = round_up(span, 32)
         if C > c_max or C > max_id + 1:
             continue
+        # einsum work scales with the row width; one-hot build does not
         cost = (bs // S) * C * _SCATTER_NS_PER_ROW + bs * C * (
-            _EINSUM_NS_PER_ENTRY_COL + _ONEHOT_NS_PER_ENTRY_COL
+            _EINSUM_NS_PER_ENTRY_COL * (row_width / 128.0)
+            + _ONEHOT_NS_PER_ENTRY_COL
         )
         # require a strict 3% gain to move to a smaller tile: on ties,
         # larger tiles win empirically (fewer, wider scatter blocks)
@@ -214,6 +216,7 @@ def pack_ratings(
     c_max: int = 512,
     agg_min_gain: float = 0.2,
     item_sort_chunks: int = 8,
+    row_width: int = 128,
 ) -> RatingBatches:
     """Host-side packing into (nb, bs) blocks, pre-shuffled once.
 
@@ -291,13 +294,15 @@ def pack_ratings(
         i = np.take_along_axis(i, isort, axis=1)
         r = np.take_along_axis(r, isort, axis=1)
         w = np.take_along_axis(w, isort, axis=1)
-        mi = _tile_meta(i, batch_size, c_max, int(i.max()), agg_min_gain)
+        mi = _tile_meta(i, batch_size, c_max, int(i.max()), agg_min_gain,
+                        row_width)
         if mi is not None:
             kw["item_tile_base"] = jnp.asarray(mi[0])
             agg_item = (mi[1], mi[2])
         usort = np.argsort(u, axis=1, kind="stable").astype(np.int32)
         us = np.take_along_axis(u, usort, axis=1)
-        mu_ = _tile_meta(us, batch_size, c_max, int(u.max()), agg_min_gain)
+        mu_ = _tile_meta(us, batch_size, c_max, int(u.max()), agg_min_gain,
+                         row_width)
         if mu_ is not None:
             kw["user_ids_sorted"] = jnp.asarray(us)
             kw["user_perm"] = jnp.asarray(usort)
