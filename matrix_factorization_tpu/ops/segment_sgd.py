@@ -26,7 +26,9 @@ single-step updates in ``kernels.py:108-327``) with a TPU-native design:
   deltas back.  Duplicate users/items inside a batch accumulate by
   summation — the explicit, deterministic replacement for the reference's
   serial in-place updates (its docstring records that thread-parallel
-  updates *degraded* results, ``kernels.py:127``).
+  updates *degraded* results, ``kernels.py:127``).  When the pack is
+  chunk-sorted, per-row table ops become MXU one-hot einsums + block ops
+  (see :class:`RatingBatches`) — the round-2 throughput lever.
 
 Semantics: per-rating SGD and mini-batch SGD follow slightly different
 trajectories; parity with the reference is *final-metric* parity
@@ -68,13 +70,24 @@ class RatingBatches:
     ``n_real`` is static metadata (not a traced leaf) so jitted code can
     use it as a Python int.
 
-    When tile-aggregation metadata is present (the default), each batch is
-    stored sorted by item id and carries, per side, tile bases plus a
-    user-sort permutation, letting the minibatch step replace the two
-    per-row scatters (~6ns/row on v5e, the round-1 throughput ceiling)
-    with per-tile one-hot einsums on the MXU and a C/S-times-smaller
-    block scatter.  ``agg_item``/``agg_user`` are static ``(S, C)`` tile
-    shapes; ``(0, 0)`` disables that side.
+    When tile-aggregation metadata is present (the default), each batch
+    is stored sorted by the **primary** side's id (the chunk-sort side —
+    ``pack_ratings(order=...)``), and per-tile one-hot einsums on the MXU
+    replace the per-row table ops that bound round-1 throughput
+    (~6ns/row at 128 lanes, ~17ns at 256, measured
+    ``benchmarks/micro_k200b.py``):
+
+    * primary side: tile bases only — its rows are gathered by a block
+      load + one-hot *expand* einsum and scattered by the transposed
+      *aggregate* einsum + a C/S-times-smaller block scatter, both
+      sharing one one-hot matrix;
+    * secondary side: a per-batch sort permutation + tile bases — its
+      delta rows are permuted into sorted order and tile-scattered
+      (its gathers stay per-row: un-permuting an expand costs as much
+      as the gather it would save).
+
+    ``agg_prim``/``agg_sec`` are static ``(S, C)`` tile shapes; ``(0, 0)``
+    disables that side (falls back to plain per-row scatter).
     """
 
     user_ids: jax.Array  # (nb, bs) int32
@@ -82,12 +95,17 @@ class RatingBatches:
     ratings: jax.Array  # (nb, bs) f32
     weights: jax.Array  # (nb, bs) f32, 1.0 real / 0.0 pad
     n_real: int = struct.field(pytree_node=False)
-    item_tile_base: Optional[jax.Array] = None  # (nb, bs/S_i) int32
-    user_ids_sorted: Optional[jax.Array] = None  # (nb, bs) int32
-    user_perm: Optional[jax.Array] = None  # (nb, bs) int32
-    user_tile_base: Optional[jax.Array] = None  # (nb, bs/S_u) int32
-    agg_item: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
-    agg_user: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    prim_tile_base: Optional[jax.Array] = None  # (nb, bs/S_p) int32
+    sec_ids_sorted: Optional[jax.Array] = None  # (nb, bs) int32
+    sec_perm: Optional[jax.Array] = None  # (nb, bs) int32
+    sec_tile_base: Optional[jax.Array] = None  # (nb, bs/S_s) int32
+    # which side the batches are stored sorted by: 'item' | 'user'
+    primary: str = struct.field(pytree_node=False, default="item")
+    agg_prim: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    agg_sec: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    # gather the primary side via block-load + one-hot expand (shared
+    # with the scatter's one-hot) instead of per-row gathers
+    expand_prim: bool = struct.field(pytree_node=False, default=False)
 
 
 def round_up(x: int, m: int) -> int:
@@ -164,7 +182,17 @@ def fresh_user_rows(key: jax.Array, n: int, cfg: SGDConfig,
     return f
 
 
-_SCATTER_NS_PER_ROW = 6.0  # measured v5e (benchmarks/micro_rowops.py)
+def _scatter_ns_per_row(row_width: int) -> float:
+    """Plain scatter-add cost (measured v5e: 6ns at 128 lanes, 17ns at
+    256 — benchmarks/micro_rowops.py, micro_k200b.py)."""
+    return 6.0 * (row_width / 128.0) ** 1.5
+
+
+def _gather_ns_per_row(row_width: int) -> float:
+    """Per-row table gather cost (measured v5e: 3.8ns at 256 lanes)."""
+    return 1.9 * (row_width / 128.0)
+
+
 _EINSUM_NS_PER_ENTRY_COL = 0.0013  # K=128 MAC on MXU, f32
 _ONEHOT_NS_PER_ENTRY_COL = 0.0005  # one-hot build (fused into the einsum)
 
@@ -182,7 +210,8 @@ def _tile_meta(
     ``min_gain`` is the required modeled advantage over the plain scatter
     (negative forces tiling on, for tests)."""
     best = None
-    best_cost = _SCATTER_NS_PER_ROW * bs * (1.0 - min_gain)
+    scatter_ns = _scatter_ns_per_row(row_width)
+    best_cost = scatter_ns * bs * (1.0 - min_gain)
     for S in _TILE_CANDIDATES:
         if bs % S or S > bs:
             continue
@@ -192,7 +221,7 @@ def _tile_meta(
         if C > c_max or C > max_id + 1:
             continue
         # einsum work scales with the row width; one-hot build does not
-        cost = (bs // S) * C * _SCATTER_NS_PER_ROW + bs * C * (
+        cost = (bs // S) * C * scatter_ns + bs * C * (
             _EINSUM_NS_PER_ENTRY_COL * (row_width / 128.0)
             + _ONEHOT_NS_PER_ENTRY_COL
         )
@@ -203,6 +232,16 @@ def _tile_meta(
             base = np.minimum(tiles[:, :, 0], max_id + 1 - C).astype(np.int32)
             best = (base, S, C)
     return best
+
+
+def _expand_wins(S: int, C: int, row_width: int) -> bool:
+    """Should the primary side's rows be gathered via block-load +
+    one-hot expand (reusing the scatter's one-hot) instead of per-row
+    gathers?  Marginal expand cost = (C/S) block-gather rows + the
+    expand einsum; wins whenever tiles are reasonably tight."""
+    g = _gather_ns_per_row(row_width)
+    expand = (C / S) * g + C * _EINSUM_NS_PER_ENTRY_COL * (row_width / 128.0)
+    return expand < g
 
 
 def pack_ratings(
@@ -285,29 +324,36 @@ def pack_ratings(
     r = r.reshape(nb, batch_size)
     w = w.reshape(nb, batch_size)
 
+    # the primary side = the chunk-sort side: its in-batch windows are the
+    # tight ones, so it gets the perm-free tile treatment
+    primary = order if order in ("item", "user") else "item"
     kw: dict = {}
-    agg_item = agg_user = (0, 0)
+    agg_prim = agg_sec = (0, 0)
+    expand_prim = False
     if aggregate and n > 0:
-        # store each batch item-sorted; the item side then needs no perm
-        isort = np.argsort(i, axis=1, kind="stable")
-        u = np.take_along_axis(u, isort, axis=1)
-        i = np.take_along_axis(i, isort, axis=1)
-        r = np.take_along_axis(r, isort, axis=1)
-        w = np.take_along_axis(w, isort, axis=1)
-        mi = _tile_meta(i, batch_size, c_max, int(i.max()), agg_min_gain,
-                        row_width)
-        if mi is not None:
-            kw["item_tile_base"] = jnp.asarray(mi[0])
-            agg_item = (mi[1], mi[2])
-        usort = np.argsort(u, axis=1, kind="stable").astype(np.int32)
-        us = np.take_along_axis(u, usort, axis=1)
-        mu_ = _tile_meta(us, batch_size, c_max, int(u.max()), agg_min_gain,
-                         row_width)
-        if mu_ is not None:
-            kw["user_ids_sorted"] = jnp.asarray(us)
-            kw["user_perm"] = jnp.asarray(usort)
-            kw["user_tile_base"] = jnp.asarray(mu_[0])
-            agg_user = (mu_[1], mu_[2])
+        # store each batch primary-sorted; that side then needs no perm
+        prim, sec = (i, u) if primary == "item" else (u, i)
+        psort = np.argsort(prim, axis=1, kind="stable")
+        u = np.take_along_axis(u, psort, axis=1)
+        i = np.take_along_axis(i, psort, axis=1)
+        r = np.take_along_axis(r, psort, axis=1)
+        w = np.take_along_axis(w, psort, axis=1)
+        prim, sec = (i, u) if primary == "item" else (u, i)
+        mp = _tile_meta(prim, batch_size, c_max, int(prim.max()),
+                        agg_min_gain, row_width)
+        if mp is not None:
+            kw["prim_tile_base"] = jnp.asarray(mp[0])
+            agg_prim = (mp[1], mp[2])
+            expand_prim = _expand_wins(mp[1], mp[2], row_width)
+        ssort = np.argsort(sec, axis=1, kind="stable").astype(np.int32)
+        ss = np.take_along_axis(sec, ssort, axis=1)
+        ms = _tile_meta(ss, batch_size, c_max, int(sec.max()),
+                        agg_min_gain, row_width)
+        if ms is not None:
+            kw["sec_ids_sorted"] = jnp.asarray(ss)
+            kw["sec_perm"] = jnp.asarray(ssort)
+            kw["sec_tile_base"] = jnp.asarray(ms[0])
+            agg_sec = (ms[1], ms[2])
 
     return RatingBatches(
         jnp.asarray(u),
@@ -315,8 +361,10 @@ def pack_ratings(
         jnp.asarray(r),
         jnp.asarray(w),
         n,
-        agg_item=agg_item,
-        agg_user=agg_user,
+        primary=primary,
+        agg_prim=agg_prim,
+        agg_sec=agg_sec,
+        expand_prim=expand_prim,
         **kw,
     )
 
@@ -414,38 +462,70 @@ def sgd_minibatch_step(
 # ---------------------------------------------------------------------------
 
 
+def _tile_onehot(
+    ids_sorted: jax.Array, tile_base: jax.Array, S: int, C: int,
+) -> jax.Array:
+    """(T, S, C) one-hot: entry s of tile t -> local column id - base.
+
+    Each tile of ``S`` consecutive (per-tile-sorted) entries spans < ``C``
+    ids.  Bases are pre-clamped so ``base + C`` never exceeds the id
+    space; one-hot columns past a tile's actual ids are all-zero."""
+    T = ids_sorted.shape[0] // S
+    lidx = ids_sorted.reshape(T, S) - tile_base[:, None]
+    return (
+        lidx[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    ).astype(jnp.float32)
+
+
+def _tile_block_idx(tile_base: jax.Array, C: int) -> jax.Array:
+    """(T*C,) flat row indices of every tile's [base, base+C) block."""
+    return (
+        tile_base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+
+
 def _tile_scatter_add(
     table: jax.Array,
     rows: jax.Array,
-    ids_sorted: jax.Array,
+    oh: jax.Array,
     tile_base: jax.Array,
     S: int,
     C: int,
 ) -> jax.Array:
-    """``table.at[ids_sorted].add(rows)`` for per-tile-sorted ids.
-
-    Each tile of ``S`` consecutive (sorted) entries spans < ``C`` ids, so
-    its row deltas collapse onto a (C, width) block via a one-hot matmul
-    on the MXU, and only ``C/S`` as many rows hit the XLA scatter (the
-    ~6ns/row bottleneck).  Bases are pre-clamped so ``base + C`` never
-    exceeds the id space; one-hot columns past a tile's actual ids are
-    all-zero, so the extra block rows add exact zeros.
-    """
+    """``table.at[ids].add(rows)`` for per-tile-sorted ids (one-hot
+    pre-built by ``_tile_onehot``): row deltas collapse onto (C, width)
+    blocks via a one-hot matmul on the MXU, and only ``C/S`` as many rows
+    hit the XLA scatter (the per-row-op bottleneck — ~6ns/row at 128
+    lanes, ~17ns at 256)."""
     bs, kp = rows.shape
-    T = bs // S
-    lidx = ids_sorted.reshape(T, S) - tile_base[:, None]
-    oh = (
-        lidx[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
-    ).astype(rows.dtype)
     agg = jnp.einsum(
-        "tsc,tsk->tck", oh, rows.reshape(T, S, kp),
+        "tsc,tsk->tck", oh, rows.reshape(bs // S, S, kp),
         preferred_element_type=jnp.float32,
     )
-    idx = (tile_base[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :])
-    return table.at[idx.reshape(-1)].add(
+    return table.at[_tile_block_idx(tile_base, C)].add(
         agg.reshape(-1, kp), mode="promise_in_bounds"
     )
+
+
+def _tile_gather(
+    table: jax.Array,
+    oh: jax.Array,
+    tile_base: jax.Array,
+    S: int,
+    C: int,
+) -> jax.Array:
+    """``table[ids]`` for per-tile-sorted ids: block-load each tile's
+    [base, base+C) rows (C/S as many row-gathers) and expand back to
+    per-entry rows with the (shared) one-hot on the MXU."""
+    kp = table.shape[1]
+    T = oh.shape[0]
+    blk = table.at[_tile_block_idx(tile_base, C)].get(
+        mode="promise_in_bounds"
+    ).reshape(T, C, kp)
+    out = jnp.einsum("tsc,tck->tsk", oh, blk,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(T * S, kp)
 
 
 def _minibatch_update(
@@ -453,48 +533,69 @@ def _minibatch_update(
     b: dict,
     cfg: SGDConfig,
     lr,
-    agg_item: Tuple[int, int],
-    agg_user: Tuple[int, int],
+    agg_prim: Tuple[int, int],
+    agg_sec: Tuple[int, int],
+    primary: str,
+    expand_prim: bool,
 ) -> MFParams:
-    """One synchronous mini-batch update; per-side scatter or tile path."""
+    """One synchronous mini-batch update; per-side scatter or tile path.
+
+    The batch is stored sorted by the ``primary`` side when tile metadata
+    is present; that side's gather AND scatter both ride one one-hot
+    (``_tile_gather``/``_tile_scatter_add``), the secondary side's deltas
+    are permuted to sorted order for its tile scatter."""
     u, i, r, w = b["u"], b["i"], b["r"], b["w"]
-    pu = params.user_features.at[u].get(mode="promise_in_bounds")
-    qi = params.item_features.at[i].get(mode="promise_in_bounds")
+    prim_is_user = primary == "user"
+    prim_ids = u if prim_is_user else i
+
+    oh_prim = None
+    if "pb" in b:
+        oh_prim = _tile_onehot(prim_ids, b["pb"], *agg_prim)
+    if oh_prim is not None and expand_prim:
+        prim_rows = _tile_gather(
+            params.user_features if prim_is_user else params.item_features,
+            oh_prim, b["pb"], *agg_prim,
+        )
+    else:
+        tbl = params.user_features if prim_is_user else params.item_features
+        prim_rows = tbl.at[prim_ids].get(mode="promise_in_bounds")
+    sec_ids = i if prim_is_user else u
+    sec_tbl = params.item_features if prim_is_user else params.user_features
+    sec_rows = sec_tbl.at[sec_ids].get(mode="promise_in_bounds")
+    pu, qi = (prim_rows, sec_rows) if prim_is_user else (sec_rows, prim_rows)
+
     pred, d_pu, d_qi = ext_forward_and_rowgrads(cfg, params.global_mean, pu, qi)
     err = (pred - r) * w
 
+    def side_delta(rows, d_rows, side):
+        mask = jnp.asarray(update_mask(cfg, side))
+        g = (err[:, None] * d_rows
+             + (cfg.reg * w)[:, None] * rows) * mask[None, :]
+        return -lr * g
+
     new = params
+
+    def apply_prim(table, delta):
+        if oh_prim is not None:
+            return _tile_scatter_add(table, delta, oh_prim, b["pb"],
+                                     *agg_prim)
+        return table.at[prim_ids].add(delta, mode="promise_in_bounds")
+
+    def apply_sec(table, delta):
+        if "sb" in b:
+            oh = _tile_onehot(b["ss"], b["sb"], *agg_sec)
+            return _tile_scatter_add(table, delta[b["sp"]], oh, b["sb"],
+                                     *agg_sec)
+        return table.at[sec_ids].add(delta, mode="promise_in_bounds")
+
     if cfg.update_user_params:
-        umask = jnp.asarray(update_mask(cfg, "user"))
-        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
-        if "ub" in b:
-            new = new._replace(
-                user_features=_tile_scatter_add(
-                    new.user_features, (-lr * g)[b["up"]], b["us"], b["ub"],
-                    *agg_user,
-                )
-            )
-        else:
-            new = new._replace(
-                user_features=new.user_features.at[u].add(
-                    -lr * g, mode="promise_in_bounds"
-                )
-            )
+        delta = side_delta(pu, d_pu, "user")
+        apply = apply_prim if prim_is_user else apply_sec
+        new = new._replace(user_features=apply(new.user_features, delta))
     if cfg.update_item_params:
-        imask = jnp.asarray(update_mask(cfg, "item"))
-        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
-        if "ib" in b:
-            new = new._replace(
-                item_features=_tile_scatter_add(
-                    new.item_features, -lr * g, i, b["ib"], *agg_item,
-                )
-            )
-        else:
-            new = new._replace(
-                item_features=new.item_features.at[i].add(
-                    -lr * g, mode="promise_in_bounds"
-                )
-            )
+        delta = side_delta(qi, d_qi, "item")
+        apply = apply_sec if prim_is_user else apply_prim
+        new = new._replace(item_features=apply(new.item_features, delta))
     return new
 
 
@@ -510,16 +611,24 @@ def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
         "u": data.user_ids, "i": data.item_ids,
         "r": data.ratings, "w": data.weights,
     }
-    agg_item = agg_user = (0, 0)
+    agg_prim = agg_sec = (0, 0)
+    expand_prim = False
     if cfg.shuffle != "full" and cfg.aggregate != "none":
-        if data.agg_item[1] and cfg.update_item_params:
-            xs["ib"] = data.item_tile_base
-            agg_item = data.agg_item
-        if data.agg_user[1] and cfg.update_user_params:
-            xs["us"] = data.user_ids_sorted
-            xs["up"] = data.user_perm
-            xs["ub"] = data.user_tile_base
-            agg_user = data.agg_user
+        # primary tile meta serves the gather-expand too, so it is used
+        # even when that side's update is frozen
+        if data.agg_prim[1]:
+            xs["pb"] = data.prim_tile_base
+            agg_prim = data.agg_prim
+            expand_prim = data.expand_prim
+        sec_updated = (
+            cfg.update_item_params if data.primary == "user"
+            else cfg.update_user_params
+        )
+        if data.agg_sec[1] and sec_updated:
+            xs["ss"] = data.sec_ids_sorted
+            xs["sp"] = data.sec_perm
+            xs["sb"] = data.sec_tile_base
+            agg_sec = data.agg_sec
 
     if cfg.shuffle == "full":
         n_pad = nb * cfg.batch_size
@@ -535,7 +644,8 @@ def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
         raise ValueError(f"unknown shuffle {cfg.shuffle!r}")
 
     def body(p, batch):
-        return _minibatch_update(p, batch, cfg, lr, agg_item, agg_user), None
+        return _minibatch_update(p, batch, cfg, lr, agg_prim, agg_sec,
+                                 data.primary, expand_prim), None
 
     params, _ = jax.lax.scan(body, params, xs)
     return params

@@ -169,7 +169,41 @@ def test_tile_aggregation_matches_scatter_path(kernel, rng):
     p0 = sgd.init_params(jax.random.PRNGKey(0), U, I, cfg, float(r.mean()))
     d_agg = sgd.pack_ratings(u, i, r, 512, agg_min_gain=-10)
     d_pln = sgd.pack_ratings(u, i, r, 512, aggregate=False)
-    assert d_agg.agg_item[1] > 0 and d_agg.agg_user[1] > 0
+    assert d_agg.agg_prim[1] > 0 and d_agg.agg_sec[1] > 0
+    pa, ha = sgd.sgd_train(p0, d_agg, jax.random.PRNGKey(1), cfg, 3, cfg.lr)
+    pp, hp = sgd.sgd_train(p0, d_pln, jax.random.PRNGKey(1), cfg, 3, cfg.lr)
+    np.testing.assert_allclose(pa.user_features, pp.user_features, atol=2e-6)
+    np.testing.assert_allclose(pa.item_features, pp.item_features, atol=2e-6)
+    np.testing.assert_allclose(ha, hp, atol=1e-5)
+
+
+@pytest.mark.parametrize("order", ["user", "item"])
+@pytest.mark.parametrize("frozen", [False, True])
+def test_primary_layout_matches_scatter_path(order, frozen, rng):
+    """The primary-sorted storage layout (tile gather-expand + tile
+    scatter on the chunk-sort side, perm + tile scatter on the other)
+    must equal the plain per-row path exactly, in both orders and with
+    the secondary/primary side frozen (update_users mode)."""
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+    import jax
+
+    # the primary side's id space is dense per batch (many ratings/id)
+    # so its tiles are tight and the gather-expand path switches on
+    n, bs = 8192, 1024
+    U, I = (128, 200) if order == "user" else (200, 128)
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="linear", n_factors=12, batch_size=bs, lr=0.01,
+                    reg=0.02, compute_epoch_rmse=True, shuffle="batch",
+                    update_item_params=not frozen)
+    p0 = sgd.init_params(jax.random.PRNGKey(0), U, I, cfg, float(r.mean()))
+    d_agg = sgd.pack_ratings(u, i, r, bs, order=order, agg_min_gain=-10)
+    assert d_agg.primary == order
+    assert d_agg.agg_prim[1] > 0 and d_agg.agg_sec[1] > 0
+    assert d_agg.expand_prim  # tight tiles at this shape -> expand wins
+    d_pln = sgd.pack_ratings(u, i, r, bs, order=order, aggregate=False)
     pa, ha = sgd.sgd_train(p0, d_agg, jax.random.PRNGKey(1), cfg, 3, cfg.lr)
     pp, hp = sgd.sgd_train(p0, d_pln, jax.random.PRNGKey(1), cfg, 3, cfg.lr)
     np.testing.assert_allclose(pa.user_features, pp.user_features, atol=2e-6)
