@@ -372,6 +372,121 @@ def ials_train_bucketed(
     return MFParams(P, Q, mu), np.asarray(hist, np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Implicit feedback (confidence-weighted) ALS
+# ---------------------------------------------------------------------------
+
+
+def implicit_sweep(
+    own: jax.Array,
+    other: jax.Array,
+    grouped: GroupedRatings,
+    n_other_live: int,
+    cfg: SGDConfig,
+    alpha: float,
+) -> jax.Array:
+    """One implicit-ALS half-sweep (Hu/Koren/Volinsky 2008, "Collaborative
+    Filtering for Implicit Feedback Datasets" — method shape only).
+
+    Preferences are 1 for observed pairs, 0 elsewhere; confidences are
+    ``c = 1 + alpha * strength``.  The normal equations over ALL items
+    decompose as ``A_u = YᵀY + Σ_obs (c-1) y yᵀ + reg I`` and
+    ``b_u = Σ_obs c y`` — the dense YᵀY gram is one MXU matmul shared by
+    every entity, and only observed pairs need per-entity work.  Entities
+    with no observations solve to exactly zero (the implicit prior).
+    """
+    k = cfg.n_factors
+    Y = other[:n_other_live, :k]
+    G = jnp.einsum("ik,if->kf", Y, Y, preferred_element_type=jnp.float32)
+    rows = other.at[grouped.other_ids].get(
+        mode="promise_in_bounds")[..., :k]  # (E, L, k)
+    cm1 = (alpha * grouped.ratings) * grouped.mask  # c - 1, masked
+    A = G[None] + jnp.einsum(
+        "elk,elf->ekf", rows * cm1[..., None], rows,
+        preferred_element_type=jnp.float32,
+    )
+    A = A + cfg.reg * jnp.eye(k, dtype=jnp.float32)[None]
+    b = jnp.einsum("elk,el->ek", rows, (1.0 + cm1) * grouped.mask,
+                   preferred_element_type=jnp.float32)
+    chol = jax.lax.linalg.cholesky(A)
+    sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+    E = grouped.other_ids.shape[0]
+    return own.at[:E, :k].set(sol)
+
+
+def implicit_loss(
+    P: jax.Array, Q: jax.Array, by_user: GroupedRatings,
+    n_users: int, n_items: int, cfg: SGDConfig, alpha: float,
+) -> jax.Array:
+    """Exact confidence-weighted loss over ALL (user, item) pairs.
+
+    ``Σ_all (x·y)²`` has the closed form ``Σ_u x_uᵀ (YᵀY) x_u``; observed
+    pairs add ``c(1 - x·y)² - (x·y)²``.  Plus L2 on both tables."""
+    k = cfg.n_factors
+    X, Y = P[:n_users, :k], Q[:n_items, :k]
+    G = jnp.einsum("ik,if->kf", Y, Y, preferred_element_type=jnp.float32)
+    base = jnp.einsum("uk,kf,uf->", X, G, X,
+                      preferred_element_type=jnp.float32)
+    rows = Q.at[by_user.other_ids].get(mode="promise_in_bounds")[..., :k]
+    xy = jnp.einsum("elk,ek->el", rows, X,
+                    preferred_element_type=jnp.float32)
+    c = 1.0 + alpha * by_user.ratings
+    obs = by_user.mask * (c * (1.0 - xy) ** 2 - xy ** 2)
+    l2 = cfg.reg * (jnp.sum(X * X) + jnp.sum(Y * Y))
+    return base + jnp.sum(obs) + l2
+
+
+def implicit_als_train(
+    params: MFParams,
+    by_user: GroupedRatings,
+    by_item: GroupedRatings,
+    cfg: SGDConfig,
+    n_epochs: int,
+    alpha: float = 40.0,
+    update_user_params: bool = True,
+    update_item_params: bool = True,
+) -> Tuple[MFParams, jax.Array]:
+    """Alternating implicit sweeps; returns (params, per-epoch loss).
+
+    The rating values in ``by_*`` are interaction *strengths* (play
+    counts, hours, clicks — any non-negative signal); predictions are
+    preference scores in ~[0, 1], not ratings."""
+    if cfg.kernel != "linear":
+        raise ValueError("implicit ALS requires the linear kernel")
+    n_users = by_user.other_ids.shape[0]
+    n_items = by_item.other_ids.shape[0]
+
+    def epoch(p: MFParams, _):
+        P, Q = p.user_features, p.item_features
+        if update_user_params:
+            P = implicit_sweep(P, Q, by_user, n_items, cfg, alpha)
+        if update_item_params:
+            Q = implicit_sweep(Q, P, by_item, n_users, cfg, alpha)
+        loss = (
+            implicit_loss(P, Q, by_user, n_users, n_items, cfg, alpha)
+            if cfg.compute_epoch_rmse else jnp.float32(0.0)
+        )
+        return MFParams(P, Q, p.global_mean), loss
+
+    return jax.lax.scan(epoch, params, None, length=n_epochs)
+
+
+_implicit_cache: dict = {}
+
+
+def jit_implicit_als_train(cfg: SGDConfig, n_epochs: int, alpha: float,
+                           update_user_params=True, update_item_params=True):
+    key = (cfg, n_epochs, alpha, update_user_params, update_item_params)
+    if key not in _implicit_cache:
+        _implicit_cache[key] = jax.jit(
+            lambda p, bu, bi: implicit_als_train(
+                p, bu, bi, cfg, n_epochs, alpha, update_user_params,
+                update_item_params,
+            )
+        )
+    return _implicit_cache[key]
+
+
 _ials_cache: dict = {}
 
 
