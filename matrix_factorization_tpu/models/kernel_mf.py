@@ -56,11 +56,20 @@ class KernelMF(RecommenderBase):
         mesh=None,
         method: str = "sgd",
         epoch_order: str = "shuffle",
+        keep_sharded: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
         data-parallel (user-sharded P, psum'd item deltas) and gathers the
         result for serving.
+
+        ``keep_sharded``: with a mesh, keep the trained tables resident in
+        their training shardings after ``fit`` (P over ``data``, and Q
+        over ``model`` for 2D fits) instead of gathering to one device —
+        for catalogs that cannot fit one device's HBM.  ``recommend`` /
+        ``recommend_batch`` then route through the distributed top-k
+        (``parallel.serving.ShardedCatalog``), and ``predict`` gathers
+        rows on demand.
 
         ``method``: 'sgd' (reference semantics) or 'als' (extension: exact
         alternating least squares for factors+biases — linear kernel only,
@@ -95,7 +104,9 @@ class KernelMF(RecommenderBase):
         self.mesh = mesh
         self.method = method
         self.epoch_order = epoch_order
+        self.keep_sharded = keep_sharded
         self._params: Optional[sgd.MFParams] = None
+        self._topk_catalog = None
         self.train_rmse: list = []
 
     # -- config -------------------------------------------------------------
@@ -178,12 +189,24 @@ class KernelMF(RecommenderBase):
                 self.mesh, seed=self.seed, init_mean=self.init_mean,
                 init_sd=self.init_sd,
             )
-            # gather to single-device arrays for the serving paths
-            params = sgd.MFParams(
-                user_features=jnp.asarray(np.asarray(params.user_features)),
-                item_features=jnp.asarray(np.asarray(params.item_features)),
-                global_mean=jnp.asarray(np.asarray(params.global_mean)),
-            )
+            if self.keep_sharded:
+                # tables stay resident in their training shardings;
+                # full-catalog serving routes through the distributed
+                # top-k (never gathers Q)
+                from matrix_factorization_tpu.parallel.serving import (
+                    ShardedCatalog,
+                )
+
+                self._topk_catalog = ShardedCatalog(
+                    params, self.n_items, cfg, self.mesh
+                )
+            else:
+                # gather to single-device arrays for the serving paths
+                params = sgd.MFParams(
+                    user_features=jnp.asarray(np.asarray(params.user_features)),
+                    item_features=jnp.asarray(np.asarray(params.item_features)),
+                    global_mean=jnp.asarray(np.asarray(params.global_mean)),
+                )
         else:
             if params is None:
                 k_init, _ = jax.random.split(jax.random.PRNGKey(self.seed))
@@ -293,6 +316,13 @@ class KernelMF(RecommenderBase):
             for e, v in enumerate(self.train_rmse):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
+
+    def _topk_user_rows(self, u_dense: np.ndarray) -> np.ndarray:
+        """(B, Kp) extended user rows for the sharded top-k path (a
+        cross-device gather when P is resident sharded)."""
+        return np.asarray(
+            self._params.user_features[jnp.asarray(u_dense, jnp.int32)]
+        )
 
     def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
         """(B, n_items) unbounded scores — one MXU matmul for a whole

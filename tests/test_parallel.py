@@ -293,3 +293,50 @@ def test_kernelmf_with_mesh_fits_and_serves():
     assert err < base
     recs = m.recommend(user=X["user_id"].iloc[0], amount=5)
     assert len(recs) == 5
+
+
+def test_kernelmf_keep_sharded_serves_from_resident_shards():
+    """keep_sharded=True: Q stays model-sharded after a 2D fit, and
+    recommend / recommend_batch route through the distributed top-k —
+    results must match brute-force scoring of the gathered tables."""
+    from matrix_factorization_tpu import KernelMF
+    from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+
+    X, y = lowrank_ratings(n_users=64, n_items=40, density=0.5, seed=21)
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = KernelMF(n_factors=8, n_epochs=10, lr=0.03, reg=0.01,
+                 batch_size=64, mesh=mesh, keep_sharded=True)
+    m.fit(X, y)
+    assert m._topk_catalog is not None
+    # Q resident sharded: each device holds a row shard, never the table
+    shard_rows = m._params.item_features.addressable_shards[0].data.shape[0]
+    assert shard_rows == m._params.item_features.shape[0] // 2
+
+    # brute force on gathered copies
+    P_all = np.asarray(m._params.user_features)
+    Q_all = np.asarray(m._params.item_features)[: m.n_items]
+    mu = float(np.asarray(m._params.global_mean))
+    users = [X["user_id"].iloc[0], X["user_id"].iloc[1]]
+    u_dense = m.user_vocab.encode(np.asarray(users, dtype=object))
+    scores = mu + P_all[u_dense] @ Q_all.T  # linear kernel, bias folded
+
+    out = m.recommend_batch(users, amount=5, bound_ratings=False)
+    for row, user in enumerate(users):
+        got = out[out["user_id"] == user]
+        exp_order = np.argsort(-scores[row], kind="stable")[:5]
+        exp_items = [m.item_vocab.raw_ids[j] for j in exp_order]
+        assert list(got["item_id"]) == exp_items
+        np.testing.assert_allclose(
+            got["rating_pred"].to_numpy(), scores[row][exp_order], rtol=1e-5
+        )
+
+    # single-user recommend excludes known items and stays sorted
+    known = set(X.loc[X["user_id"] == users[0], "item_id"])
+    recs = m.recommend(user=users[0], amount=5, items_known=known)
+    assert len(recs) == 5
+    assert not set(recs["item_id"]) & known
+    assert recs["rating_pred"].is_monotonic_decreasing
+
+    # predict still works against resident-sharded tables
+    preds = m.predict(X.iloc[:10])
+    assert np.isfinite(np.asarray(preds)).all()
