@@ -1,6 +1,8 @@
 """ratings.parquet -> artifacts/model.pkl (reference train.py:14-48).
 
-Models: baseline | kernel_mf | item_cf | user_cf | content_based.
+Models: baseline | kernel_mf | item_cf | user_cf | content_based |
+implicit (confidence-weighted ALS over interaction strengths — the
+rating column is read as a non-negative strength).
 Checkpointing uses the framework's own format (core.checkpoint) plus a
 reference-compatible whole-model pickle.
 """
@@ -15,6 +17,7 @@ import pandas as pd
 from matrix_factorization_tpu import (
     BaselineModel,
     ContentBasedRecommender,
+    ImplicitALS,
     ItemItemCF,
     KernelMF,
     UserUserCF,
@@ -36,6 +39,9 @@ def build_model(name: str, args) -> object:
         return ItemItemCF(n_neighbors=args.neighbors)
     if name == "content_based":
         return ContentBasedRecommender()
+    if name == "implicit":
+        return ImplicitALS(n_factors=args.factors, n_epochs=args.epochs,
+                           reg=args.reg, alpha=args.alpha)
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -51,7 +57,7 @@ def main() -> None:
     add_paths_arg(p)
     p.add_argument("--model", default="kernel_mf",
                    choices=["baseline", "kernel_mf", "item_cf", "user_cf",
-                            "content_based"])
+                            "content_based", "implicit"])
     p.add_argument("--kernel", default="linear")
     p.add_argument("--method", default="als")
     p.add_argument("--factors", type=int, default=100)
@@ -60,6 +66,8 @@ def main() -> None:
     p.add_argument("--reg", type=float, default=0.005)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--neighbors", type=int, default=50)
+    p.add_argument("--alpha", type=float, default=40.0,
+                   help="implicit confidence scale (c = 1 + alpha*s)")
     p.add_argument("--max-rows", type=int, default=0)
     a = p.parse_args()
     paths = cli_setup(a)

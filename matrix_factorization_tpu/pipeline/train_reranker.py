@@ -39,7 +39,12 @@ def train_reranker(
     seed: int = 0,
     embedding_model: Optional[str] = None,
     log_every: int = 0,
+    model_type: str = "logreg",
 ) -> Dict[str, Any]:
+    """``model_type``: 'logreg' (reference parity) or 'mlp' (one-hidden-
+    layer upgrade, same payload schema — rank.reranker.JaxMLPReranker)."""
+    if model_type not in ("logreg", "mlp"):
+        raise ValueError("model_type must be 'logreg' or 'mlp'")
     require_columns(items, ["item_id", "text"], "items")
     items = items.copy()
     items["item_id"] = items["item_id"].astype(str)
@@ -90,10 +95,15 @@ def train_reranker(
         )
     X = np.vstack(X_rows).astype(np.float32)
     y = np.asarray(y_rows, np.int32)
-    clf = JaxLogisticRegression().fit(X, y)
+    if model_type == "mlp":
+        from matrix_factorization_tpu.rank.reranker import JaxMLPReranker
+
+        clf = JaxMLPReranker(seed=seed).fit(X, y)
+    else:
+        clf = JaxLogisticRegression().fit(X, y)
 
     return {
-        "model_type": "logreg",
+        "model_type": model_type,
         "index_type": index_type,
         "feature_names": FEATURE_NAMES,
         "model": clf,
@@ -119,6 +129,8 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--embedding-model", type=str, default=None)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--model-type", choices=["logreg", "mlp"],
+                   default="logreg")
     a = p.parse_args()
     paths = cli_setup(a)
     items = pd.read_parquet(paths.data / "items.parquet")
@@ -129,6 +141,7 @@ def main() -> None:
         items=items, index=index, meta=meta, n_seed_items=a.n_seed_items,
         candidate_k=a.candidate_k, n_neg=a.n_neg, seed=a.seed,
         embedding_model=a.embedding_model, log_every=a.log_every,
+        model_type=a.model_type,
     )
     out = paths.artifacts / "reranker.pkl"
     with out.open("wb") as f:

@@ -252,6 +252,95 @@ class JaxLogisticRegression:
         return (self.decision_function(X) > 0).astype(np.int32)
 
 
+class JaxMLPReranker:
+    """One-hidden-layer MLP reranker trained on device with optax.
+
+    Drop-in upgrade over :class:`JaxLogisticRegression` — identical
+    serving API (``predict_proba`` / ``decision_function``) and payload
+    schema, so serving and eval code need no changes.  The reference has
+    no MLP counterpart (its reranker is sklearn LogisticRegression,
+    ``train_reranker.py:305-306``); this is the documented upgrade path
+    for when the 17 hand features interact non-linearly.
+    """
+
+    def __init__(self, hidden: int = 32, max_iter: int = 800,
+                 lr: float = 0.02, l2: float = 1e-4, seed: int = 0):
+        self.hidden = hidden
+        self.max_iter = max_iter
+        self.lr = lr
+        self.l2 = l2
+        self.seed = seed
+        self._params: Optional[Dict] = None
+        self._mean: Optional[np.ndarray] = None
+        self._scale: Optional[np.ndarray] = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "JaxMLPReranker":
+        import optax
+
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y, np.float32)
+        self._mean = X.mean(axis=0)
+        self._scale = np.maximum(X.std(axis=0), 1e-6)
+        Xs = (X - self._mean) / self._scale
+        n, d = Xs.shape
+        n_pos = max(1.0, float(y.sum()))
+        n_neg = max(1.0, float(n - y.sum()))
+        w = np.where(y > 0.5, n / (2 * n_pos), n / (2 * n_neg)).astype(np.float32)
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
+        h = self.hidden
+        params = {
+            "w1": jax.random.normal(k1, (d, h), jnp.float32) * (2.0 / d) ** 0.5,
+            "b1": jnp.zeros((h,), jnp.float32),
+            "w2": jax.random.normal(k2, (h,), jnp.float32) * (1.0 / h) ** 0.5,
+            "b2": jnp.float32(0.0),
+        }
+        Xj, yj, wj = jnp.asarray(Xs), jnp.asarray(y), jnp.asarray(w)
+        opt = optax.adam(self.lr)
+
+        def logits(p, x):
+            return jax.nn.relu(x @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+
+        @jax.jit
+        def train(params):
+            state = opt.init(params)
+
+            def loss_fn(p):
+                import optax as _ox
+
+                ll = _ox.sigmoid_binary_cross_entropy(logits(p, Xj), yj)
+                reg = self.l2 * (jnp.sum(p["w1"] ** 2) + jnp.sum(p["w2"] ** 2))
+                return jnp.mean(wj * ll) + reg
+
+            def step(carry, _):
+                p, s = carry
+                g = jax.grad(loss_fn)(p)
+                up, s = opt.update(g, s)
+                return (optax.apply_updates(p, up), s), None
+
+            (params, _), _ = jax.lax.scan(
+                step, (params, state), None, length=self.max_iter
+            )
+            return params
+
+        self._params = {k: np.asarray(v) for k, v in train(params).items()}
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        Xs = (np.asarray(X, np.float32) - self._mean) / self._scale
+        p = self._params
+        hid = np.maximum(Xs @ p["w1"] + p["b1"], 0.0)
+        return hid @ p["w2"] + p["b2"]
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = self.decision_function(X)
+        prob = 1.0 / (1.0 + np.exp(-z))
+        return np.stack([1 - prob, prob], axis=1)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self.decision_function(X) > 0).astype(np.int32)
+
+
 def rerank_scores(
     payload: Dict,
     query: str,

@@ -5,6 +5,7 @@ points (subprocess-free: main() with argv patched)."""
 import json
 import sys
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -83,6 +84,26 @@ def test_full_pipeline(workdir, capsys):
     run_cli(train_reranker, ["--root", root, "--n-seed-items", "40",
                              "--candidate-k", "10", "--log-every", "0"])
     assert (workdir / "artifacts" / "reranker.pkl").exists()
+
+    # MLP upgrade: same payload schema, model_type recorded
+    run_cli(train_reranker, ["--root", root, "--n-seed-items", "40",
+                             "--candidate-k", "10", "--log-every", "0",
+                             "--model-type", "mlp"])
+    import pickle as _pkl
+    payload = _pkl.loads(
+        (workdir / "artifacts" / "reranker.pkl").read_bytes())
+    assert payload["model_type"] == "mlp"
+    probs = payload["model"].predict_proba(
+        np.zeros((3, len(payload["feature_names"])), np.float32))
+    assert probs.shape == (3, 2)
+
+    # implicit trainer: rating column read as interaction strength
+    run_cli(train_cli, ["--root", root, "--model", "implicit",
+                        "--factors", "8", "--epochs", "3"])
+    model = _pkl.loads((workdir / "artifacts" / "model.pkl").read_bytes())
+    from matrix_factorization_tpu import ImplicitALS
+    assert isinstance(model, ImplicitALS)
+    assert model.train_loss[-1] < model.train_loss[0]
 
     run_cli(evaluate_llm, ["--root", root, "--query", "chicken rice dinner",
                            "--must-include", "chicken", "--avoid", "peanut"])

@@ -230,3 +230,21 @@ def test_tfidf_batch_scores_match_scipy():
 
     vals, pos = tfidf_batch_topk(idx, queries, k=2, vocab_block=8)
     assert IDS[pos[0, 0]] == "a" and IDS[pos[1, 0]] == "b" and IDS[pos[2, 0]] == "d"
+
+
+def test_jax_mlp_reranker_learns_nonlinear():
+    """The MLP upgrade must fit an XOR-ish boundary logreg cannot, with
+    the same serving API (payload drop-in)."""
+    from matrix_factorization_tpu.rank.reranker import JaxMLPReranker
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 1, (600, 4)).astype(np.float32)
+    y = ((X[:, 0] * X[:, 1]) > 0).astype(np.int32)  # XOR of signs
+    lin = JaxLogisticRegression(max_iter=300).fit(X, y)
+    mlp = JaxMLPReranker(hidden=16, max_iter=600, lr=0.05).fit(X, y)
+    acc_lin = (lin.predict(X) == y).mean()
+    acc_mlp = (mlp.predict(X) == y).mean()
+    assert acc_mlp > 0.9 > acc_lin  # nonlinear vs linear ceiling (~0.5)
+    p = mlp.predict_proba(X)
+    assert p.shape == (600, 2)
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
