@@ -178,17 +178,34 @@ class KernelMF(RecommenderBase):
             from matrix_factorization_tpu.parallel import distributed as dist
             from matrix_factorization_tpu.parallel.mesh import MODEL_AXIS
 
-            # model axis > 1: shard the item table too (2D training)
-            fit_fn = (
-                dist.dp_tp_fit
-                if self.mesh.shape.get(MODEL_AXIS, 1) > 1
-                else dist.dp_fit
-            )
-            params, rmse_hist = fit_fn(
-                u, i, r, self.n_users, self.n_items, cfg, n_epochs, self.lr,
-                self.mesh, seed=self.seed, init_mean=self.init_mean,
-                init_sd=self.init_sd,
-            )
+            if self.method == "als":
+                # mesh ALS: per-entity solves sharded over the data axes
+                from matrix_factorization_tpu.ops import ials
+
+                k_init, _ = jax.random.split(jax.random.PRNGKey(self.seed))
+                params = sgd.init_params(
+                    k_init, self.n_users, self.n_items, cfg,
+                    self.global_mean, self.init_mean, self.init_sd,
+                )
+                data = sgd.pack_ratings(u, i, r, cfg.batch_size,
+                                        row_width=cfg.padded_factors)
+                bu = ials.group_by_entity_bucketed(u, i, r, self.n_users)
+                bi = ials.group_by_entity_bucketed(i, u, r, self.n_items)
+                params, rmse_hist = ials.dp_ials_train_bucketed(
+                    params, bu, bi, data, cfg, n_epochs, mesh=self.mesh
+                )
+            else:
+                # model axis > 1: shard the item table too (2D training)
+                fit_fn = (
+                    dist.dp_tp_fit
+                    if self.mesh.shape.get(MODEL_AXIS, 1) > 1
+                    else dist.dp_fit
+                )
+                params, rmse_hist = fit_fn(
+                    u, i, r, self.n_users, self.n_items, cfg, n_epochs,
+                    self.lr, self.mesh, seed=self.seed,
+                    init_mean=self.init_mean, init_sd=self.init_sd,
+                )
             if self.keep_sharded:
                 # tables stay resident in their training shardings;
                 # full-catalog serving routes through the distributed

@@ -298,8 +298,30 @@ def group_by_entity_bucketed(
 _sweep_cache: dict = {}
 
 
-def _jit_bucket_sweep(cfg: SGDConfig, own_side: str):
-    key = (cfg, own_side)
+def _gram(Xg, gram_dtype: str):
+    """(E, d, d) design gram at the requested precision.
+
+    TPU finding (benchmarks/ials_bf16.py): XLA's DEFAULT f32 matmul on
+    v5e already feeds the MXU bf16 operands — an explicit bf16 cast is
+    bit-identical and no faster, so 'bf16' and 'f32' coincide here.  The
+    meaningful knob is the opposite one: ``'highest'`` requests exact
+    f32 MACs (multi-pass, slower) for reproducibility-sensitive solves.
+    """
+    precision = (jax.lax.Precision.HIGHEST if gram_dtype == "highest"
+                 else jax.lax.Precision.DEFAULT)
+    if gram_dtype == "bf16":
+        Xg = Xg.astype(jnp.bfloat16)
+    return jnp.einsum("eld,elf->edf", Xg, Xg,
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
+
+
+_GRAM_DTYPES = ("f32", "bf16", "highest")
+
+
+def _jit_bucket_sweep(cfg: SGDConfig, own_side: str, gram_dtype: str = "f32"):
+    """``gram_dtype``: see :func:`_gram`."""
+    key = (cfg, own_side, gram_dtype)
     if key in _sweep_cache:
         return _sweep_cache[key]
 
@@ -314,8 +336,7 @@ def _jit_bucket_sweep(cfg: SGDConfig, own_side: str):
         )
         y = (ratings - mu - rows[..., o_bias]) * mask
         Xm = X * mask[..., None]
-        A = jnp.einsum("eld,elf->edf", Xm, Xm,
-                       preferred_element_type=jnp.float32)
+        A = _gram(Xm, gram_dtype)
         A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
@@ -341,15 +362,19 @@ def ials_train_bucketed(
     n_epochs: int,
     update_user_params: bool = True,
     update_item_params: bool = True,
+    gram_dtype: str = "f32",
 ) -> Tuple[MFParams, np.ndarray]:
     """Python-level epoch loop over per-bucket jitted sweeps (one compile
-    per bucket shape; scales to heavy-tailed rating counts)."""
+    per bucket shape; scales to heavy-tailed rating counts).
+    ``gram_dtype='bf16'``: see :func:`_jit_bucket_sweep`."""
     if cfg.kernel != "linear":
         raise ValueError("factor ALS requires the linear kernel")
+    if gram_dtype not in _GRAM_DTYPES:
+        raise ValueError(f"gram_dtype must be one of {_GRAM_DTYPES}")
     mu = params.global_mean
     P, Q = params.user_features, params.item_features
-    u_sweep = _jit_bucket_sweep(cfg, "user")
-    i_sweep = _jit_bucket_sweep(cfg, "item")
+    u_sweep = _jit_bucket_sweep(cfg, "user", gram_dtype)
+    i_sweep = _jit_bucket_sweep(cfg, "item", gram_dtype)
     # data must be an ARGUMENT, not a closure: closed-over arrays embed as
     # program constants (a 25M-rating stream blows compile-request limits)
     rmse_fn = jax.jit(
@@ -365,6 +390,148 @@ def ials_train_bucketed(
             for b in buckets_item:
                 Q = i_sweep(Q, P, b.entity_ids, b.other_ids, b.ratings,
                             b.mask, mu)
+        if cfg.compute_epoch_rmse:
+            hist.append(float(rmse_fn(MFParams(P, Q, mu), data)))
+        else:
+            hist.append(0.0)
+    return MFParams(P, Q, mu), np.asarray(hist, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel ALS: entity solves sharded across the mesh
+# ---------------------------------------------------------------------------
+
+
+def _pad_bucket_for_mesh(b: Bucket, n_dev: int) -> Tuple[Bucket, np.ndarray]:
+    """Pad a bucket's entity dim to a multiple of ``n_dev``.
+
+    Pads repeat entity_ids[0] with a 0 keep-flag; the sharded sweep
+    applies solutions additively under the keep mask, so duplicate pad
+    ids contribute exact zeros."""
+    E = b.entity_ids.shape[0]
+    Ep = round_up(E, n_dev)
+    keep = np.zeros(Ep, np.float32)
+    keep[:E] = 1.0
+    if Ep == E:
+        return b, keep
+
+    def pad(x, fill):
+        out = np.full((Ep,) + x.shape[1:], fill, x.dtype)
+        out[:E] = np.asarray(x)
+        return jnp.asarray(out)
+
+    return Bucket(
+        pad(b.entity_ids, int(b.entity_ids[0])),
+        pad(b.other_ids, 0),
+        pad(b.ratings, 0.0),
+        pad(b.mask, 0.0),
+    ), keep
+
+
+_dp_sweep_cache: dict = {}
+
+
+def _jit_dp_bucket_sweep(cfg: SGDConfig, own_side: str, mesh,
+                         gram_dtype: str = "f32"):
+    """Sharded per-bucket sweep: each device solves E_b/n_dev entities
+    (the nnz*d^2 gram FLOPs are what sharding buys); one small
+    all_gather of the (E_b, d) solutions, applied identically on every
+    device so the updated table stays replicated."""
+    from jax.sharding import PartitionSpec
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+    key = (cfg, own_side, mesh, gram_dtype)
+    if key in _dp_sweep_cache:
+        return _dp_sweep_cache[key]
+    axes = data_axes_of(mesh)
+
+    def local(own, other, entity_ids, other_ids, ratings, mask, keep, mu):
+        k = cfg.n_factors
+        d = k + 1
+        o_bias = bias_col(cfg, "item" if own_side == "user" else "user")
+        o_const = const_col(cfg, "item" if own_side == "user" else "user")
+        rows = other.at[other_ids].get(mode="promise_in_bounds")
+        X = jnp.concatenate(
+            [rows[..., :k], rows[..., o_const:o_const + 1]], axis=-1
+        )
+        y = (ratings - mu - rows[..., o_bias]) * mask
+        Xm = X * mask[..., None]
+        A = _gram(Xm, gram_dtype)
+        A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
+        b = jnp.einsum("eld,el->ed", Xm, y,
+                       preferred_element_type=jnp.float32)
+        chol = jax.lax.linalg.cholesky(A)
+        sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+        # gather every device's solutions; apply identically (replicated)
+        sol_g = jax.lax.all_gather(sol, axes, axis=0, tiled=True)
+        eids_g = jax.lax.all_gather(entity_ids, axes, axis=0, tiled=True)
+        keep_g = jax.lax.all_gather(keep, axes, axis=0, tiled=True)
+        own_b = bias_col(cfg, own_side)
+        old = own.at[eids_g].get(mode="promise_in_bounds")
+        delta = jnp.zeros_like(old)
+        delta = delta.at[:, :k].set(sol_g[:, :k] - old[:, :k])
+        delta = delta.at[:, own_b].set(sol_g[:, k] - old[:, own_b])
+        return own.at[eids_g].add(delta * keep_g[:, None],
+                                  mode="promise_in_bounds")
+
+    shard = PartitionSpec(axes)
+    rep = PartitionSpec()
+    fn = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(rep, rep, shard, shard, shard, shard, shard, rep),
+        out_specs=rep,
+        check_vma=False,
+    ))
+    _dp_sweep_cache[key] = fn
+    return fn
+
+
+def dp_ials_train_bucketed(
+    params: MFParams,
+    buckets_user: list,
+    buckets_item: list,
+    data: RatingBatches,
+    cfg: SGDConfig,
+    n_epochs: int,
+    mesh,
+    update_user_params: bool = True,
+    update_item_params: bool = True,
+    gram_dtype: str = "f32",
+) -> Tuple[MFParams, np.ndarray]:
+    """Data-parallel bucketed iALS: both tables replicated, the per-
+    entity normal-equation solves (the PFLOP-scale gram work) sharded
+    over the mesh's data axes.  Per bucket the only collective is one
+    all_gather of the (E_b, d) solutions.
+
+    The reference has no ALS beyond the bias model and nothing
+    distributed; this is the scale path for 100M-rating factor ALS."""
+    if cfg.kernel != "linear":
+        raise ValueError("factor ALS requires the linear kernel")
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+    n_dev = 1
+    for a in data_axes_of(mesh):
+        n_dev *= mesh.shape[a]
+    mu = params.global_mean
+    P, Q = params.user_features, params.item_features
+    u_sweep = _jit_dp_bucket_sweep(cfg, "user", mesh, gram_dtype)
+    i_sweep = _jit_dp_bucket_sweep(cfg, "item", mesh, gram_dtype)
+    bu = [_pad_bucket_for_mesh(b, n_dev) for b in buckets_user]
+    bi = [_pad_bucket_for_mesh(b, n_dev) for b in buckets_item]
+    rmse_fn = jax.jit(
+        lambda p, d: jnp.sqrt(masked_sse(p, d, cfg) / max(data.n_real, 1))
+    )
+    hist = []
+    for _ in range(n_epochs):
+        if update_user_params:
+            for b, keep in bu:
+                P = u_sweep(P, Q, b.entity_ids, b.other_ids, b.ratings,
+                            b.mask, jnp.asarray(keep), mu)
+        if update_item_params:
+            for b, keep in bi:
+                Q = i_sweep(Q, P, b.entity_ids, b.other_ids, b.ratings,
+                            b.mask, jnp.asarray(keep), mu)
         if cfg.compute_epoch_rmse:
             hist.append(float(rmse_fn(MFParams(P, Q, mu), data)))
         else:

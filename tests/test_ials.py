@@ -117,6 +117,101 @@ def test_bucketed_matches_simple_path(rng):
     np.testing.assert_allclose(np.asarray(h1), h2, atol=1e-4)
 
 
+def test_dp_bucketed_matches_single_device(rng):
+    """Data-parallel bucketed iALS (entity solves sharded over the mesh,
+    one all_gather of solutions per bucket) must reproduce the
+    single-device bucketed solution exactly — the solves are independent
+    per entity, so sharding them is semantics-free."""
+    from matrix_factorization_tpu.parallel.mesh import (
+        make_mesh,
+        make_multislice_mesh,
+    )
+
+    n_users, n_items, k, n = 37, 23, 4, 400
+    flat = rng.choice(n_users * n_items, size=n, replace=False)
+    u = (flat // n_items).astype(np.int32)
+    i = (flat % n_items).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    mu = float(r.mean())
+
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.2, batch_size=64,
+                    compute_epoch_rmse=True)
+    params = sgd.init_params(jax.random.PRNGKey(3), n_users, n_items, cfg, mu)
+    data = sgd.pack_ratings(u, i, r, 64)
+    bu = ials.group_by_entity_bucketed(u, i, r, n_users, max_block_rows=64)
+    bi = ials.group_by_entity_bucketed(i, u, r, n_items, max_block_rows=64)
+
+    def fresh():
+        # the sweeps donate the owned table, so each path gets its own
+        # (identical, same-key) param buffers
+        return sgd.init_params(jax.random.PRNGKey(3), n_users, n_items, cfg,
+                               mu)
+
+    ref, h_ref = ials.ials_train_bucketed(fresh(), bu, bi, data, cfg, 2)
+    # 37 users / 4 devices forces pad rows in every bucket split
+    mesh = make_mesh(n_data=4, n_model=1)
+    got, h_got = ials.dp_ials_train_bucketed(fresh(), bu, bi, data, cfg, 2,
+                                             mesh=mesh)
+    np.testing.assert_allclose(np.asarray(ref.user_features),
+                               np.asarray(got.user_features), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.item_features),
+                               np.asarray(got.item_features), atol=1e-5)
+    np.testing.assert_allclose(h_ref, h_got, atol=1e-5)
+
+    # DCN-major multislice mesh: identical math, collectives ride both axes
+    ms = make_multislice_mesh(n_slices=2, n_data=2, n_model=1)
+    got_ms, _ = ials.dp_ials_train_bucketed(fresh(), bu, bi, data, cfg, 2,
+                                            mesh=ms)
+    np.testing.assert_allclose(np.asarray(ref.user_features),
+                               np.asarray(got_ms.user_features), atol=1e-5)
+
+
+def test_kernelmf_als_with_mesh_matches_single_device():
+    """KernelMF(method='als', mesh=...) routes through the sharded solver
+    and must match the mesh-free fit (exact alternation either way)."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=50, n_items=30, n_factors=3,
+                           density=0.5, noise_sd=0.05, seed=7)
+    kw = dict(n_factors=6, n_epochs=3, method="als", reg=0.1, batch_size=128)
+    ref = KernelMF(**kw).fit(X, y)
+    got = KernelMF(mesh=make_mesh(n_data=4, n_model=1), **kw).fit(X, y)
+    np.testing.assert_allclose(np.asarray(ref.user_features),
+                               np.asarray(got.user_features), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.item_features),
+                               np.asarray(got.item_features), atol=1e-4)
+    np.testing.assert_allclose(ref.train_rmse, got.train_rmse, atol=1e-4)
+    # lifecycle on the mesh-trained model
+    recs = got.recommend(user=X["user_id"].iloc[0], amount=4)
+    assert len(recs) == 4
+
+
+def test_gram_dtype_validation_and_highest_path(rng):
+    """'highest' requests exact f32 MACs; result must stay close to the
+    default path on tiny problems, and bad dtypes raise."""
+    n_users, n_items, k, n = 10, 8, 3, 80
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.2, batch_size=32,
+                    compute_epoch_rmse=False)
+    def fresh():
+        return sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                               float(r.mean()))
+
+    data = sgd.pack_ratings(u, i, r, 32)
+    bu = ials.group_by_entity_bucketed(u, i, r, n_users)
+    bi = ials.group_by_entity_bucketed(i, u, r, n_items)
+    base, _ = ials.ials_train_bucketed(fresh(), bu, bi, data, cfg, 1)
+    hi, _ = ials.ials_train_bucketed(fresh(), bu, bi, data, cfg, 1,
+                                     gram_dtype="highest")
+    np.testing.assert_allclose(np.asarray(base.user_features),
+                               np.asarray(hi.user_features), atol=1e-4)
+    with pytest.raises(ValueError, match="gram_dtype"):
+        ials.ials_train_bucketed(fresh(), bu, bi, data, cfg, 1,
+                                 gram_dtype="fp8")
+
+
 def test_native_packing_byte_identical_to_numpy(rng):
     """The native O(n) packer (loader.cpp::mf_pack_grouped, ~13x faster
     at 25M ratings) must produce byte-identical buckets to the numpy
