@@ -143,9 +143,11 @@ def config3(scale):
     u, i, r = _gen(n_u, n_i, n_r)
     out = {"config": "ml25m_kernelmf_sigmoid_rbf_k200", "n_ratings": len(r)}
     for kernel, lr in (("sigmoid", 0.01), ("rbf", 0.05)):
+        # bs=1M measured fastest (26-34M over 128k-1M; benchmarks/RESULTS.md)
+        # with fixed-epoch train-RMSE drift <= 0.003 vs bs=128k
         cfg = SGDConfig(kernel=kernel, n_factors=200, lr=lr, reg=0.005,
                         gamma=1 / 200, min_rating=0.5, max_rating=5.0,
-                        batch_size=131_072, compute_epoch_rmse=False)
+                        batch_size=1_048_576, compute_epoch_rmse=False)
         params, hist, ups = _fit_throughput(u, i, r, n_u, n_i, cfg, 2, lr)
         preds, _ = sgd.predict_pairs(
             params, jnp.asarray(u[:4096]), jnp.asarray(i[:4096]), cfg,
@@ -215,8 +217,10 @@ def config5(scale):
     out = {"config": "hybrid_100m_tfidf_kernelmf_update_users",
            "n_ratings": len(r)}
 
+    # bs sweep measured 34.0 / 37.2 / 47.4 / 33.9M updates/s at
+    # 512k / 1M / 2M / 4M (RESULTS.md); fixed-epoch RMSE drift <= 0.002
     cfg = SGDConfig(kernel="linear", n_factors=64, lr=0.002, reg=0.005,
-                    batch_size=524_288, compute_epoch_rmse=False)
+                    batch_size=2_097_152, compute_epoch_rmse=False)
     params, hist, ups = _fit_throughput(u, i, r, n_u, n_i, cfg, 2, cfg.lr)
     out["fit_updates_per_sec"] = round(ups, 1)
 

@@ -30,6 +30,7 @@ from matrix_factorization_tpu.models.collaborative import ItemItemCF, UserUserCF
 from matrix_factorization_tpu.models.content_based import ContentBasedRecommender
 from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
 from matrix_factorization_tpu.models.implicit import ImplicitALS
+from matrix_factorization_tpu.models.grid_search import grid_search_kernel_mf
 from matrix_factorization_tpu.utils.splits import train_update_test_split
 
 __version__ = "0.1.0"
@@ -45,4 +46,5 @@ __all__ = [
     "TopKItemItemCF",
     "TopKUserUserCF",
     "ImplicitALS",
+    "grid_search_kernel_mf",
 ]

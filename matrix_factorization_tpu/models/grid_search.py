@@ -1,0 +1,92 @@
+"""Model-level hyperparameter grid search, vmapped on device.
+
+The reference demonstrates hyperparameter tuning with sklearn
+``GridSearchCV`` over the estimator API (81 candidates x 5 folds run
+sequentially — ``examples/recommender-system.ipynb`` cells 29-30).  That
+path still works here (``RecommenderBase`` is a ``BaseEstimator``, see
+``tests/test_sklearn_compat.py``); this module is the TPU-native
+upgrade: every (lr, reg) candidate trains SIMULTANEOUSLY in one
+compiled program (``ops/sweep.py``), sharing one preprocessing pass and
+one packed rating stream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from matrix_factorization_tpu.models.kernel_mf import KernelMF
+from matrix_factorization_tpu.ops import segment_sgd as sgd
+from matrix_factorization_tpu.ops import sweep
+
+
+def grid_search_kernel_mf(
+    X: pd.DataFrame,
+    y: pd.Series,
+    X_val: pd.DataFrame,
+    y_val: pd.Series,
+    lrs: Sequence[float],
+    regs: Sequence[float],
+    n_epochs: int = 20,
+    seed: int = 0,
+    **model_kwargs,
+) -> Tuple[KernelMF, list]:
+    """Train the full (lr x reg) grid in one vmapped program.
+
+    ``lrs``/``regs`` are the grid AXES (all pairs are trained).  Returns
+    ``(best_model, results)`` where ``best_model`` is a fitted
+    :class:`KernelMF` carrying the winning candidate's tables and
+    ``results`` is a list of dicts (lr, reg, val_rmse, train_rmse) for
+    every candidate, sorted by validation RMSE.
+    """
+    grid = [(float(lr), float(rg)) for lr in lrs for rg in regs]
+    lr_v = jnp.asarray([g[0] for g in grid], jnp.float32)
+    rg_v = jnp.asarray([g[1] for g in grid], jnp.float32)
+
+    model = KernelMF(n_epochs=n_epochs, seed=seed, **model_kwargs)
+    u, i, r = model._preprocess_fit(X, y)
+    model.global_mean = float(np.mean(r))
+    cfg = model._cfg()
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size,
+                            order=model.epoch_order,
+                            row_width=cfg.padded_factors)
+
+    train = sweep.jit_grid_train(cfg, n_epochs, model.n_users,
+                                 model.n_items)
+    params_k, hist_k = train(data, lr_v, rg_v,
+                             jnp.float32(model.global_mean),
+                             jax.random.PRNGKey(seed))
+
+    uv = model.user_vocab.encode(X_val["user_id"].to_numpy())
+    iv = model.item_vocab.encode(X_val["item_id"].to_numpy())
+    rv = np.asarray(y_val, np.float32)
+    scores = sweep.grid_eval_rmse(
+        params_k, jnp.asarray(uv), jnp.asarray(iv), jnp.asarray(rv), cfg
+    )
+    scores_np = np.asarray(scores)
+    hist_np = np.asarray(hist_k)
+
+    best, best_params = sweep.select_best(params_k, scores)
+    model.lr, model.reg = grid[best]
+    model._params = best_params
+    model.train_rmse = hist_np[best].tolist()
+
+    results = sorted(
+        (
+            {
+                "lr": grid[k][0],
+                "reg": grid[k][1],
+                "val_rmse": float(scores_np[k]),
+                "train_rmse": float(hist_np[k][-1]),
+            }
+            for k in range(len(grid))
+        ),
+        # diverged candidates (NaN) sort last, matching select_best
+        key=lambda d: (np.isnan(d["val_rmse"]), d["val_rmse"]),
+    )
+    return model, results

@@ -252,7 +252,7 @@ def pack_ratings(
     shuffle_seed: Optional[int] = 0,
     order: str = "shuffle",
     aggregate: bool = True,
-    c_max: int = 512,
+    c_max: int = 1024,
     agg_min_gain: float = 0.2,
     item_sort_chunks: int = 8,
     row_width: int = 128,
@@ -274,6 +274,10 @@ def pack_ratings(
     item sort + user sort permutation); within-batch order is
     irrelevant to the summed minibatch update, so this never changes
     semantics beyond float summation order.
+    ``c_max`` caps the tile span the cost model may pick; 1024 admits
+    the (S=1024, C=544) secondary tiles that measure ~2% faster than
+    the 512-capped pick on the ML-25M k=200 config (the model still
+    chooses, so smaller workloads are unaffected).
     """
     n = int(len(ratings))
     if shuffle_seed is not None and n > 1:
@@ -537,14 +541,21 @@ def _minibatch_update(
     agg_sec: Tuple[int, int],
     primary: str,
     expand_prim: bool,
+    reg=None,
 ) -> MFParams:
     """One synchronous mini-batch update; per-side scatter or tile path.
 
     The batch is stored sorted by the ``primary`` side when tile metadata
     is present; that side's gather AND scatter both ride one one-hot
     (``_tile_gather``/``_tile_scatter_add``), the secondary side's deltas
-    are permuted to sorted order for its tile scatter."""
+    are permuted to sorted order for its tile scatter.
+
+    ``reg`` optionally overrides ``cfg.reg`` with a TRACED value — the
+    hook that lets ``ops/sweep.py`` vmap one trained program over a
+    hyperparameter grid."""
     u, i, r, w = b["u"], b["i"], b["r"], b["w"]
+    if reg is None:
+        reg = cfg.reg
     prim_is_user = primary == "user"
     prim_ids = u if prim_is_user else i
 
@@ -570,7 +581,7 @@ def _minibatch_update(
     def side_delta(rows, d_rows, side):
         mask = jnp.asarray(update_mask(cfg, side))
         g = (err[:, None] * d_rows
-             + (cfg.reg * w)[:, None] * rows) * mask[None, :]
+             + (reg * w)[:, None] * rows) * mask[None, :]
         return -lr * g
 
     new = params
@@ -605,7 +616,7 @@ def _minibatch_update(
 
 
 def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
-           cfg: SGDConfig, lr):
+           cfg: SGDConfig, lr, reg=None):
     nb = data.user_ids.shape[0]
     xs = {
         "u": data.user_ids, "i": data.item_ids,
@@ -645,7 +656,7 @@ def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
 
     def body(p, batch):
         return _minibatch_update(p, batch, cfg, lr, agg_prim, agg_sec,
-                                 data.primary, expand_prim), None
+                                 data.primary, expand_prim, reg=reg), None
 
     params, _ = jax.lax.scan(body, params, xs)
     return params
@@ -678,16 +689,18 @@ def sgd_train(
     cfg: SGDConfig,
     n_epochs: int,
     lr: float,
+    reg=None,
 ) -> Tuple[MFParams, jax.Array]:
     """Run ``n_epochs`` epochs; returns (params, per-epoch train RMSE).
 
     The whole multi-epoch fit is a single traced program (scan over epochs)
-    so the device never round-trips to the host.
+    so the device never round-trips to the host.  ``reg`` optionally
+    overrides ``cfg.reg`` with a traced value (vmap'd sweeps).
     """
     keys = jax.random.split(key, n_epochs)
 
     def body(p, k):
-        p = _epoch(p, k, data, cfg, lr)
+        p = _epoch(p, k, data, cfg, lr, reg=reg)
         if cfg.compute_epoch_rmse:
             rmse = jnp.sqrt(masked_sse(p, data, cfg) / max(data.n_real, 1))
         else:

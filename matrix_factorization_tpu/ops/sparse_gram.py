@@ -15,8 +15,11 @@ matrix**, using the rank-1 structure of centering:
 MXU matmuls**: ratings are bucketed into user blocks on the host, each
 block is scattered into a (block x items) dense tile on device, and
 ``X_b^T @ X_b[:, J]`` accumulates into an output item-tile column strip.
-Per-strip peak memory = one block tile + one strip — independent of the
-full similarity matrix size.  Top-k neighbors are taken per strip.
+Strips are accumulated in the widest column GROUPS an HBM budget allows
+(``group_budget_bytes``): each group costs one full dense-X rebuild pass
+(the dominant HBM traffic), so fewer groups ~linearly cuts fit time
+while peak memory stays budget-bounded — independent of the full
+similarity matrix size.  Top-k neighbors are taken per strip.
 
 Works symmetrically for user-user similarity by swapping the roles of the
 axes (pass transposed coordinates).
@@ -109,6 +112,7 @@ def similarity_topk(
     k: int,
     user_block: int = 4096,
     item_tile: int = 4096,
+    group_budget_bytes: int = 4 << 30,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Top-k centered-cosine item neighbors from sparse COO ratings.
 
@@ -136,18 +140,35 @@ def similarity_topk(
     sums_j = jnp.asarray(sums)
     norms_j = jnp.asarray(np.maximum(norms_sq, 0.0))
 
+    # accumulate the gram in the widest column GROUPS the HBM budget
+    # allows: per group every user-block tile is zero-filled + scattered
+    # once (the dominant traffic — one full dense-X pass, ~n_users *
+    # items_pad * 4 bytes), so fewer groups beats per-strip rebuilds
+    # ~n_groups-fold (measured: ML-25M item-item fit 290s -> 80s)
+    group_cols = max(item_tile,
+                     int(group_budget_bytes // max(1, items_pad * 4)))
+    group_cols = (group_cols // item_tile) * item_tile
+
     out_sims = np.empty((n_items, k), np.float32)
     out_ids = np.empty((n_items, k), np.int32)
-    for lo in range(0, n_items, item_tile):
-        cols = min(item_tile, items_pad - lo)
-        col_ids = jnp.arange(lo, lo + cols, dtype=jnp.int32)
-        strip = _strip_accumulate(ubj, ibj, rbj, lo, col_ids, user_block,
-                                  items_pad)
-        vals, idx = _strip_topk(strip, col_ids, sums_j, n_users, norms_j, k,
-                                n_items)
-        hi = min(lo + cols, n_items)
-        out_sims[lo:hi] = np.asarray(vals)[: hi - lo]
-        out_ids[lo:hi] = np.asarray(idx)[: hi - lo]
+    for glo in range(0, n_items, group_cols):
+        gcols = min(group_cols, items_pad - glo)
+        acc = _strip_accumulate(ubj, ibj, rbj, glo,
+                                jnp.arange(glo, glo + gcols,
+                                           dtype=jnp.int32),
+                                user_block, items_pad)
+        for lo in range(glo, min(glo + gcols, n_items), item_tile):
+            cols = min(item_tile, items_pad - lo)
+            col_ids = jnp.arange(lo, lo + cols, dtype=jnp.int32)
+            strip = jax.lax.dynamic_slice(
+                acc, (0, lo - glo), (items_pad, cols)
+            )
+            vals, idx = _strip_topk(strip, col_ids, sums_j, n_users,
+                                    norms_j, k, n_items)
+            hi = min(lo + cols, n_items)
+            out_sims[lo:hi] = np.asarray(vals)[: hi - lo]
+            out_ids[lo:hi] = np.asarray(idx)[: hi - lo]
+        del acc
     return out_sims, out_ids, means[:n_items], np.sqrt(
         np.maximum(norms_sq[:n_items], 0.0)
     )
