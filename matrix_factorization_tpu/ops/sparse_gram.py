@@ -15,11 +15,12 @@ matrix**, using the rank-1 structure of centering:
 MXU matmuls**: ratings are bucketed into user blocks on the host, each
 block is scattered into a (block x items) dense tile on device, and
 ``X_b^T @ X_b[:, J]`` accumulates into an output item-tile column strip.
-Strips are accumulated in the widest column GROUPS an HBM budget allows
-(``group_budget_bytes``): each group costs one full dense-X rebuild pass
-(the dominant HBM traffic), so fewer groups ~linearly cuts fit time
-while peak memory stays budget-bounded — independent of the full
-similarity matrix size.  Top-k neighbors are taken per strip.
+Per-strip peak memory = one block tile + one strip — independent of the
+full similarity matrix size.  Top-k neighbors are taken per strip.
+(``group_budget_bytes`` can widen the accumulation groups to trade
+memory for fewer dense-X rebuild passes; measured SLOWER at ML-25M
+scale — see the comment in :func:`similarity_topk` — so it defaults
+off.)
 
 Works symmetrically for user-user similarity by swapping the roles of the
 axes (pass transposed coordinates).
@@ -112,7 +113,7 @@ def similarity_topk(
     k: int,
     user_block: int = 4096,
     item_tile: int = 4096,
-    group_budget_bytes: int = 4 << 30,
+    group_budget_bytes: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Top-k centered-cosine item neighbors from sparse COO ratings.
 
@@ -140,14 +141,19 @@ def similarity_topk(
     sums_j = jnp.asarray(sums)
     norms_j = jnp.asarray(np.maximum(norms_sq, 0.0))
 
-    # accumulate the gram in the widest column GROUPS the HBM budget
-    # allows: per group every user-block tile is zero-filled + scattered
-    # once (the dominant traffic — one full dense-X pass, ~n_users *
-    # items_pad * 4 bytes), so fewer groups beats per-strip rebuilds
-    # ~n_groups-fold (measured: ML-25M item-item fit 290s -> 80s)
-    group_cols = max(item_tile,
-                     int(group_budget_bytes // max(1, items_pad * 4)))
-    group_cols = (group_cols // item_tile) * item_tile
+    # group_budget_bytes > 0 accumulates the gram in wider column GROUPS
+    # (fewer dense-X rebuild passes, each group = one pass).  NEGATIVE
+    # RESULT at ML-25M scale: a 4GB budget (16384-col groups, 4 passes
+    # instead of 15) measured 491s vs 290s per-strip — the multi-GB scan
+    # carry costs more than the rebuild passes it saves.  Default 0 =
+    # one strip per group (per-strip accumulation); the knob remains for
+    # taller-than-wide workloads where rebuilds dominate.
+    if group_budget_bytes > 0:
+        group_cols = max(item_tile,
+                         int(group_budget_bytes // max(1, items_pad * 4)))
+        group_cols = (group_cols // item_tile) * item_tile
+    else:
+        group_cols = item_tile
 
     out_sims = np.empty((n_items, k), np.float32)
     out_ids = np.empty((n_items, k), np.int32)

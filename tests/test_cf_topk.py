@@ -42,9 +42,9 @@ def test_similarity_topk_matches_dense_oracle(rng):
         assert S[ids[j, 0], j] >= want_vals[0] - 2e-4
 
 
-def test_similarity_topk_group_split_matches_single_group(rng):
-    """A tiny group budget (multiple accumulation groups) must produce
-    exactly the single-group result: grouping only changes how many
+def test_similarity_topk_grouped_matches_per_strip(rng):
+    """Wide accumulation groups (group_budget_bytes > 0) must produce
+    exactly the default per-strip result: grouping only changes how many
     strip columns each dense-X pass accumulates."""
     n_users, n_items, n = 90, 60, 1200
     flat = rng.choice(n_users * n_items, size=n, replace=False)
@@ -52,13 +52,14 @@ def test_similarity_topk_group_split_matches_single_group(rng):
     i = (flat % n_items).astype(np.int32)
     r = rng.uniform(1, 5, n).astype(np.float32)
 
-    one = similarity_topk(u, i, r, n_users, n_items, k=6, user_block=32,
-                          item_tile=16)
-    # 64-padded items * 4B = 256B/col -> a 16KB budget caps groups at
-    # 16 columns: 4 groups, each one strip
-    many = similarity_topk(u, i, r, n_users, n_items, k=6, user_block=32,
-                           item_tile=16, group_budget_bytes=16 << 10)
-    for a, b in zip(one, many):
+    per_strip = similarity_topk(u, i, r, n_users, n_items, k=6,
+                                user_block=32, item_tile=16)
+    # 64-padded items * 4B = 256B/col -> a 16KB budget covers all 64
+    # columns: ONE group spanning 4 strips
+    grouped = similarity_topk(u, i, r, n_users, n_items, k=6,
+                              user_block=32, item_tile=16,
+                              group_budget_bytes=16 << 10)
+    for a, b in zip(per_strip, grouped):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
