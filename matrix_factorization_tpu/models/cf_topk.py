@@ -134,11 +134,28 @@ class _TopKNeighborCF(RecommenderBase):
         self._neighbor_ids = jnp.asarray(np.asarray(ids, np.int32))
         self._means = jnp.asarray(np.asarray(means, np.float32))
 
-        # device-resident CSR over (row -> sorted candidate ids, ratings)
+        # device-resident CSR over (row -> sorted candidate ids, ratings).
+        # Transfer compressed (uint16 ids when they fit, int8 half-step
+        # ratings when exact) and widen ON DEVICE: at 25M ratings this is
+        # 200MB -> ~75MB over the host->device link.
         order = np.lexsort((cands, rows))
         counts = np.bincount(rows, minlength=n_rows)
-        self._flat_q = jnp.asarray(cands[order].astype(np.int32))
-        self._flat_r = jnp.asarray(r[order].astype(np.float32))
+        cands_s = cands[order]
+        if len(cands_s) and int(cands_s.max()) < 65536:
+            cands_s = cands_s.astype(np.uint16)
+        else:
+            cands_s = cands_s.astype(np.int32)
+        self._flat_q = jax.jit(lambda x: x.astype(jnp.int32))(
+            jnp.asarray(cands_s)
+        )
+        r_s = r[order]
+        r2 = r_s * 2.0
+        if (np.abs(r_s) <= 63).all() and (r2 == np.round(r2)).all():
+            self._flat_r = jax.jit(
+                lambda x: x.astype(jnp.float32) * 0.5
+            )(jnp.asarray(r2.astype(np.int8)))
+        else:
+            self._flat_r = jnp.asarray(r_s.astype(np.float32))
         self._offsets = jnp.asarray(
             np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         )

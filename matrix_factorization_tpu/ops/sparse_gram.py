@@ -39,25 +39,93 @@ from matrix_factorization_tpu.ops.segment_sgd import round_up
 
 
 def _bucket_by_block(u, i, r, n_entities: int, block: int):
-    """Host prep: group COO entries by user block; pad blocks to equal nnz."""
+    """Group COO entries by entity block; pad blocks to equal nnz ON
+    DEVICE from a compressed flat stream.
+
+    Two findings shape this function (measured at ML-25M scale on the
+    remote-TPU image):
+
+    * ``max_nnz`` bakes into the compiled accumulator's shapes — without
+      pow2 rounding every dataset (different id layout -> different
+      per-block max) recompiles a ~4-minute program.  Rounding makes the
+      shapes stable so the persistent compile cache hits.
+    * Host->device transfer is the REAL cost of the old host-padded
+      layout: (n_blocks, max_nnz) x 12B = 503MB crawled through the
+      link at the first strip call.  Instead the flat block-sorted
+      stream is sent compressed — local row as int16 (block <= 32768),
+      the counterpart id as uint16 when it fits, the rating as int8
+      half-steps when exact — and one device scatter builds the padded
+      buckets.  25M ratings: 503MB -> ~125MB on the wire.
+
+    Pad entries carry rating 0 and scatter-add nothing."""
     order = np.argsort(u // block, kind="stable")
     u, i, r = u[order], i[order], r[order]
     n_blocks = (n_entities + block - 1) // block
     counts = np.bincount(u // block, minlength=n_blocks)
-    max_nnz = max(1, int(counts.max()))
-    max_nnz = round_up(max_nnz, 8)
-    ub = np.zeros((n_blocks, max_nnz), np.int32)  # local row within block
-    ib = np.zeros((n_blocks, max_nnz), np.int32)
-    rb = np.zeros((n_blocks, max_nnz), np.float32)
-    start = 0
-    for b in range(n_blocks):
-        c = int(counts[b])
-        sl = slice(start, start + c)
-        ub[b, :c] = u[sl] - b * block
-        ib[b, :c] = i[sl]
-        rb[b, :c] = r[sl]  # pads have r=0: scatter-adds nothing
-        start += c
+    max_nnz = max(8, int(counts.max()))
+    max_nnz = 1 << (max_nnz - 1).bit_length()
+    block_start = np.concatenate(
+        [[0], np.cumsum(counts)]
+    ).astype(np.int32)
+
+    block_id_np = (u // block).astype(np.int64)
+    loc_dtype = np.int16 if block <= 32768 else np.int32
+    u_loc = (u - block_id_np * block).astype(loc_dtype)
+    if len(i) and int(i.max()) < 65536:
+        i_c = i.astype(np.uint16)
+    else:
+        i_c = i.astype(np.int32)
+    r2 = r * 2.0
+    if (np.abs(r) <= 63).all() and (r2 == np.round(r2)).all():
+        r_c = r2.astype(np.int8)  # exact half-step ratings
+        r_scale = 0.5
+    else:
+        r_c = r.astype(np.float32)
+        r_scale = 1.0
+    # only the compressed flat stream + the (n_blocks+1,) offsets cross
+    # the host->device link; block ids and slots are derived on device
+    ub, ib, rb = _build_buckets(
+        jnp.asarray(u_loc), jnp.asarray(i_c), jnp.asarray(r_c),
+        jnp.asarray(block_start), n_blocks, max_nnz, r_scale,
+    )
     return ub, ib, rb, n_blocks
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "max_nnz", "r_scale"))
+def _build_buckets(u_loc, i_c, r_c, block_start, n_blocks, max_nnz,
+                   r_scale):
+    """Flat block-sorted stream -> padded buckets, fully on device.
+
+    Entries are contiguous per block, so each padded row is just a
+    ``max_nnz``-wide contiguous WINDOW of the flat stream starting at
+    the block's offset, masked down to the block's count — one vmapped
+    dynamic_slice per array, no per-entry scatter and nothing per-entry
+    beyond the compressed values crossing the host->device link."""
+    n = u_loc.shape[0]
+    counts = block_start[1:] - block_start[:-1]  # (n_blocks,)
+    starts = block_start[:-1]
+    keep = (
+        jnp.arange(max_nnz, dtype=jnp.int32)[None, :] < counts[:, None]
+    )
+
+    def windows(vals, dtype):
+        # over-read room: windows may run past the end of the stream
+        padded = jnp.concatenate(
+            [vals, jnp.zeros((max_nnz,), vals.dtype)]
+        )
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(padded, (s,), (max_nnz,))
+        )(starts)
+        return jnp.where(keep, win.astype(dtype), 0)
+
+    ub = windows(u_loc, jnp.int32)
+    ib = windows(i_c, jnp.int32)
+    rb = windows(r_c, jnp.float32)
+    if r_scale != 1.0:
+        rb = rb * r_scale
+    del n
+    return ub, ib, rb
 
 
 @functools.partial(jax.jit, static_argnames=("block", "n_items", "tile_lo_is_static"))
@@ -85,9 +153,11 @@ def _strip_accumulate(ub, ib, rb, tile_lo, tile_cols, block, n_items,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_valid"))
+@functools.partial(jax.jit, static_argnames=("k",))
 def _strip_topk(gram_strip, col_ids, sums, n_users, norms_sq, k, n_valid):
-    """Centered-cosine top-k for one strip of items (columns)."""
+    """Centered-cosine top-k for one strip of items (columns).
+    ``n_valid`` is traced (only a mask bound) — keeping it static would
+    recompile per dataset."""
     n = jnp.float32(n_users)
     m_all = sums / n
     m_cols = m_all[col_ids]
@@ -126,16 +196,20 @@ def similarity_topk(
     i = np.asarray(i, np.int32)
     r = np.asarray(r, np.float32)
     k = min(k, n_items - 1)
-    items_pad = round_up(n_items, 8)
+    # pad the item axis to a whole number of strips: every strip then
+    # compiles to the SAME program (the ragged tail strip would
+    # otherwise cost its own multi-minute remote compile)
+    items_pad = round_up(n_items, max(8, item_tile))
 
     ub, ib, rb, _ = _bucket_by_block(u, i, r, n_users, user_block)
     ubj, ibj, rbj = jnp.asarray(ub), jnp.asarray(ib), jnp.asarray(rb)
 
-    # column sums and self-dots (one pass)
-    sums = np.zeros(items_pad, np.float32)
-    np.add.at(sums, i, r)
-    self_dot = np.zeros(items_pad, np.float32)
-    np.add.at(self_dot, i, r * r)
+    # column sums and self-dots (one bincount pass each; np.add.at is
+    # ~10x slower at 25M entries)
+    sums = np.bincount(i, weights=r, minlength=items_pad
+                       ).astype(np.float32)[:items_pad]
+    self_dot = np.bincount(i, weights=r * r, minlength=items_pad
+                           ).astype(np.float32)[:items_pad]
     means = sums / max(1, n_users)
     norms_sq = self_dot - n_users * means**2
     sums_j = jnp.asarray(sums)

@@ -93,6 +93,34 @@ def test_grid_search_kernel_mf_picks_best():
     assert len(model.train_rmse) == 5
 
 
+def test_grid_search_cv_folds():
+    """cv=F runs one vmapped sweep per fold, averages scores, and refits
+    the winner on all data (the reference's GridSearchCV(cv=5) protocol,
+    notebook cell 29)."""
+    import pytest
+
+    X, y = lowrank_ratings(n_users=70, n_items=50, n_factors=3,
+                           density=0.4, noise_sd=0.1, seed=9)
+    model, results = grid_search_kernel_mf(
+        X, y, lrs=[0.005, 0.02], regs=[0.01, 0.2], n_epochs=5, cv=3,
+        n_factors=8, batch_size=256,
+    )
+    assert len(results) == 4
+    assert np.isfinite(results[0]["val_rmse"])
+    # refit on all data: full lifecycle works and beats the global mean
+    from matrix_factorization_tpu.utils.metrics import rmse as _rmse
+
+    e = _rmse(y, model.predict(X))
+    base = _rmse(y, np.full(len(y), float(y.mean())))
+    assert e < base
+    assert len(model.train_rmse) == 5
+    # both-or-neither validation protocols raise
+    with pytest.raises(ValueError, match="X_val"):
+        grid_search_kernel_mf(X, y, lrs=[0.01], regs=[0.01])
+    with pytest.raises(ValueError, match="X_val"):
+        grid_search_kernel_mf(X, y, X, y, lrs=[0.01], regs=[0.01], cv=2)
+
+
 def test_grid_search_skips_diverged_candidates():
     """A grid containing a divergent lr must never select the NaN
     candidate (jnp.argmin would otherwise pick the first NaN)."""
