@@ -343,36 +343,54 @@ class KernelMF(RecommenderBase):
 
     def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
         """(B, n_items) unbounded scores — one MXU matmul for a whole
-        user cohort (eval harnesses, batch serving)."""
+        user cohort (eval harnesses, batch serving).
+
+        The user-row gather and the catalog slice live INSIDE the jit:
+        on a remote-dispatch backend every eager device op costs a
+        round-trip, and the eager-slice version paid 3-4 RTTs per call
+        (~600ms p50 through the image's tunnel) for microseconds of
+        compute."""
         from matrix_factorization_tpu.ops.scoring import score_catalog
 
         cfg = self._cfg()
-        key = (cfg, "batch")
+        key = (cfg, self.n_items, "batch")
         fn = _catalog_jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(lambda mu, pu, Q: score_catalog(cfg, mu, pu, Q))
+            n_items = self.n_items
+
+            def run(mu, P, Q, u):
+                pu = P.at[u].get(mode="promise_in_bounds")
+                return score_catalog(cfg, mu, pu, Q[:n_items])
+
+            fn = jax.jit(run)
             _catalog_jit_cache[key] = fn
-        pu = self._params.user_features[jnp.asarray(u_dense, jnp.int32)]
         return np.asarray(
-            fn(self._params.global_mean, pu,
-               self._params.item_features[: self.n_items])
+            fn(self._params.global_mean, self._params.user_features,
+               self._params.item_features, jnp.asarray(u_dense, jnp.int32))
         )
 
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
         """Unbounded scores of every known item for one user — the
-        ``recommend`` hot path as a single MXU matmul with fused epilogue
-        (ops.scoring / ops.pallas_scores)."""
+        ``recommend`` hot path as ONE device dispatch (single MXU matmul
+        with fused epilogue, gather + slice traced in; see the RTT note
+        on ``_catalog_scores_batch``)."""
         from matrix_factorization_tpu.ops.scoring import score_catalog
 
         cfg = self._cfg()
-        fn = _catalog_jit_cache.get(cfg)
+        key = (cfg, self.n_items, "one")
+        fn = _catalog_jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(lambda mu, pu, Q: score_catalog(cfg, mu, pu, Q)[0])
-            _catalog_jit_cache[cfg] = fn
-        pu = self._params.user_features[u_dense][None, :]
+            n_items = self.n_items
+
+            def run(mu, P, Q, u):
+                pu = P.at[u].get(mode="promise_in_bounds")[None, :]
+                return score_catalog(cfg, mu, pu, Q[:n_items])[0]
+
+            fn = jax.jit(run)
+            _catalog_jit_cache[key] = fn
         return np.asarray(
-            fn(self._params.global_mean, pu,
-               self._params.item_features[: self.n_items])
+            fn(self._params.global_mean, self._params.user_features,
+               self._params.item_features, jnp.int32(u_dense))
         )
 
     # -- reference-parity parameter views ------------------------------------
