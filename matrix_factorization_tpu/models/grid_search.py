@@ -54,6 +54,13 @@ def grid_search_kernel_mf(
     """
     if (X_val is None) == (not cv):
         raise ValueError("pass either X_val/y_val or cv=<folds>")
+    if X_val is not None and y_val is None:
+        raise ValueError("X_val requires y_val")
+    if cv and cv < 2:
+        raise ValueError(
+            f"cv must be >= 2 folds (got cv={cv}: every fold's training "
+            "split would be empty)"
+        )
     grid = [(float(lr), float(rg)) for lr in lrs for rg in regs]
     lr_v = jnp.asarray([g[0] for g in grid], jnp.float32)
     rg_v = jnp.asarray([g[1] for g in grid], jnp.float32)
@@ -63,7 +70,9 @@ def grid_search_kernel_mf(
     model.global_mean = float(np.mean(r))
     cfg = model._cfg()
     train = sweep.jit_grid_train(cfg, n_epochs, model.n_users,
-                                 model.n_items)
+                                 model.n_items,
+                                 init_mean=model.init_mean,
+                                 init_sd=model.init_sd)
 
     if cv:
         rng = np.random.default_rng(seed)

@@ -90,6 +90,12 @@ class KernelMF(RecommenderBase):
                 "epoch_order must be 'shuffle', 'item', 'user' or 'auto'")
         if method == "als" and kernel != "linear":
             raise ValueError("method='als' requires the linear kernel")
+        if keep_sharded and mesh is None:
+            raise ValueError(
+                "keep_sharded=True requires a mesh: without one the item "
+                "table cannot stay resident sharded and serving would "
+                "silently gather the full catalog to one device"
+            )
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
         self.n_factors = n_factors
         self.n_epochs = n_epochs
@@ -154,6 +160,10 @@ class KernelMF(RecommenderBase):
         (same id space) instead of re-initializing — the building block of
         ``core.checkpoint.fit_resumable``."""
         cfg = self._cfg()
+        # any fit invalidates the resident sharded catalog: it holds a
+        # padded COPY of Q, and serving prefers it over live _params
+        # (ADVICE r2: warm-start refit served stale item factors)
+        self._topk_catalog = None
         if warm_start and self._params is not None:
             from matrix_factorization_tpu.core.ids import check_no_duplicates
 
@@ -254,6 +264,15 @@ class KernelMF(RecommenderBase):
                     params, data, k_train, self.lr
                 )
         self._params = params
+        if self.keep_sharded and self._topk_catalog is None and self.mesh is not None:
+            # warm-start fits train on the single-device branch; rebuild
+            # the resident catalog from the refreshed tables so serving
+            # never mixes new user rows with a stale padded Q copy
+            from matrix_factorization_tpu.parallel.serving import ShardedCatalog
+
+            self._topk_catalog = ShardedCatalog(
+                params, self.n_items, cfg, self.mesh
+            )
         self.train_rmse = list(self.train_rmse) + np.asarray(rmse_hist).tolist()
         if self.verbose:
             for e, v in enumerate(self.train_rmse):

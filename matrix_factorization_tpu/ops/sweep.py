@@ -63,14 +63,17 @@ _sweep_cache: dict = {}
 
 
 def jit_grid_train(cfg: SGDConfig, n_epochs: int, n_users: int,
-                   n_items: int, per_candidate_init: bool = False):
+                   n_items: int, per_candidate_init: bool = False,
+                   init_mean: float = 0.0, init_sd: float = 0.1):
     """Cached jit of ``grid_train`` keyed on the static arguments."""
-    key = (cfg, n_epochs, n_users, n_items, per_candidate_init)
+    key = (cfg, n_epochs, n_users, n_items, per_candidate_init,
+           float(init_mean), float(init_sd))
     if key not in _sweep_cache:
         _sweep_cache[key] = jax.jit(
             lambda data, lrs, regs, mu, seed_key: _grid_train_traced(
                 data, n_users, n_items, cfg, n_epochs, lrs, regs, mu,
                 seed_key, per_candidate_init,
+                init_mean=init_mean, init_sd=init_sd,
             )
         )
     return _sweep_cache[key]

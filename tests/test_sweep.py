@@ -137,3 +137,47 @@ def test_grid_search_skips_diverged_candidates():
     assert np.isnan(results[-1]["val_rmse"])  # the diverged one, last
     preds = model.predict(X.iloc[cut:])
     assert np.isfinite(preds).all()
+
+
+def test_grid_search_validation_gaps():
+    """cv=1 (empty per-fold train splits) and X_val-without-y_val raise
+    explicit ValueErrors instead of failing downstream (ADVICE r2)."""
+    import pytest
+
+    X, y = lowrank_ratings(n_users=30, n_items=20, density=0.4, seed=5)
+    with pytest.raises(ValueError, match="cv must be >= 2"):
+        grid_search_kernel_mf(X, y, lrs=[0.01], regs=[0.01], cv=1,
+                              n_epochs=2, n_factors=4, batch_size=64)
+    with pytest.raises(ValueError, match="y_val"):
+        grid_search_kernel_mf(X, y, X_val=X, lrs=[0.01], regs=[0.01],
+                              n_epochs=2, n_factors=4, batch_size=64)
+
+
+def test_jit_grid_train_threads_init(rng):
+    """jit_grid_train must honor init_mean/init_sd (ADVICE r2: the cached
+    lambda silently trained every candidate with the default init)."""
+    X, y = lowrank_ratings(n_users=40, n_items=30, density=0.4, seed=7)
+    from matrix_factorization_tpu.models.kernel_mf import KernelMF
+
+    m = KernelMF(n_factors=8, batch_size=64)
+    u, i, r = m._preprocess_fit(X, y)
+    cfg = m._cfg()
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size,
+                            row_width=cfg.padded_factors)
+    lrs = jnp.asarray([0.01], jnp.float32)
+    regs = jnp.asarray([0.01], jnp.float32)
+    mu = jnp.float32(float(r.mean()))
+    key = jax.random.PRNGKey(0)
+    p_default, _ = sweep.jit_grid_train(cfg, 1, m.n_users, m.n_items)(
+        data, lrs, regs, mu, key)
+    p_big, _ = sweep.jit_grid_train(cfg, 1, m.n_users, m.n_items,
+                                    init_sd=1.0)(data, lrs, regs, mu, key)
+    # same seed, different init_sd: factor tables must differ
+    assert not np.allclose(np.asarray(p_default.user_features),
+                           np.asarray(p_big.user_features))
+    # and the explicit default must reproduce the implicit default
+    p_expl, _ = sweep.jit_grid_train(cfg, 1, m.n_users, m.n_items,
+                                     init_mean=0.0, init_sd=0.1)(
+        data, lrs, regs, mu, key)
+    np.testing.assert_array_equal(np.asarray(p_default.user_features),
+                                  np.asarray(p_expl.user_features))
