@@ -30,9 +30,10 @@ class IdVocab:
     (``recommender_base.py:137-138``).
     """
 
-    __slots__ = ("_index", "_lookup")
+    __slots__ = ("_index", "_lookup", "_pd_index")
 
     def __init__(self, raw_ids: Sequence[Any] | None = None):
+        self._pd_index: pd.Index | None = None  # lazy encode hash table
         if raw_ids is None:
             self._index: List[Any] = []
             self._lookup: dict = {}
@@ -56,6 +57,7 @@ class IdVocab:
             idx = len(self._index)
             self._index.append(raw_id)
             self._lookup[raw_id] = idx
+            self._pd_index = None  # encode table is stale
         return idx
 
     def extend(self, raw_ids: Iterable[Any]) -> List[int]:
@@ -66,15 +68,37 @@ class IdVocab:
         """Vectorized raw -> dense int32; unknown ids become -1.
 
         With ``strict=True`` unknown ids raise ``KeyError`` instead.
+
+        Lookups go through a cached ``pd.Index`` hash table
+        (``get_indexer``), built once per vocabulary mutation: the
+        previous ``Series.map(dict)`` rebuilt an O(n_vocab) mapping on
+        EVERY call — 725ms per single-user ``recommend`` at a 1M-user
+        vocabulary, dwarfing the 61ms device dispatch.
         """
-        ser = pd.Series(np.asarray(values))
-        out = ser.map(self._lookup).to_numpy()
-        mask = pd.isna(out)
-        if strict and mask.any():
-            missing = ser[mask].unique()[:5]
+        vals = np.asarray(values)
+        if len(self._index) == 0:
+            out = np.full(len(vals), -1, np.int64)
+        elif len(vals) <= 64:
+            # serving path: direct dict lookups are O(B) microseconds,
+            # while get_indexer's object->int coercion costs ~60ms/call
+            out = np.fromiter(
+                (self._lookup.get(v, -1) for v in vals), np.int64,
+                count=len(vals),
+            )
+        else:
+            if self._pd_index is None:
+                self._pd_index = pd.Index(self._index)
+            try:
+                out = self._pd_index.get_indexer(vals)
+            except (TypeError, pd.errors.InvalidIndexError):
+                # mixed unorderable types: fall back to dict lookups
+                out = np.fromiter(
+                    (self._lookup.get(v, -1) for v in vals), np.int64,
+                    count=len(vals),
+                )
+        if strict and (out < 0).any():
+            missing = pd.unique(vals[out < 0])[:5]
             raise KeyError(f"Unknown ids: {list(missing)}")
-        if mask.any():
-            out = np.where(mask, -1, out)
         return out.astype(np.int32)
 
     def decode(self, dense_ids: np.ndarray) -> List[Any]:

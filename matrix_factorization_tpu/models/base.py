@@ -213,7 +213,33 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
 
         u_dense = self.user_vocab.encode(np.asarray([user], dtype=object))[0]
         topk_cat = getattr(self, "_topk_catalog", None)
+        catalog_topk = getattr(self, "_catalog_topk", None)
         catalog = getattr(self, "_catalog_scores", None)
+        if topk_cat is None and catalog_topk is not None and u_dense >= 0:
+            # device-side top-k: over-fetch by the exclusion count,
+            # filter on host, cut — only k values+indices are fetched
+            excluded = set()
+            if items_known is not None:
+                kd = self.item_vocab.encode(
+                    np.asarray(list(items_known), dtype=object))
+                excluded = set(kd[kd >= 0].tolist())
+            k = min(self.n_items, amount + len(excluded))
+            vals, idx = catalog_topk(np.asarray([u_dense], np.int32), k)
+            keep = [j for j, g in enumerate(idx[0]) if g not in excluded]
+            keep = keep[:amount]
+            top_items = idx[0][keep]
+            top_preds = vals[0][keep]
+            self.predictions_possible = [True] * len(top_items)
+            if bound_ratings:
+                top_preds = np.clip(top_preds, self.min_rating, self.max_rating)
+            out = pd.DataFrame(
+                {
+                    "user_id": [user] * len(top_items),
+                    "item_id": [raw_items[x] for x in top_items],
+                    "rating_pred": top_preds,
+                }
+            )
+            return out if include_user else out.drop(columns=["user_id"])
         if topk_cat is not None and u_dense >= 0:
             # sharded catalog: distributed top-k, Q never gathered.
             # over-fetch by the exclusion count, filter, then cut.
@@ -285,8 +311,36 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
         items_known_map = items_known_map or {}
         batch_fn = getattr(self, "_catalog_scores_batch", None)
         topk_cat = getattr(self, "_topk_catalog", None)
+        catalog_topk = getattr(self, "_catalog_topk", None)
         u_dense = self.user_vocab.encode(np.asarray(users, dtype=object))
         frames = []
+        if topk_cat is None and catalog_topk is not None and (u_dense >= 0).all():
+            # one device-side top-k for the whole cohort: (B, k)
+            # values+indices fetched instead of (B, n_items) scores
+            raw_items = self.item_vocab.raw_ids
+            known_dense = {}
+            for user in users:
+                known = items_known_map.get(user)
+                if known:
+                    kd = self.item_vocab.encode(
+                        np.asarray(list(known), dtype=object))
+                    known_dense[user] = set(kd[kd >= 0].tolist())
+            extra = max((len(v) for v in known_dense.values()), default=0)
+            k = min(self.n_items, amount + extra)
+            vals, idx = catalog_topk(u_dense.astype(np.int32), k)
+            for row, user in enumerate(users):
+                kd = known_dense.get(user, ())
+                keep = [j for j, g in enumerate(idx[row]) if g not in kd]
+                keep = keep[:amount]
+                preds = vals[row][keep]
+                if bound_ratings:
+                    preds = np.clip(preds, self.min_rating, self.max_rating)
+                frames.append(pd.DataFrame({
+                    "user_id": [user] * len(keep),
+                    "item_id": [raw_items[x] for x in idx[row][keep]],
+                    "rating_pred": preds,
+                }))
+            return pd.concat(frames, ignore_index=True)
         if topk_cat is not None and (u_dense >= 0).all():
             # sharded catalog: one distributed top-k for the whole cohort
             raw_items = self.item_vocab.raw_ids

@@ -172,6 +172,13 @@ class ImplicitALS(RecommenderBase):
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
         return self._catalog_scores_batch(np.asarray([u_dense]))[0]
 
+    def _catalog_topk(self, u_dense: np.ndarray, k: int):
+        """Device-side top-k (see ``ops.scoring.catalog_topk``)."""
+        from matrix_factorization_tpu.ops.scoring import catalog_topk
+
+        return catalog_topk(self._cfg(), self._params, self.n_items,
+                            u_dense, k)
+
     # -- parameter views ------------------------------------------------------
     @property
     def user_features(self) -> np.ndarray:

@@ -412,6 +412,15 @@ class KernelMF(RecommenderBase):
                self._params.item_features, jnp.int32(u_dense))
         )
 
+    def _catalog_topk(self, u_dense: np.ndarray, k: int):
+        """Top-``k`` catalog scores per user, fetching only (B, k)
+        values+indices — see ``ops.scoring.catalog_topk`` (the
+        ``recommend`` fast path; VERDICT r2 #3)."""
+        from matrix_factorization_tpu.ops.scoring import catalog_topk
+
+        return catalog_topk(self._cfg(), self._params, self.n_items,
+                            u_dense, k)
+
     # -- reference-parity parameter views ------------------------------------
     # (biases live in extension columns of the factor tables — see
     # ops/segment_sgd.py module docstring)

@@ -57,3 +57,24 @@ def test_train_update_test_split_partition():
         assert abs(upd_counts.get(u, 0) - test_counts.get(u, 0)) <= 1
     # labels aligned with rows
     assert list(yi.index) == list(Xi.index)
+
+
+def test_encode_is_o1_per_call_at_large_vocab():
+    """Serving regression (round 3): single-id encode against a
+    1M-entry vocabulary must reuse the cached hash table, not rebuild
+    an O(n_vocab) mapping per call (725ms/call before the fix)."""
+    import time
+
+    from matrix_factorization_tpu.core.ids import IdVocab
+
+    vocab = IdVocab.from_values(np.arange(1_000_000))
+    vocab.encode(np.asarray([0], dtype=object))  # build the table
+    t0 = time.perf_counter()
+    for k in range(100):
+        out = vocab.encode(np.asarray([k], dtype=object))
+        assert out[0] == k
+    assert time.perf_counter() - t0 < 2.0  # ~50ms real; 100x headroom vs old
+    # mutation invalidates the cache
+    vocab.add("new-user")
+    assert vocab.encode(np.asarray(["new-user"], dtype=object))[0] == 1_000_000
+    assert vocab.encode(np.asarray(["absent"], dtype=object))[0] == -1
