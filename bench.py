@@ -31,7 +31,12 @@ N_USERS = 10_000
 N_ITEMS = 20_000
 N_FACTORS = 100
 BATCH_SIZE = 131_072
-TIMED_EPOCHS = 2
+# the timed window must dwarf the image's host<->device tunnel RTT
+# (tens of ms, load-dependent): 20 epochs x 2M updates ~= 650ms of
+# compute at 60M/s, so RTT jitter is ~1-2% instead of the ~16% swing a
+# 2-epoch window showed between round-2 runs
+TIMED_EPOCHS = 20
+TRIALS = 5
 
 
 def main() -> None:
@@ -77,9 +82,13 @@ def main() -> None:
     out, _ = train(params, data, jax.random.PRNGKey(1), cfg.lr)
     float(jnp.sum(out.user_features))
 
-    # best of 3 trials: the shared tunnel adds load-dependent noise
-    best = float("inf")
-    for _ in range(3):
+    # median of TRIALS: the shared tunnel adds load-dependent noise;
+    # the long window amortizes per-dispatch RTT, the median rejects
+    # outlier trials, and reporting it (not best-of-N) makes the number
+    # driver-reproducible (round-2 lesson: best-of-3 over 2-epoch
+    # windows swung 16% between runs)
+    times = []
+    for _ in range(TRIALS):
         params = sgd.init_params(
             jax.random.PRNGKey(0), N_USERS, N_ITEMS, cfg, float(r.mean())
         )
@@ -87,9 +96,11 @@ def main() -> None:
         t0 = time.perf_counter()
         out, _ = train(params, data, jax.random.PRNGKey(1), cfg.lr)
         float(jnp.sum(out.user_features))
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
 
-    updates_per_sec = TIMED_EPOCHS * N_RATINGS / best
+    median = float(np.median(times))
+    updates_per_sec = TIMED_EPOCHS * N_RATINGS / median
+    best_ups = TIMED_EPOCHS * N_RATINGS / min(times)
     print(
         json.dumps(
             {
@@ -97,6 +108,8 @@ def main() -> None:
                 "value": round(updates_per_sec, 1),
                 "unit": "updates/s",
                 "vs_baseline": round(updates_per_sec / REFERENCE_UPDATES_PER_SEC, 2),
+                "stat": f"median of {TRIALS} trials, {TIMED_EPOCHS}-epoch window",
+                "best": round(best_ups, 1),
             }
         )
     )

@@ -244,6 +244,37 @@ def _expand_wins(S: int, C: int, row_width: int) -> bool:
     return expand < g
 
 
+def _ship_ids(a: np.ndarray) -> jax.Array:
+    """Host->device id transfer in the narrowest lossless wire dtype.
+
+    On remote-tunnel images bulk transfers run at single-digit MB/s, so
+    halving bytes-on-the-wire halves the fit's transfer phase
+    (ROADMAP r2: the int8/uint16 wire-format lever).  The upcast back to
+    int32 runs on device — HBM is not the bottleneck, the link is.
+    """
+    if a.size and a.min() >= 0 and a.max() < (1 << 16):
+        return jnp.asarray(a.astype(np.uint16)).astype(jnp.int32)
+    return jnp.asarray(a)
+
+
+def _ship_ratings(r: np.ndarray) -> jax.Array:
+    """f32 ratings as int8 half-steps when exactly representable
+    (MovieLens-style half-star scales), else raw f32."""
+    if r.size:
+        twice = r * 2.0
+        rounded = np.rint(twice)
+        if (np.abs(twice - rounded) < 1e-6).all() and (
+                np.abs(rounded) < 127).all():
+            return jnp.asarray(rounded.astype(np.int8)).astype(
+                jnp.float32) * 0.5
+    return jnp.asarray(r)
+
+
+def _ship_weights(w: np.ndarray) -> jax.Array:
+    """0/1 pad weights as uint8 on the wire."""
+    return jnp.asarray(w.astype(np.uint8)).astype(jnp.float32)
+
+
 def pack_ratings(
     user_ids: np.ndarray,
     item_ids: np.ndarray,
@@ -354,16 +385,16 @@ def pack_ratings(
         ms = _tile_meta(ss, batch_size, c_max, int(sec.max()),
                         agg_min_gain, row_width)
         if ms is not None:
-            kw["sec_ids_sorted"] = jnp.asarray(ss)
-            kw["sec_perm"] = jnp.asarray(ssort)
+            kw["sec_ids_sorted"] = _ship_ids(ss)
+            kw["sec_perm"] = _ship_ids(ssort)
             kw["sec_tile_base"] = jnp.asarray(ms[0])
             agg_sec = (ms[1], ms[2])
 
     return RatingBatches(
-        jnp.asarray(u),
-        jnp.asarray(i),
-        jnp.asarray(r),
-        jnp.asarray(w),
+        _ship_ids(u),
+        _ship_ids(i),
+        _ship_ratings(r),
+        _ship_weights(w),
         n,
         primary=primary,
         agg_prim=agg_prim,

@@ -83,3 +83,49 @@ def test_unknown_kernel_raises():
     with pytest.raises(ValueError):
         K.forward("poly", 0, jnp.zeros(1), jnp.zeros(1),
                   jnp.zeros((1, 2)), jnp.zeros((1, 2)), 0.1, 0, 5)
+
+
+def test_pack_ratings_wire_format_lossless():
+    """Narrow wire dtypes (uint16 ids, int8 half-step ratings, uint8
+    weights) must round-trip losslessly; non-representable values ship
+    full width (ROADMAP r2 transfer lever)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    # half-step ratings -> int8 on the wire, exact f32 back
+    r = np.asarray([0.5, 5.0, 3.5, 2.0], np.float32)
+    out = sgd._ship_ratings(r)
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out), r)
+    # non-half-step ratings stay f32 (lossless always wins over bytes)
+    r2 = np.asarray([0.51, 3.14], np.float32)
+    np.testing.assert_array_equal(np.asarray(sgd._ship_ratings(r2)), r2)
+
+    ids_small = np.asarray([0, 65535, 7], np.int32)
+    out = sgd._ship_ids(ids_small)
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out), ids_small)
+    ids_big = np.asarray([0, 70000], np.int32)
+    np.testing.assert_array_equal(np.asarray(sgd._ship_ids(ids_big)), ids_big)
+
+    w = np.asarray([1.0, 0.0, 1.0], np.float32)
+    outw = sgd._ship_weights(w)
+    assert outw.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(outw), w)
+
+    # end to end: packed batches decode to the same id/rating content
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 500, 1000).astype(np.int32)
+    i = rng.integers(0, 300, 1000).astype(np.int32)
+    rr = (rng.integers(1, 11, 1000) / 2).astype(np.float32)
+    data = sgd.pack_ratings(u, i, rr, 256)
+    got = {}
+    for name, arr in (("u", data.user_ids), ("i", data.item_ids),
+                      ("r", data.ratings)):
+        flat = np.asarray(arr).ravel()
+        got[name] = flat[np.asarray(data.weights).ravel() > 0]
+    # multiset equality (pack shuffles/sorts)
+    assert sorted(zip(got["u"].tolist(), got["i"].tolist(),
+                      got["r"].tolist())) == sorted(
+        zip(u.tolist(), i.tolist(), rr.tolist()))
