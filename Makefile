@@ -1,4 +1,4 @@
-.PHONY: native test bench clean
+.PHONY: native test bench golden clean
 
 native:
 	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
@@ -13,6 +13,11 @@ test:
 
 bench:
 	python bench.py
+
+# real §6 golden table (needs network for the ML-100K download, or
+# DATA=<path to u.data>); hermetic anchor: tests/test_golden_mini.py
+golden:
+	python benchmarks/golden_table.py $(if $(DATA),--data $(DATA))
 
 clean:
 	rm -f matrix_factorization_tpu/native/*.so
