@@ -263,13 +263,15 @@ class JaxMLPReranker:
     for when the 17 hand features interact non-linearly.
     """
 
-    def __init__(self, hidden: int = 32, max_iter: int = 800,
-                 lr: float = 0.02, l2: float = 1e-4, seed: int = 0):
+    def __init__(self, hidden: int = 64, max_iter: int = 200,
+                 lr: float = 0.005, l2: float = 1e-3, seed: int = 0,
+                 val_frac: float = 0.0):
         self.hidden = hidden
         self.max_iter = max_iter
         self.lr = lr
         self.l2 = l2
         self.seed = seed
+        self.val_frac = val_frac
         self._params: Optional[Dict] = None
         self._mean: Optional[np.ndarray] = None
         self._scale: Optional[np.ndarray] = None
@@ -287,6 +289,20 @@ class JaxMLPReranker:
         n_neg = max(1.0, float(n - y.sum()))
         w = np.where(y > 0.5, n / (2 * n_pos), n / (2 * n_neg)).astype(np.float32)
 
+        # optional held-out split for in-scan early stopping
+        # (val_frac>0).  Defaults train the full budget on all samples:
+        # on the A/B corpus (benchmarks/reranker_ab.py) a modest fixed
+        # budget (200 adam steps, l2=1e-3) beat both the original
+        # 800-step config (which overfits: hit@5 0.39 vs 0.49) and
+        # BCE-val early stopping (0.46 — pointwise val loss is a weak
+        # proxy for ranking quality)
+        n_val = int(round(n * self.val_frac))
+        if 0 < n_val < n:
+            perm = np.random.default_rng(self.seed).permutation(n)
+            vi, ti = perm[:n_val], perm[n_val:]
+        else:
+            vi = ti = np.arange(n)
+
         k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
         h = self.hidden
         params = {
@@ -295,7 +311,8 @@ class JaxMLPReranker:
             "w2": jax.random.normal(k2, (h,), jnp.float32) * (1.0 / h) ** 0.5,
             "b2": jnp.float32(0.0),
         }
-        Xj, yj, wj = jnp.asarray(Xs), jnp.asarray(y), jnp.asarray(w)
+        Xj, yj, wj = jnp.asarray(Xs[ti]), jnp.asarray(y[ti]), jnp.asarray(w[ti])
+        Xv, yv, wv = jnp.asarray(Xs[vi]), jnp.asarray(y[vi]), jnp.asarray(w[vi])
         opt = optax.adam(self.lr)
 
         def logits(p, x):
@@ -303,25 +320,36 @@ class JaxMLPReranker:
 
         @jax.jit
         def train(params):
+            import optax as _ox
+
             state = opt.init(params)
 
             def loss_fn(p):
-                import optax as _ox
-
                 ll = _ox.sigmoid_binary_cross_entropy(logits(p, Xj), yj)
                 reg = self.l2 * (jnp.sum(p["w1"] ** 2) + jnp.sum(p["w2"] ** 2))
                 return jnp.mean(wj * ll) + reg
 
+            def val_loss(p):
+                ll = _ox.sigmoid_binary_cross_entropy(logits(p, Xv), yv)
+                return jnp.mean(wv * ll)
+
             def step(carry, _):
-                p, s = carry
+                p, s, best_p, best_l = carry
                 g = jax.grad(loss_fn)(p)
                 up, s = opt.update(g, s)
-                return (optax.apply_updates(p, up), s), None
+                p = optax.apply_updates(p, up)
+                vl = val_loss(p)
+                better = vl < best_l
+                best_p = jax.tree.map(
+                    lambda new, old: jnp.where(better, new, old), p, best_p)
+                best_l = jnp.minimum(vl, best_l)
+                return (p, s, best_p, best_l), None
 
-            (params, _), _ = jax.lax.scan(
-                step, (params, state), None, length=self.max_iter
+            init = (params, state, params, val_loss(params))
+            (_, _, best_p, _), _ = jax.lax.scan(
+                step, init, None, length=self.max_iter
             )
-            return params
+            return best_p
 
         self._params = {k: np.asarray(v) for k, v in train(params).items()}
         return self
