@@ -1,0 +1,164 @@
+"""iALS vs SGD time-to-quality at MovieLens-25M scale (VERDICT r2 #7).
+
+Round 2 demonstrated "ALS converges in single-digit sweeps" only at
+ML-100K shape; this script runs the comparison the claim implies, at the
+config-3 shape (25M ratings, 162k x 59k), k in {100, 200}, linear
+kernel (factor ALS is linear-only).  Both trainers optimize the same
+model/loss, start from the same init, and are scored on the same
+held-out 500k pairs after every epoch/sweep, so "time to reach held-out
+RMSE x" is directly comparable.
+
+The data is synthetic LOW-RANK (rank-16 latent + biases + noise), not
+uniform noise: time-to-quality needs a learnable signal, otherwise every
+method converges to the noise floor at epoch 1 and the comparison is
+vacuous.  One JSON line per (method, k, epoch) with cumulative seconds
+(prep/pack time reported separately AND included in cum_seconds — both
+methods pay a host-side layout pass); final summary lines give
+wall-clock-to-target at targets derived from the measured floors.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/ials_vs_sgd.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_U, N_I, N_R = 162_000, 59_392, 25_000_000
+N_VAL = 500_000
+RANK = 16
+SGD_EPOCHS = 20
+ALS_SWEEPS = 6
+SGD_BS = 1_048_576
+
+
+def gen_data(seed=0):
+    rng = np.random.default_rng(seed)
+    flat = np.unique(rng.integers(0, N_U * N_I, int(N_R * 1.15),
+                                  dtype=np.int64))[:N_R]
+    rng.shuffle(flat)
+    u = (flat // N_I).astype(np.int32)
+    i = (flat % N_I).astype(np.int32)
+    bu = rng.normal(0, 0.4, N_U).astype(np.float32)
+    bi = rng.normal(0, 0.4, N_I).astype(np.float32)
+    P = rng.normal(0, 0.5 / np.sqrt(RANK), (N_U, RANK)).astype(np.float32)
+    Q = rng.normal(0, 0.5 / np.sqrt(RANK), (N_I, RANK)).astype(np.float32)
+    r = np.empty(N_R, np.float32)
+    for s in range(0, N_R, 5_000_000):
+        e = min(s + 5_000_000, N_R)
+        r[s:e] = (3.0 + bu[u[s:e]] + bi[i[s:e]]
+                  + np.einsum("nf,nf->n", P[u[s:e]], Q[i[s:e]]))
+    r += rng.normal(0, 0.4, N_R).astype(np.float32)
+    np.clip(r, 0.5, 5.0, out=r)
+    return (u[N_VAL:], i[N_VAL:], r[N_VAL:],
+            u[:N_VAL], i[:N_VAL], r[:N_VAL])
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import jax.numpy as jnp
+
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import ials
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    ut, it, rt, uv, iv, rv = gen_data()
+    mu = float(rt.mean())
+    uvd, ivd, rvd = jnp.asarray(uv), jnp.asarray(iv), jnp.asarray(rv)
+
+    records = []
+
+    def val_rmse_fn(cfg):
+        @jax.jit
+        def f(params):
+            pred, _ = sgd.predict_pairs(params, uvd, ivd, cfg,
+                                        bound_ratings=True)
+            return jnp.sqrt(jnp.mean((pred - rvd) ** 2))
+        return f
+
+    for k in (100, 200):
+        cfg = SGDConfig(kernel="linear", n_factors=k, lr=0.002, reg=0.005,
+                        min_rating=0.5, max_rating=5.0, batch_size=SGD_BS,
+                        compute_epoch_rmse=False)
+        vfn = val_rmse_fn(cfg)
+
+        # ---- SGD ----
+        t0 = time.perf_counter()
+        data = sgd.pack_ratings(ut, it, rt, SGD_BS, order="auto",
+                                row_width=cfg.padded_factors)
+        jax.block_until_ready(data.ratings)
+        prep_s = time.perf_counter() - t0
+        train1 = sgd.jit_sgd_train(cfg, 1)
+        params = sgd.init_params(jax.random.PRNGKey(0), N_U, N_I, cfg, mu)
+        # compile both programs outside the timed region (one throwaway
+        # epoch on a copy, plus the val program)
+        warm = sgd.init_params(jax.random.PRNGKey(0), N_U, N_I, cfg, mu)
+        warm, _ = train1(warm, data, jax.random.PRNGKey(9), cfg.lr)
+        float(vfn(warm))
+        del warm
+        cum = prep_s
+        for ep in range(1, SGD_EPOCHS + 1):
+            t0 = time.perf_counter()
+            params, _ = train1(params, data, jax.random.PRNGKey(ep), cfg.lr)
+            jax.block_until_ready(params.user_features)
+            cum += time.perf_counter() - t0
+            rm = float(vfn(params))
+            rec = {"method": "sgd", "k": k, "epoch": ep,
+                   "cum_seconds": round(cum, 2), "prep_seconds": round(prep_s, 2),
+                   "val_rmse": round(rm, 5)}
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+        del data, params
+
+        # ---- iALS ----
+        t0 = time.perf_counter()
+        bu = ials.group_by_entity_bucketed(ut, it, rt, N_U)
+        bi = ials.group_by_entity_bucketed(it, ut, rt, N_I)
+        stream = sgd.pack_ratings(ut, it, rt, SGD_BS,
+                                  row_width=cfg.padded_factors)
+        prep_s = time.perf_counter() - t0
+        params = sgd.init_params(jax.random.PRNGKey(0), N_U, N_I, cfg, mu)
+        cum = prep_s
+        for ep in range(1, ALS_SWEEPS + 1):
+            t0 = time.perf_counter()
+            params, _ = ials.ials_train_bucketed(
+                params, bu, bi, stream, cfg, 1)
+            jax.block_until_ready(params.user_features)
+            dt = time.perf_counter() - t0
+            rm = float(vfn(params))
+            cum += dt
+            rec = {"method": "ials", "k": k, "epoch": ep,
+                   "cum_seconds": round(cum, 2), "prep_seconds": round(prep_s, 2),
+                   "val_rmse": round(rm, 5),
+                   "note": "epoch 1 includes per-bucket compiles" if ep == 1
+                           else ""}
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+        del bu, bi, stream, params
+
+    # ---- time-to-target summary ----
+    for k in (100, 200):
+        floors = {m: min(r["val_rmse"] for r in records
+                         if r["method"] == m and r["k"] == k)
+                  for m in ("sgd", "ials")}
+        worst_floor = max(floors.values())
+        for target in (round(worst_floor + 0.02, 3),
+                       round(worst_floor + 0.005, 3)):
+            row = {"k": k, "target_val_rmse": target}
+            for m in ("sgd", "ials"):
+                hit = [r for r in records
+                       if r["method"] == m and r["k"] == k
+                       and r["val_rmse"] <= target]
+                row[f"{m}_seconds"] = hit[0]["cum_seconds"] if hit else None
+                row[f"{m}_epochs"] = hit[0]["epoch"] if hit else None
+            row["floors"] = floors
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
