@@ -51,7 +51,15 @@ def load_ml100k(data: str | None) -> pd.DataFrame:
         raw = Path(data).read_bytes()
     else:
         print(f"downloading {ML100K_URL} ...", flush=True)
-        blob = urllib.request.urlopen(ML100K_URL, timeout=120).read()
+        try:
+            blob = urllib.request.urlopen(ML100K_URL, timeout=120).read()
+        except OSError as e:
+            raise SystemExit(
+                f"cannot download ML-100K ({e}); this image has no egress."
+                " Run on a machine with network, or pass --data"
+                " /path/to/u.data (make golden DATA=...). Hermetic parity"
+                " anchor: tests/test_golden_mini.py."
+            )
         raw = zipfile.ZipFile(io.BytesIO(blob)).read("ml-100k/u.data")
     df = pd.read_csv(io.BytesIO(raw), sep="\t",
                      names=["user_id", "item_id", "rating", "ts"])
