@@ -47,6 +47,27 @@ def score_catalog(
 _topk_jit_cache: dict = {}
 
 
+def _pallas_serving_wins(cfg: SGDConfig, b_padded: int, kp: int) -> bool:
+    """Where the fused Pallas scorer beats XLA, per the on-chip study
+    (``benchmarks/pallas_vs_xla.py``, v5e, RTT-cancelling two-window
+    timing): single-user-class blocks (B padded to one 8-sublane tile)
+    with 128-lane rows win 1.17-1.23x (linear 65.0us vs 79.9us, sigmoid
+    61.8us vs 72.1us per 100k-item pass); everything else ties or loses
+    (256-lane rows ~0.93-0.98x, B=256 0.47-0.65x, rbf 0.14-0.55x — XLA
+    hoists the loop-invariant |Q|^2 that the kernel recomputes per
+    tile).  Routed only where measured to win; CPU meshes always take
+    the XLA path (interpret-mode Pallas is a debugging tool, not a
+    production scorer)."""
+    import jax as _jax
+
+    return (
+        _jax.default_backend() == "tpu"
+        and cfg.kernel in ("linear", "sigmoid")
+        and b_padded <= 8
+        and kp <= 128
+    )
+
+
 def catalog_topk(
     cfg: SGDConfig,
     params,  # MFParams (or anything with the same three fields)
@@ -73,14 +94,27 @@ def catalog_topk(
     kb = min(n_items, 1 << max(4, (k - 1).bit_length()))
     B = len(u_dense)
     bb = 1 << max(0, (B - 1).bit_length())
-    key = (cfg, n_items, kb, bb)
+    kp = int(params.user_features.shape[1])
+    use_pallas = _pallas_serving_wins(cfg, bb, kp)
+    key = (cfg, n_items, kb, bb, use_pallas)
     fn = _topk_jit_cache.get(key)
     if fn is None:
+        if use_pallas:
+            from matrix_factorization_tpu.ops.pallas_scores import (
+                pallas_score_catalog,
+            )
 
-        def run(mu, P, Q, u):
-            pu = P.at[u].get(mode="promise_in_bounds")
-            s = score_catalog(cfg, mu, pu, Q[:n_items])
-            return jax.lax.top_k(s, kb)
+            def run(mu, P, Q, u):
+                pu = P.at[u].get(mode="promise_in_bounds")
+                s = pallas_score_catalog(cfg, mu, pu, Q[:n_items])
+                return jax.lax.top_k(s, kb)
+
+        else:
+
+            def run(mu, P, Q, u):
+                pu = P.at[u].get(mode="promise_in_bounds")
+                s = score_catalog(cfg, mu, pu, Q[:n_items])
+                return jax.lax.top_k(s, kb)
 
         fn = jax.jit(run)
         _topk_jit_cache[key] = fn
