@@ -116,32 +116,59 @@ def main():
         del data, params
 
         # ---- iALS ----
+        # reg_scale='per_obs' (the ALS counterpart of SGD's per-rating
+        # L2 — an absolute ridge of 0.005 interpolates the noise at
+        # k >= ratings-per-user: measured val RMSE 1.2 at k=200), with a
+        # small reg grid since exact alternation reaches its objective's
+        # minimizer — unlike 20-epoch SGD there is no implicit
+        # early-stopping regularization, so reg must carry all of it.
+        # The grid cost is honest: each method at its tuned setting, and
+        # the bucket/pack prep is shared (paid once, charged to every
+        # curve's cum_seconds).
         t0 = time.perf_counter()
         bu = ials.group_by_entity_bucketed(ut, it, rt, N_U)
         bi = ials.group_by_entity_bucketed(it, ut, rt, N_I)
         stream = sgd.pack_ratings(ut, it, rt, SGD_BS,
                                   row_width=cfg.padded_factors)
         prep_s = time.perf_counter() - t0
-        params = sgd.init_params(jax.random.PRNGKey(0), N_U, N_I, cfg, mu)
-        cum = prep_s
-        for ep in range(1, ALS_SWEEPS + 1):
-            t0 = time.perf_counter()
-            params, _ = ials.ials_train_bucketed(
-                params, bu, bi, stream, cfg, 1)
-            jax.block_until_ready(params.user_features)
-            dt = time.perf_counter() - t0
-            rm = float(vfn(params))
-            cum += dt
-            rec = {"method": "ials", "k": k, "epoch": ep,
-                   "cum_seconds": round(cum, 2), "prep_seconds": round(prep_s, 2),
-                   "val_rmse": round(rm, 5),
-                   "note": "epoch 1 includes per-bucket compiles" if ep == 1
-                           else ""}
-            records.append(rec)
-            print(json.dumps(rec), flush=True)
-        del bu, bi, stream, params
+        for reg in (0.005, 0.02, 0.1):
+            acfg = SGDConfig(kernel="linear", n_factors=k, lr=0.002, reg=reg,
+                             min_rating=0.5, max_rating=5.0,
+                             batch_size=SGD_BS, compute_epoch_rmse=False)
+            params = sgd.init_params(jax.random.PRNGKey(0), N_U, N_I, acfg, mu)
+            cum = prep_s
+            for ep in range(1, ALS_SWEEPS + 1):
+                t0 = time.perf_counter()
+                params, _ = ials.ials_train_bucketed(
+                    params, bu, bi, stream, acfg, 1, reg_scale="per_obs")
+                jax.block_until_ready(params.user_features)
+                dt = time.perf_counter() - t0
+                rm = float(vfn(params))
+                cum += dt
+                rec = {"method": "ials", "k": k, "reg": reg, "epoch": ep,
+                       "cum_seconds": round(cum, 2),
+                       "prep_seconds": round(prep_s, 2),
+                       "val_rmse": round(rm, 5),
+                       "note": "epoch 1 includes per-bucket compiles"
+                               if ep == 1 else ""}
+                records.append(rec)
+                print(json.dumps(rec), flush=True)
+            del params
+        del bu, bi, stream
 
     # ---- time-to-target summary ----
+    # Each (method, reg) curve is monotone in cum_seconds; the winner for
+    # a target is the curve reaching it at the smallest cum_seconds
+    # (iALS curves are per-reg — earliest hit WITHIN each curve, best
+    # curve across regs).
+    def curves(m, k):
+        keys = sorted({r.get("reg") for r in records
+                       if r["method"] == m and r["k"] == k},
+                      key=lambda x: (x is None, x))
+        return [[r for r in records
+                 if r["method"] == m and r["k"] == k and r.get("reg") == g]
+                for g in keys]
+
     for k in (100, 200):
         floors = {m: min(r["val_rmse"] for r in records
                          if r["method"] == m and r["k"] == k)
@@ -151,11 +178,16 @@ def main():
                        round(worst_floor + 0.005, 3)):
             row = {"k": k, "target_val_rmse": target}
             for m in ("sgd", "ials"):
-                hit = [r for r in records
-                       if r["method"] == m and r["k"] == k
-                       and r["val_rmse"] <= target]
-                row[f"{m}_seconds"] = hit[0]["cum_seconds"] if hit else None
-                row[f"{m}_epochs"] = hit[0]["epoch"] if hit else None
+                best = None
+                for curve in curves(m, k):
+                    hit = [r for r in curve if r["val_rmse"] <= target]
+                    if hit and (best is None
+                                or hit[0]["cum_seconds"] < best["cum_seconds"]):
+                        best = hit[0]
+                row[f"{m}_seconds"] = best["cum_seconds"] if best else None
+                row[f"{m}_epochs"] = best["epoch"] if best else None
+                if m == "ials":
+                    row["ials_reg"] = best.get("reg") if best else None
             row["floors"] = floors
             print(json.dumps(row), flush=True)
 

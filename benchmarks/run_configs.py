@@ -149,11 +149,16 @@ def config3(scale):
     u, i, r = _gen(n_u, n_i, n_r)
     out = {"config": "ml25m_kernelmf_sigmoid_rbf_k200", "n_ratings": len(r)}
     for kernel, lr in (("sigmoid", 0.01), ("rbf", 0.05)):
-        # bs=1M measured fastest (26-34M over 128k-1M; benchmarks/RESULTS.md)
-        # with fixed-epoch train-RMSE drift <= 0.003 vs bs=128k
+        # multi-step batching (benchmarks/config3_multistep.py): bs=2M is
+        # fastest for both kernels (35.8M vs 34.3M at 1M; 4M regresses to
+        # 26M), but only sigmoid holds the 1e-3 parity budget there
+        # (3-epoch drift vs bs=128k: sigmoid 7.9e-4, rbf 2.9e-3), so rbf
+        # ships the 1M batch (drift 1.4e-3 mid-trajectory, converging —
+        # see tests/test_parity_oracle.py::test_multistep_batch_...).
+        bs = 2_097_152 if kernel == "sigmoid" else 1_048_576
         cfg = SGDConfig(kernel=kernel, n_factors=200, lr=lr, reg=0.005,
                         gamma=1 / 200, min_rating=0.5, max_rating=5.0,
-                        batch_size=1_048_576, compute_epoch_rmse=False)
+                        batch_size=bs, compute_epoch_rmse=False)
         params, hist, stats = _fit_throughput(u, i, r, n_u, n_i, cfg, 2, lr)
         preds, _ = sgd.predict_pairs(
             params, jnp.asarray(u[:4096]), jnp.asarray(i[:4096]), cfg,

@@ -57,6 +57,7 @@ class KernelMF(RecommenderBase):
         method: str = "sgd",
         epoch_order: str = "shuffle",
         keep_sharded: bool = False,
+        reg_scale: str = "absolute",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
@@ -75,6 +76,14 @@ class KernelMF(RecommenderBase):
         alternating least squares for factors+biases — linear kernel only,
         typically converges in far fewer epochs; see ``ops/ials.py``).
 
+        ``reg_scale`` (method='als' only): 'absolute' ridge (reference
+        bias-ALS convention) or 'per_obs' — reg scaled by each entity's
+        rating count, the exact ALS counterpart of SGD's per-rating L2;
+        use 'per_obs' when comparing against (or warm-starting from) an
+        SGD fit at the same ``reg``, and at k approaching the typical
+        ratings-per-user, where an absolute ridge underregularizes
+        (see ``ops/ials.py::_reg_diag``).
+
         ``epoch_order``: 'shuffle' (reference semantics: random visit
         order), 'item'/'user' (extension: chunk-sorted epochs with
         per-epoch batch-order shuffling — tiny aggregation tiles make
@@ -90,6 +99,8 @@ class KernelMF(RecommenderBase):
                 "epoch_order must be 'shuffle', 'item', 'user' or 'auto'")
         if method == "als" and kernel != "linear":
             raise ValueError("method='als' requires the linear kernel")
+        if reg_scale not in ("absolute", "per_obs"):
+            raise ValueError("reg_scale must be 'absolute' or 'per_obs'")
         if keep_sharded and mesh is None:
             raise ValueError(
                 "keep_sharded=True requires a mesh: without one the item "
@@ -109,6 +120,7 @@ class KernelMF(RecommenderBase):
         self.seed = seed
         self.mesh = mesh
         self.method = method
+        self.reg_scale = reg_scale
         self.epoch_order = epoch_order
         self.keep_sharded = keep_sharded
         self._params: Optional[sgd.MFParams] = None
@@ -202,7 +214,8 @@ class KernelMF(RecommenderBase):
                 bu = ials.group_by_entity_bucketed(u, i, r, self.n_users)
                 bi = ials.group_by_entity_bucketed(i, u, r, self.n_items)
                 params, rmse_hist = ials.dp_ials_train_bucketed(
-                    params, bu, bi, data, cfg, n_epochs, mesh=self.mesh
+                    params, bu, bi, data, cfg, n_epochs, mesh=self.mesh,
+                    reg_scale=self.reg_scale,
                 )
             else:
                 # model axis > 1: shard the item table too (2D training)
@@ -251,14 +264,15 @@ class KernelMF(RecommenderBase):
                     bu = ials.group_by_entity_bucketed(u, i, r, self.n_users)
                     bi = ials.group_by_entity_bucketed(i, u, r, self.n_items)
                     params, rmse_hist = ials.ials_train_bucketed(
-                        params, bu, bi, data, cfg, n_epochs
+                        params, bu, bi, data, cfg, n_epochs,
+                        reg_scale=self.reg_scale,
                     )
                 else:
                     by_user = ials.group_by_entity(u, i, r, self.n_users)
                     by_item = ials.group_by_entity(i, u, r, self.n_items)
-                    params, rmse_hist = ials.jit_ials_train(cfg, n_epochs)(
-                        params, by_user, by_item, data
-                    )
+                    params, rmse_hist = ials.jit_ials_train(
+                        cfg, n_epochs, reg_scale=self.reg_scale
+                    )(params, by_user, by_item, data)
             else:
                 params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
                     params, data, k_train, self.lr
@@ -340,7 +354,8 @@ class KernelMF(RecommenderBase):
             by_user = ials.group_by_entity(u, i, r, self.n_users)
             by_item = ials.group_by_entity(i, u, r, self.n_items)
             params, rmse_hist = ials.jit_ials_train(
-                cfg, max(1, min(n_epochs, 2)), update_item_params=False
+                cfg, max(1, min(n_epochs, 2)), update_item_params=False,
+                reg_scale=self.reg_scale,
             )(self._params, by_user, by_item, data)
         else:
             params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(

@@ -136,10 +136,14 @@ def ials_train(
     n_epochs: int,
     update_user_params: bool = True,
     update_item_params: bool = True,
+    reg_scale: str = "absolute",
 ) -> Tuple[MFParams, jax.Array]:
-    """Alternate exact user/item sweeps; returns (params, per-epoch RMSE)."""
+    """Alternate exact user/item sweeps; returns (params, per-epoch RMSE).
+    ``reg_scale``: see :func:`_reg_diag`."""
     if cfg.kernel != "linear":
         raise ValueError("factor ALS requires the linear kernel")
+    if reg_scale not in _REG_SCALES:
+        raise ValueError(f"reg_scale must be one of {_REG_SCALES}")
     mu = params.global_mean
 
     def sweep(own, other, grouped, own_side):
@@ -155,7 +159,7 @@ def ials_train(
         Xm = X * grouped.mask[..., None]
         A = jnp.einsum("eld,elf->edf", Xm, Xm,
                        preferred_element_type=jnp.float32)
-        A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
+        A = A + _reg_diag(cfg.reg, grouped.mask, d, reg_scale)
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
         # A is SPD (gram + reg*I): batched Cholesky beats generic LU
@@ -318,10 +322,33 @@ def _gram(Xg, gram_dtype: str):
 
 _GRAM_DTYPES = ("f32", "bf16", "highest")
 
+_REG_SCALES = ("absolute", "per_obs")
 
-def _jit_bucket_sweep(cfg: SGDConfig, own_side: str, gram_dtype: str = "f32"):
-    """``gram_dtype``: see :func:`_gram`."""
-    key = (cfg, own_side, gram_dtype)
+
+def _reg_diag(reg: float, mask: jax.Array, d: int, reg_scale: str):
+    """Ridge term for the per-entity normal equations.
+
+    ``'absolute'`` adds ``reg*I`` — the reference bias-ALS convention
+    (`/root/reference/matrix_factorization/baseline_model.py:329-348`
+    divides by ``reg + count`` with absolute reg).  ``'per_obs'`` adds
+    ``reg*n_obs(entity)*I`` — the exact ALS counterpart of SGD's
+    PER-RATING L2 (`kernels.py:156-178` subtracts ``lr*reg*p`` once per
+    rating, i.e. the objective is sum_obs err^2 + reg*sum_obs |.|^2),
+    so an ALS solve with 'per_obs' minimizes the same objective the SGD
+    trainer descends.  With absolute reg and k >= ratings-per-entity
+    the solve interpolates the noise (measured: val RMSE 1.2 at k=200
+    on 25M ratings, benchmarks/ials_vs_sgd.py)."""
+    eye = jnp.eye(d, dtype=jnp.float32)[None]
+    if reg_scale == "per_obs":
+        n_obs = jnp.maximum(mask.sum(axis=1), 1.0)
+        return reg * n_obs[:, None, None] * eye
+    return reg * eye
+
+
+def _jit_bucket_sweep(cfg: SGDConfig, own_side: str, gram_dtype: str = "f32",
+                      reg_scale: str = "absolute"):
+    """``gram_dtype``: see :func:`_gram`; ``reg_scale``: :func:`_reg_diag`."""
+    key = (cfg, own_side, gram_dtype, reg_scale)
     if key in _sweep_cache:
         return _sweep_cache[key]
 
@@ -337,7 +364,7 @@ def _jit_bucket_sweep(cfg: SGDConfig, own_side: str, gram_dtype: str = "f32"):
         y = (ratings - mu - rows[..., o_bias]) * mask
         Xm = X * mask[..., None]
         A = _gram(Xm, gram_dtype)
-        A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
+        A = A + _reg_diag(cfg.reg, mask, d, reg_scale)
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
         chol = jax.lax.linalg.cholesky(A)
@@ -363,18 +390,22 @@ def ials_train_bucketed(
     update_user_params: bool = True,
     update_item_params: bool = True,
     gram_dtype: str = "f32",
+    reg_scale: str = "absolute",
 ) -> Tuple[MFParams, np.ndarray]:
     """Python-level epoch loop over per-bucket jitted sweeps (one compile
     per bucket shape; scales to heavy-tailed rating counts).
-    ``gram_dtype='bf16'``: see :func:`_jit_bucket_sweep`."""
+    ``gram_dtype='bf16'``: see :func:`_jit_bucket_sweep`; ``reg_scale``:
+    see :func:`_reg_diag`."""
     if cfg.kernel != "linear":
         raise ValueError("factor ALS requires the linear kernel")
     if gram_dtype not in _GRAM_DTYPES:
         raise ValueError(f"gram_dtype must be one of {_GRAM_DTYPES}")
+    if reg_scale not in _REG_SCALES:
+        raise ValueError(f"reg_scale must be one of {_REG_SCALES}")
     mu = params.global_mean
     P, Q = params.user_features, params.item_features
-    u_sweep = _jit_bucket_sweep(cfg, "user", gram_dtype)
-    i_sweep = _jit_bucket_sweep(cfg, "item", gram_dtype)
+    u_sweep = _jit_bucket_sweep(cfg, "user", gram_dtype, reg_scale)
+    i_sweep = _jit_bucket_sweep(cfg, "item", gram_dtype, reg_scale)
     # data must be an ARGUMENT, not a closure: closed-over arrays embed as
     # program constants (a 25M-rating stream blows compile-request limits)
     rmse_fn = jax.jit(
@@ -432,7 +463,8 @@ _dp_sweep_cache: dict = {}
 
 
 def _jit_dp_bucket_sweep(cfg: SGDConfig, own_side: str, mesh,
-                         gram_dtype: str = "f32"):
+                         gram_dtype: str = "f32",
+                         reg_scale: str = "absolute"):
     """Sharded per-bucket sweep: each device solves E_b/n_dev entities
     (the nnz*d^2 gram FLOPs are what sharding buys); one small
     all_gather of the (E_b, d) solutions, applied identically on every
@@ -440,7 +472,7 @@ def _jit_dp_bucket_sweep(cfg: SGDConfig, own_side: str, mesh,
     from jax.sharding import PartitionSpec
     from matrix_factorization_tpu.parallel.mesh import data_axes_of
 
-    key = (cfg, own_side, mesh, gram_dtype)
+    key = (cfg, own_side, mesh, gram_dtype, reg_scale)
     if key in _dp_sweep_cache:
         return _dp_sweep_cache[key]
     axes = data_axes_of(mesh)
@@ -457,7 +489,7 @@ def _jit_dp_bucket_sweep(cfg: SGDConfig, own_side: str, mesh,
         y = (ratings - mu - rows[..., o_bias]) * mask
         Xm = X * mask[..., None]
         A = _gram(Xm, gram_dtype)
-        A = A + cfg.reg * jnp.eye(d, dtype=jnp.float32)[None]
+        A = A + _reg_diag(cfg.reg, mask, d, reg_scale)
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
         chol = jax.lax.linalg.cholesky(A)
@@ -498,6 +530,7 @@ def dp_ials_train_bucketed(
     update_user_params: bool = True,
     update_item_params: bool = True,
     gram_dtype: str = "f32",
+    reg_scale: str = "absolute",
 ) -> Tuple[MFParams, np.ndarray]:
     """Data-parallel bucketed iALS: both tables replicated, the per-
     entity normal-equation solves (the PFLOP-scale gram work) sharded
@@ -515,8 +548,10 @@ def dp_ials_train_bucketed(
         n_dev *= mesh.shape[a]
     mu = params.global_mean
     P, Q = params.user_features, params.item_features
-    u_sweep = _jit_dp_bucket_sweep(cfg, "user", mesh, gram_dtype)
-    i_sweep = _jit_dp_bucket_sweep(cfg, "item", mesh, gram_dtype)
+    if reg_scale not in _REG_SCALES:
+        raise ValueError(f"reg_scale must be one of {_REG_SCALES}")
+    u_sweep = _jit_dp_bucket_sweep(cfg, "user", mesh, gram_dtype, reg_scale)
+    i_sweep = _jit_dp_bucket_sweep(cfg, "item", mesh, gram_dtype, reg_scale)
     bu = [_pad_bucket_for_mesh(b, n_dev) for b in buckets_user]
     bi = [_pad_bucket_for_mesh(b, n_dev) for b in buckets_item]
     rmse_fn = jax.jit(
@@ -658,13 +693,13 @@ _ials_cache: dict = {}
 
 
 def jit_ials_train(cfg: SGDConfig, n_epochs: int, update_user_params=True,
-                   update_item_params=True):
-    key = (cfg, n_epochs, update_user_params, update_item_params)
+                   update_item_params=True, reg_scale="absolute"):
+    key = (cfg, n_epochs, update_user_params, update_item_params, reg_scale)
     if key not in _ials_cache:
         _ials_cache[key] = jax.jit(
             lambda p, bu, bi, d: ials_train(
                 p, bu, bi, d, cfg, n_epochs, update_user_params,
-                update_item_params,
+                update_item_params, reg_scale,
             )
         )
     return _ials_cache[key]

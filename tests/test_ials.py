@@ -245,3 +245,54 @@ def test_native_packing_byte_identical_to_numpy(rng):
     for f in nat_g._fields:
         np.testing.assert_array_equal(np.asarray(getattr(nat_g, f)),
                                       np.asarray(getattr(ref_g, f)))
+
+
+def test_per_obs_reg_scale_matches_numpy_and_bucketed(rng):
+    """reg_scale='per_obs' solves per-user ridge with reg*n_obs(u) on the
+    diagonal — the ALS counterpart of SGD's per-rating L2 (see
+    ops/ials.py::_reg_diag) — and the grouped / bucketed paths agree."""
+    n_users, n_items, k, n = 6, 15, 4, 60
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    mu = float(r.mean())
+    reg = 0.3
+
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=reg, batch_size=32,
+                    compute_epoch_rmse=False)
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg, mu)
+    by_user = ials.group_by_entity(u, i, r, n_users)
+    by_item = ials.group_by_entity(i, u, r, n_items)
+    data = sgd.pack_ratings(u, i, r, 32)
+    out, _ = ials.jit_ials_train(
+        cfg, 1, update_item_params=False, reg_scale="per_obs"
+    )(params, by_user, by_item, data)
+
+    Q = np.asarray(params.item_features, np.float64)
+    bi_col = sgd.bias_col(cfg, "item")
+    for user in range(n_users):
+        rows = np.where(u == user)[0]
+        X = np.column_stack([Q[i[rows], :k], np.ones(len(rows))])
+        y = r[rows].astype(np.float64) - mu - Q[i[rows], bi_col]
+        ridge = reg * len(rows) * np.eye(k + 1)
+        sol = np.linalg.solve(X.T @ X + ridge, X.T @ y)
+        got_p = np.asarray(out.user_features[user, :k], np.float64)
+        got_b = float(out.user_features[user, sgd.bias_col(cfg, "user")])
+        np.testing.assert_allclose(got_p, sol[:k], atol=2e-3)
+        np.testing.assert_allclose(got_b, sol[k], atol=2e-3)
+
+    bu = ials.group_by_entity_bucketed(u, i, r, n_users)
+    bi = ials.group_by_entity_bucketed(i, u, r, n_items)
+    bucketed, _ = ials.ials_train_bucketed(
+        params, bu, bi, data, cfg, 1, update_item_params=False,
+        reg_scale="per_obs",
+    )
+    np.testing.assert_allclose(
+        np.asarray(bucketed.user_features), np.asarray(out.user_features),
+        atol=2e-4,
+    )
+    with pytest.raises(ValueError):
+        ials.ials_train_bucketed(params, bu, bi, data, cfg, 1,
+                                 reg_scale="bogus")
+    with pytest.raises(ValueError):
+        KernelMF(method="als", reg_scale="bogus")

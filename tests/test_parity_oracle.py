@@ -146,3 +146,61 @@ def test_item_order_rmse_parity_vs_oracle(workload, kernel, lr):
     assert abs(ours_rmse - oracle_rmse) <= PARITY_BUDGET, (
         f"{kernel}: oracle {oracle_rmse:.6f} vs item-order {ours_rmse:.6f}"
     )
+
+
+@pytest.mark.parametrize("kernel,lr", [
+    ("sigmoid", 0.01), ("rbf", 0.05),
+])
+def test_multistep_batch_rmse_parity_vs_oracle(workload, kernel, lr):
+    """Multi-step batching parity (VERDICT r2 #4): config 3 ships
+    bs=2M on 25M ratings for sigmoid — every step sums the gradients of
+    ~8% of the training set read against the same pre-step tables.
+    This test reproduces that regime at test shape with the SAME
+    relative batch (bs=2688 on 32k train rows, 8.4%) and requires the
+    SAME final-RMSE oracle parity budget as the sequential layouts.
+    (At 12.8% relative batch the sigmoid delta measures 1.17e-3 — just
+    over budget — which is exactly why config 3 does not ship bs=4M.)
+
+    On-chip counterpart (benchmarks/config3_multistep.py, 25M shape,
+    3-epoch train-RMSE drift vs bs=128k): sigmoid 7.9e-4 at 2M (within
+    budget -> shipped); rbf 2.9e-3 at 2M (over budget -> rbf stays at
+    1M, drift 1.4e-3 mid-trajectory, converging under budget here)."""
+    u, i, r, tr, te, P0, Q0 = workload
+    nu, ni = 500, 800
+    reg, gamma = 0.005, 1.0 / K
+    mu = float(r[tr].mean())
+    epochs = 2 * EPOCHS
+
+    P, Q, bu, bi, _ = sequential_sgd(
+        kernel, u[tr], i[tr], r[tr], nu, ni, K, mu, lr, reg, gamma,
+        0.5, 5.0, epochs, P0, Q0, seed=7,
+    )
+    oracle_rmse = _test_rmse(kernel, gamma, mu, P, Q, bu, bi, u, i, r, te)
+
+    cfg = SGDConfig(kernel=kernel, n_factors=K, lr=lr, reg=reg, gamma=gamma,
+                    min_rating=0.5, max_rating=5.0, batch_size=2688)
+    kp = cfg.padded_factors
+    uf = np.zeros((sgd.round_up(nu, 8), kp), np.float32)
+    uf[:nu, :K] = P0
+    itf = np.zeros((sgd.round_up(ni, 8), kp), np.float32)
+    itf[:ni, :K] = Q0
+    if kernel != "rbf":
+        uf[:, sgd.const_col(cfg, "user")] = 1.0
+        itf[:, sgd.const_col(cfg, "item")] = 1.0
+    params = sgd.MFParams(jnp.asarray(uf), jnp.asarray(itf), jnp.float32(mu))
+    data = sgd.pack_ratings(u[tr], i[tr], r[tr].astype(np.float32), 2688,
+                            order="auto")
+    params, _ = sgd.jit_sgd_train(cfg, epochs)(
+        params, data, jax.random.PRNGKey(3), lr
+    )
+    ours_rmse = _test_rmse(
+        kernel, gamma, mu,
+        np.asarray(params.user_features[:nu, :K], np.float64),
+        np.asarray(params.item_features[:ni, :K], np.float64),
+        np.asarray(params.user_features[:nu, sgd.bias_col(cfg, "user")], np.float64),
+        np.asarray(params.item_features[:ni, sgd.bias_col(cfg, "item")], np.float64),
+        u, i, r, te,
+    )
+    assert abs(ours_rmse - oracle_rmse) <= PARITY_BUDGET, (
+        f"{kernel}: oracle {oracle_rmse:.6f} vs multistep {ours_rmse:.6f}"
+    )
