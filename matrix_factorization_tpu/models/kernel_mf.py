@@ -58,6 +58,7 @@ class KernelMF(RecommenderBase):
         epoch_order: str = "shuffle",
         keep_sharded: bool = False,
         reg_scale: str = "absolute",
+        als_warm_start: int = 0,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
@@ -84,6 +85,17 @@ class KernelMF(RecommenderBase):
         ratings-per-user, where an absolute ridge underregularizes
         (see ``ops/ials.py::_reg_diag``).
 
+        ``als_warm_start`` (extension — the ALS/SGD hybrid schedule):
+        run this many exact linear ALS sweeps before the SGD epochs.
+        For kernel='sigmoid' the linear pre-activation is fit in logit
+        space (pred = a + c*sigma(x) => x_target = logit((r-a)/c),
+        clipped to [0.01, 0.99] before the transform); kernel='linear'
+        warm-starts on the ratings directly; rbf has no linear
+        pre-activation and rejects the flag.  Single-device SGD fits
+        only (not mesh / method='als').  Measured at config-3 shape:
+        one sweep replaces ~17 sigmoid SGD epochs
+        (benchmarks/sigmoid_warmstart.py).
+
         ``epoch_order``: 'shuffle' (reference semantics: random visit
         order), 'item'/'user' (extension: chunk-sorted epochs with
         per-epoch batch-order shuffling — tiny aggregation tiles make
@@ -101,6 +113,21 @@ class KernelMF(RecommenderBase):
             raise ValueError("method='als' requires the linear kernel")
         if reg_scale not in ("absolute", "per_obs"):
             raise ValueError("reg_scale must be 'absolute' or 'per_obs'")
+        if als_warm_start:
+            if als_warm_start < 0:
+                raise ValueError("als_warm_start must be >= 0")
+            if kernel == "rbf":
+                raise ValueError(
+                    "als_warm_start requires a linear pre-activation "
+                    "(kernel 'linear' or 'sigmoid'); rbf has none")
+            if method == "als":
+                raise ValueError(
+                    "als_warm_start is an SGD initializer; method='als' "
+                    "is already exact alternation")
+            if mesh is not None:
+                raise ValueError(
+                    "als_warm_start is not supported with a mesh yet "
+                    "(the dp/tp trainers own their init)")
         if keep_sharded and mesh is None:
             raise ValueError(
                 "keep_sharded=True requires a mesh: without one the item "
@@ -121,6 +148,7 @@ class KernelMF(RecommenderBase):
         self.mesh = mesh
         self.method = method
         self.reg_scale = reg_scale
+        self.als_warm_start = als_warm_start
         self.epoch_order = epoch_order
         self.keep_sharded = keep_sharded
         self._params: Optional[sgd.MFParams] = None
@@ -274,6 +302,9 @@ class KernelMF(RecommenderBase):
                         cfg, n_epochs, reg_scale=self.reg_scale
                     )(params, by_user, by_item, data)
             else:
+                if self.als_warm_start:
+                    params = self._run_als_warm_start(params, u, i, r,
+                                                      cfg, data)
                 params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(
                     params, data, k_train, self.lr
                 )
@@ -292,6 +323,44 @@ class KernelMF(RecommenderBase):
             for e, v in enumerate(self.train_rmse):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
+
+    def _run_als_warm_start(self, params, u, i, r, cfg, data):
+        """Exact linear ALS sweeps as the SGD init (VERDICT r2 #4's
+        hybrid schedule).  Sigmoid: fit the pre-activation x in logit
+        space — pred = a + c*sigma(x), so x_target = logit((r-a)/c)
+        (clipped); the free bias columns absorb the offset between
+        mean(rating) and the x-space mean, so ``global_mean`` keeps its
+        reference semantics.  reg_scale='per_obs' keeps the exact
+        solves regularized like the SGD objective (ops/ials._reg_diag);
+        the SGD epochs that follow descend the true kernel loss."""
+        from matrix_factorization_tpu.core.config import SGDConfig
+        from matrix_factorization_tpu.ops import ials
+
+        if self.kernel == "sigmoid":
+            frac = np.clip((np.asarray(r, np.float64) - cfg.a) / cfg.c,
+                           0.01, 0.99)
+            t = np.log(frac / (1.0 - frac)).astype(np.float32)
+        else:
+            t = np.asarray(r, np.float32)
+        lin = SGDConfig(kernel="linear", n_factors=cfg.n_factors,
+                        lr=cfg.lr, reg=cfg.reg,
+                        min_rating=cfg.min_rating,
+                        max_rating=cfg.max_rating,
+                        batch_size=cfg.batch_size,
+                        compute_epoch_rmse=False)
+        sweeps = self.als_warm_start
+        if _als_needs_buckets(u, i, self.n_users, self.n_items):
+            bu = ials.group_by_entity_bucketed(u, i, t, self.n_users)
+            bi = ials.group_by_entity_bucketed(i, u, t, self.n_items)
+            params, _ = ials.ials_train_bucketed(
+                params, bu, bi, data, lin, sweeps, reg_scale="per_obs")
+        else:
+            by_user = ials.group_by_entity(u, i, t, self.n_users)
+            by_item = ials.group_by_entity(i, u, t, self.n_items)
+            params, _ = ials.jit_ials_train(
+                lin, sweeps, reg_scale="per_obs"
+            )(params, by_user, by_item, data)
+        return params
 
     def _predict_arrays(self, u: np.ndarray, i: np.ndarray, bound_ratings: bool):
         self._require_fitted()

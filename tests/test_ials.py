@@ -296,3 +296,30 @@ def test_per_obs_reg_scale_matches_numpy_and_bucketed(rng):
                                  reg_scale="bogus")
     with pytest.raises(ValueError):
         KernelMF(method="als", reg_scale="bogus")
+
+
+def test_sigmoid_als_warm_start_beats_cold_sgd():
+    """als_warm_start (the ALS/SGD hybrid): one exact logit-space sweep
+    should land sigmoid SGD at a far better start than random init."""
+    X, y = lowrank_ratings(n_users=120, n_items=90, n_factors=4,
+                           density=0.35, noise_sd=0.1, min_rating=0.5,
+                           max_rating=5.0, seed=5)
+    kw = dict(n_factors=8, n_epochs=3, kernel="sigmoid", lr=0.01,
+              reg=0.02, min_rating=0.5, max_rating=5.0, batch_size=512)
+    cold = KernelMF(**kw).fit(X, y)
+    warm = KernelMF(als_warm_start=1, **kw).fit(X, y)
+    # first recorded epoch RMSE reflects the init quality
+    assert warm.train_rmse[0] < cold.train_rmse[0] - 0.05, (
+        warm.train_rmse, cold.train_rmse)
+    assert warm.train_rmse[-1] < cold.train_rmse[-1]
+    # linear kernel accepts the flag too
+    lin = KernelMF(als_warm_start=1, n_factors=8, n_epochs=2,
+                   kernel="linear", lr=0.002, reg=0.02, min_rating=0.5,
+                   max_rating=5.0, batch_size=512).fit(X, y)
+    assert lin.train_rmse[-1] <= lin.train_rmse[0]
+    with pytest.raises(ValueError):
+        KernelMF(kernel="rbf", als_warm_start=1)
+    with pytest.raises(ValueError):
+        KernelMF(method="als", als_warm_start=1)
+    with pytest.raises(ValueError):
+        KernelMF(als_warm_start=-1)
