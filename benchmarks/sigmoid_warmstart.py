@@ -71,10 +71,6 @@ def main():
     cfg = SGDConfig(kernel="sigmoid", n_factors=K, lr=LR, reg=REG,
                     gamma=1 / K, min_rating=0.5, max_rating=5.0,
                     batch_size=SGD_BS, compute_epoch_rmse=False)
-    lin = SGDConfig(kernel="linear", n_factors=K, lr=LR, reg=REG,
-                    min_rating=0.5, max_rating=5.0, batch_size=SGD_BS,
-                    compute_epoch_rmse=False)
-
     @jax.jit
     def vfn(params):
         pred, _ = sgd.predict_pairs(params, uvd, ivd, cfg,
@@ -83,7 +79,7 @@ def main():
 
     records = []
 
-    def run(name, warm_sweeps, n_epochs):
+    def run(name, warm_sweeps, n_epochs, warm_reg=REG):
         t0 = time.perf_counter()
         data = sgd.pack_ratings(ut, it, rt, SGD_BS, order="auto",
                                 row_width=cfg.padded_factors)
@@ -95,10 +91,13 @@ def main():
             t0 = time.perf_counter()
             frac = np.clip((rt.astype(np.float64) - 0.5) / 4.5, 0.01, 0.99)
             t = np.log(frac / (1.0 - frac)).astype(np.float32)
+            wlin = SGDConfig(kernel="linear", n_factors=K, lr=LR,
+                             reg=warm_reg, min_rating=0.5, max_rating=5.0,
+                             batch_size=SGD_BS, compute_epoch_rmse=False)
             bu = ials.group_by_entity_bucketed(ut, it, t, N_U)
             bi = ials.group_by_entity_bucketed(it, ut, t, N_I)
             params, _ = ials.ials_train_bucketed(
-                params, bu, bi, data, lin, warm_sweeps,
+                params, bu, bi, data, wlin, warm_sweeps,
                 reg_scale="per_obs")
             jax.block_until_ready(params.user_features)
             dt = time.perf_counter() - t0
@@ -130,14 +129,15 @@ def main():
         del data, params
 
     run("sgd", 0, 20)
-    run("warm1", 1, 8)
+    run("warm1", 1, 8)          # warm ridge = SGD's reg (0.005)
+    run("warm1r", 1, 8, 0.1)    # warm ridge = 0.1 (the ials_vs_sgd winner)
 
     floors = {c: min(r["val_rmse"] for r in records if r["curve"] == c)
-              for c in ("sgd", "warm1")}
+              for c in ("sgd", "warm1", "warm1r")}
     worst = max(floors.values())
     for target in (round(worst + 0.02, 3), round(worst + 0.005, 3)):
         row = {"target_val_rmse": target}
-        for c in ("sgd", "warm1"):
+        for c in ("sgd", "warm1", "warm1r"):
             hit = [r for r in records
                    if r["curve"] == c and r["val_rmse"] <= target]
             row[f"{c}_seconds"] = hit[0]["cum_seconds"] if hit else None

@@ -59,6 +59,7 @@ class KernelMF(RecommenderBase):
         keep_sharded: bool = False,
         reg_scale: str = "absolute",
         als_warm_start: int = 0,
+        als_warm_reg: Optional[float] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
@@ -92,8 +93,14 @@ class KernelMF(RecommenderBase):
         clipped to [0.01, 0.99] before the transform); kernel='linear'
         warm-starts on the ratings directly; rbf has no linear
         pre-activation and rejects the flag.  Single-device SGD fits
-        only (not mesh / method='als').  Measured at config-3 shape:
-        one sweep replaces ~17 sigmoid SGD epochs
+        only (not mesh / method='als').
+
+        ``als_warm_reg``: per-obs ridge for the warm sweeps (defaults
+        to ``reg``).  The exact solves need MORE regularization than
+        SGD's implicit early stopping provides: at config-3 shape
+        (25M ratings, k=200 sigmoid) the default reg=0.005 warm sweep
+        stalls at val RMSE 0.51, while als_warm_reg=0.1 lands 0.331 in
+        ONE sweep — below pure SGD's 20-epoch floor of 0.339
         (benchmarks/sigmoid_warmstart.py).
 
         ``epoch_order``: 'shuffle' (reference semantics: random visit
@@ -149,6 +156,7 @@ class KernelMF(RecommenderBase):
         self.method = method
         self.reg_scale = reg_scale
         self.als_warm_start = als_warm_start
+        self.als_warm_reg = als_warm_reg
         self.epoch_order = epoch_order
         self.keep_sharded = keep_sharded
         self._params: Optional[sgd.MFParams] = None
@@ -342,8 +350,9 @@ class KernelMF(RecommenderBase):
             t = np.log(frac / (1.0 - frac)).astype(np.float32)
         else:
             t = np.asarray(r, np.float32)
+        warm_reg = cfg.reg if self.als_warm_reg is None else self.als_warm_reg
         lin = SGDConfig(kernel="linear", n_factors=cfg.n_factors,
-                        lr=cfg.lr, reg=cfg.reg,
+                        lr=cfg.lr, reg=warm_reg,
                         min_rating=cfg.min_rating,
                         max_rating=cfg.max_rating,
                         batch_size=cfg.batch_size,

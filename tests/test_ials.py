@@ -317,6 +317,14 @@ def test_sigmoid_als_warm_start_beats_cold_sgd():
                    kernel="linear", lr=0.002, reg=0.02, min_rating=0.5,
                    max_rating=5.0, batch_size=512).fit(X, y)
     assert lin.train_rmse[-1] <= lin.train_rmse[0]
+    # als_warm_reg decouples the warm ridge from the SGD reg (at 25M
+    # scale the default SGD reg underregularizes the exact solves —
+    # benchmarks/sigmoid_warmstart.py).  The knob must be live
+    # (different ridge -> different fit) and still a good init.
+    strong = KernelMF(als_warm_start=1, als_warm_reg=0.5, **kw).fit(X, y)
+    assert strong.train_rmse[0] != warm.train_rmse[0], (
+        strong.train_rmse, warm.train_rmse)
+    assert strong.train_rmse[0] < cold.train_rmse[0] - 0.05
     with pytest.raises(ValueError):
         KernelMF(kernel="rbf", als_warm_start=1)
     with pytest.raises(ValueError):
