@@ -44,9 +44,15 @@ class ImplicitALS(RecommenderBase):
         init_sd: float = 0.01,
         verbose: int = 0,
         seed: int = 0,
+        serving_dtype: str = "float32",
     ):
         """``alpha`` scales interaction strength into confidence
-        (``c = 1 + alpha * strength``); strengths must be >= 0."""
+        (``c = 1 + alpha * strength``); strengths must be >= 0.
+
+        ``serving_dtype``: 'float32' or 'bfloat16' — same bf16-resident
+        catalog-serving option as ``KernelMF`` (see there)."""
+        if serving_dtype not in ("float32", "bfloat16"):
+            raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
         # preference scores live in ~[0, 1]
         super().__init__(min_rating=0.0, max_rating=1.0, verbose=verbose)
         self.n_factors = n_factors
@@ -55,7 +61,9 @@ class ImplicitALS(RecommenderBase):
         self.alpha = alpha
         self.init_sd = init_sd
         self.seed = seed
+        self.serving_dtype = serving_dtype
         self._params: Optional[sgd.MFParams] = None
+        self._serving_cache = None
         self.train_loss: list = []
 
     def _cfg(self, compute_epoch_rmse: bool = True) -> SGDConfig:
@@ -154,6 +162,21 @@ class ImplicitALS(RecommenderBase):
         self._params = self._params._replace(user_features=P)
         return self
 
+    def _serving_params(self) -> sgd.MFParams:
+        """Serving-path parameter view (identity-keyed bf16 cache when
+        ``serving_dtype='bfloat16'`` — see ``KernelMF._serving_params``)."""
+        if self.serving_dtype == "float32":
+            return self._params
+        c = self._serving_cache
+        if c is None or c[0] is not self._params:
+            p = self._params
+            bf = p._replace(
+                user_features=p.user_features.astype(jnp.bfloat16),
+                item_features=p.item_features.astype(jnp.bfloat16),
+            )
+            self._serving_cache = c = (p, bf)
+        return c[1]
+
     def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
         from matrix_factorization_tpu.ops.scoring import score_catalog
 
@@ -163,10 +186,10 @@ class ImplicitALS(RecommenderBase):
         if fn is None:
             fn = jax.jit(lambda mu, pu, Q: score_catalog(cfg, mu, pu, Q))
             _catalog_jit_cache[key] = fn
-        pu = self._params.user_features[jnp.asarray(u_dense, jnp.int32)]
+        sp = self._serving_params()
+        pu = sp.user_features[jnp.asarray(u_dense, jnp.int32)]
         return np.asarray(
-            fn(self._params.global_mean, pu,
-               self._params.item_features[: self.n_items])
+            fn(sp.global_mean, pu, sp.item_features[: self.n_items])
         )
 
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
@@ -176,8 +199,8 @@ class ImplicitALS(RecommenderBase):
         """Device-side top-k (see ``ops.scoring.catalog_topk``)."""
         from matrix_factorization_tpu.ops.scoring import catalog_topk
 
-        return catalog_topk(self._cfg(), self._params, self.n_items,
-                            u_dense, k)
+        return catalog_topk(self._cfg(), self._serving_params(),
+                            self.n_items, u_dense, k)
 
     # -- parameter views ------------------------------------------------------
     @property

@@ -60,6 +60,7 @@ class KernelMF(RecommenderBase):
         reg_scale: str = "absolute",
         als_warm_start: int = 0,
         als_warm_reg: Optional[float] = None,
+        serving_dtype: str = "float32",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
@@ -108,7 +109,18 @@ class KernelMF(RecommenderBase):
         per-epoch batch-order shuffling — tiny aggregation tiles make
         SGD ~1.4x faster per epoch; final-RMSE parity with 'shuffle' is
         verified in tests/test_kernel_mf.py and PARITY.md), or 'auto'
-        (sorts whichever id space is larger)."""
+        (sorts whichever id space is larger).
+
+        ``serving_dtype``: 'float32' (default) or 'bfloat16' — keep an
+        extra bf16 copy of the factor tables resident on device and
+        route the catalog scorers (``recommend`` / ``recommend_batch`` /
+        the eval-harness bulk scorer) through it.  Catalog scoring is
+        HBM-streaming bound, so halving the streamed bytes buys up to
+        ~2x batch-serving throughput (measured on v5e:
+        ``benchmarks/bf16_serving.py``); the MXU still accumulates in
+        f32, so only the stored table values are rounded (top-k overlap
+        measured there).  ``predict`` stays f32 — rating-parity numbers
+        are unaffected."""
         if kernel not in ("linear", "sigmoid", "rbf"):
             raise ValueError("Kernel must be one of linear, sigmoid, or rbf")
         if method not in ("sgd", "als"):
@@ -141,6 +153,8 @@ class KernelMF(RecommenderBase):
                 "table cannot stay resident sharded and serving would "
                 "silently gather the full catalog to one device"
             )
+        if serving_dtype not in ("float32", "bfloat16"):
+            raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
         self.n_factors = n_factors
         self.n_epochs = n_epochs
@@ -159,8 +173,10 @@ class KernelMF(RecommenderBase):
         self.als_warm_reg = als_warm_reg
         self.epoch_order = epoch_order
         self.keep_sharded = keep_sharded
+        self.serving_dtype = serving_dtype
         self._params: Optional[sgd.MFParams] = None
         self._topk_catalog = None
+        self._serving_cache = None  # (source MFParams, bf16 MFParams)
         self.train_rmse: list = []
 
     # -- config -------------------------------------------------------------
@@ -274,7 +290,8 @@ class KernelMF(RecommenderBase):
                 )
 
                 self._topk_catalog = ShardedCatalog(
-                    params, self.n_items, cfg, self.mesh
+                    params, self.n_items, cfg, self.mesh,
+                    dtype=self._serving_jnp_dtype(),
                 )
             else:
                 # gather to single-device arrays for the serving paths
@@ -324,7 +341,8 @@ class KernelMF(RecommenderBase):
             from matrix_factorization_tpu.parallel.serving import ShardedCatalog
 
             self._topk_catalog = ShardedCatalog(
-                params, self.n_items, cfg, self.mesh
+                params, self.n_items, cfg, self.mesh,
+                dtype=self._serving_jnp_dtype(),
             )
         self.train_rmse = list(self.train_rmse) + np.asarray(rmse_hist).tolist()
         if self.verbose:
@@ -446,6 +464,27 @@ class KernelMF(RecommenderBase):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
 
+    def _serving_jnp_dtype(self):
+        return jnp.bfloat16 if self.serving_dtype == "bfloat16" else None
+
+    def _serving_params(self) -> sgd.MFParams:
+        """The parameter view the catalog scorers read: ``_params``
+        itself, or a device-resident bf16 copy (``serving_dtype``),
+        rebuilt whenever ``_params`` is replaced (every fit /
+        update_users / capacity growth swaps the object, so identity
+        is the staleness check)."""
+        if self.serving_dtype == "float32":
+            return self._params
+        c = self._serving_cache
+        if c is None or c[0] is not self._params:
+            p = self._params
+            bf = p._replace(
+                user_features=p.user_features.astype(jnp.bfloat16),
+                item_features=p.item_features.astype(jnp.bfloat16),
+            )
+            self._serving_cache = c = (p, bf)
+        return c[1]
+
     def _topk_user_rows(self, u_dense: np.ndarray) -> np.ndarray:
         """(B, Kp) extended user rows for the sharded top-k path (a
         cross-device gather when P is resident sharded)."""
@@ -476,9 +515,10 @@ class KernelMF(RecommenderBase):
 
             fn = jax.jit(run)
             _catalog_jit_cache[key] = fn
+        sp = self._serving_params()
         return np.asarray(
-            fn(self._params.global_mean, self._params.user_features,
-               self._params.item_features, jnp.asarray(u_dense, jnp.int32))
+            fn(sp.global_mean, sp.user_features,
+               sp.item_features, jnp.asarray(u_dense, jnp.int32))
         )
 
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
@@ -500,9 +540,10 @@ class KernelMF(RecommenderBase):
 
             fn = jax.jit(run)
             _catalog_jit_cache[key] = fn
+        sp = self._serving_params()
         return np.asarray(
-            fn(self._params.global_mean, self._params.user_features,
-               self._params.item_features, jnp.int32(u_dense))
+            fn(sp.global_mean, sp.user_features,
+               sp.item_features, jnp.int32(u_dense))
         )
 
     def _catalog_topk(self, u_dense: np.ndarray, k: int):
@@ -511,8 +552,8 @@ class KernelMF(RecommenderBase):
         ``recommend`` fast path; VERDICT r2 #3)."""
         from matrix_factorization_tpu.ops.scoring import catalog_topk
 
-        return catalog_topk(self._cfg(), self._params, self.n_items,
-                            u_dense, k)
+        return catalog_topk(self._cfg(), self._serving_params(),
+                            self.n_items, u_dense, k)
 
     # -- reference-parity parameter views ------------------------------------
     # (biases live in extension columns of the factor tables — see

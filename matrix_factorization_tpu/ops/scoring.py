@@ -28,16 +28,23 @@ def score_catalog(
     pu: jax.Array,  # (B, Kp) extended user rows
     Q: jax.Array,  # (I, Kp) extended item rows
 ) -> jax.Array:
-    """Scores of every item for each queried user: (B, I)."""
+    """Scores of every item for each queried user: (B, I).
+
+    Accepts f32 or bf16 row tables: the MXU accumulates in f32 either
+    way (``preferred_element_type``), and the rbf norms are reduced in
+    f32 (the upcast fuses into the reduction, so a bf16-resident Q still
+    streams half the HBM bytes — see ``benchmarks/bf16_serving.py``)."""
     dots = jnp.dot(pu, Q.T, preferred_element_type=jnp.float32)
     if cfg.kernel == "linear":
         return mu + dots
     if cfg.kernel == "sigmoid":
         return cfg.a + cfg.c * jax.nn.sigmoid(mu + dots)
     if cfg.kernel == "rbf":
+        pu32 = pu.astype(jnp.float32)
+        Q32 = Q.astype(jnp.float32)
         sq = (
-            jnp.sum(pu * pu, axis=1)[:, None]
-            + jnp.sum(Q * Q, axis=1)[None, :]
+            jnp.sum(pu32 * pu32, axis=1)[:, None]
+            + jnp.sum(Q32 * Q32, axis=1)[None, :]
             - 2.0 * dots
         )
         return cfg.a + cfg.c * jnp.exp(-cfg.gamma * jnp.maximum(sq, 0.0))
@@ -95,8 +102,11 @@ def catalog_topk(
     B = len(u_dense)
     bb = 1 << max(0, (B - 1).bit_length())
     kp = int(params.user_features.shape[1])
-    use_pallas = _pallas_serving_wins(cfg, bb, kp)
-    key = (cfg, n_items, kb, bb, use_pallas)
+    dt = str(params.item_features.dtype)
+    # the Pallas kernel is written for f32 blocks; bf16-resident tables
+    # take the XLA path (which is what the bf16 mode accelerates)
+    use_pallas = _pallas_serving_wins(cfg, bb, kp) and dt == "float32"
+    key = (cfg, n_items, kb, bb, use_pallas, dt)
     fn = _topk_jit_cache.get(key)
     if fn is None:
         if use_pallas:

@@ -36,9 +36,14 @@ class ShardedCatalog:
     """
 
     def __init__(self, params: MFParams, n_items: int, cfg: SGDConfig,
-                 mesh: Mesh):
+                 mesh: Mesh, dtype=None):
+        """``dtype``: optional storage dtype for the resident shards
+        (``jnp.bfloat16`` halves the per-query HBM stream — scoring is
+        Q-streaming bound, see ``benchmarks/bf16_serving.py``; the MXU
+        still accumulates f32)."""
         self.cfg = cfg
         self.mesh = mesh
+        self.dtype = dtype
         self.axes = data_axes_of(mesh) + (
             (MODEL_AXIS,) if MODEL_AXIS in mesh.axis_names else ()
         )
@@ -50,8 +55,9 @@ class ShardedCatalog:
         # pad + reshard once (a collective when Q arrives model-sharded)
         take = min(Q.shape[0], icap)
         padn = icap - take
+        cast = (lambda q: q.astype(dtype)) if dtype is not None else (lambda q: q)
         self.Q = jax.jit(
-            lambda q: jnp.pad(q[:take], ((0, padn), (0, 0))),
+            lambda q: jnp.pad(cast(q[:take]), ((0, padn), (0, 0))),
             out_shardings=spec,
         )(Q)
         valid = jnp.zeros((icap,), jnp.float32).at[:n_items].set(1.0)
@@ -65,8 +71,8 @@ class ShardedCatalog:
         if fn is None:
             fn = jax.jit(
                 lambda pu, Q, mu, valid: ptopk.distributed_topk(
-                    pu, Q, mu, valid, k=k, cfg=self.cfg, mesh=self.mesh,
-                    axes=self.axes,
+                    pu.astype(Q.dtype), Q, mu, valid, k=k, cfg=self.cfg,
+                    mesh=self.mesh, axes=self.axes,
                 )
             )
             self._jit_cache[key] = fn
