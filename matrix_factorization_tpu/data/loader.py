@@ -80,6 +80,14 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ip, ip, fp, ll, ip, ip, ip, llp, ip, fp, fp, ip,
         ]
         lib.mf_pack_grouped.restype = None
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.mf_pack_grouped_wire.argtypes = [
+            ip, ip, fp, ll, ip, ip, ip, llp,
+            u16p, u8p, i32, i8p, fp, i32, ip,
+        ]
+        lib.mf_pack_grouped_wire.restype = None
         _lib = lib
         return _lib
 

@@ -263,8 +263,8 @@ class KernelMF(RecommenderBase):
                 )
                 data = sgd.pack_ratings(u, i, r, cfg.batch_size,
                                         row_width=cfg.padded_factors)
-                bu = ials.group_by_entity_bucketed(u, i, r, self.n_users)
-                bi = ials.group_by_entity_bucketed(i, u, r, self.n_items)
+                bu, bi = ials.group_both_sides_bucketed(
+                    u, i, r, self.n_users, self.n_items)
                 params, rmse_hist = ials.dp_ials_train_bucketed(
                     params, bu, bi, data, cfg, n_epochs, mesh=self.mesh,
                     reg_scale=self.reg_scale,
@@ -314,8 +314,8 @@ class KernelMF(RecommenderBase):
                 from matrix_factorization_tpu.ops import ials
 
                 if _als_needs_buckets(u, i, self.n_users, self.n_items):
-                    bu = ials.group_by_entity_bucketed(u, i, r, self.n_users)
-                    bi = ials.group_by_entity_bucketed(i, u, r, self.n_items)
+                    bu, bi = ials.group_both_sides_bucketed(
+                        u, i, r, self.n_users, self.n_items)
                     params, rmse_hist = ials.ials_train_bucketed(
                         params, bu, bi, data, cfg, n_epochs,
                         reg_scale=self.reg_scale,
@@ -377,8 +377,8 @@ class KernelMF(RecommenderBase):
                         compute_epoch_rmse=False)
         sweeps = self.als_warm_start
         if _als_needs_buckets(u, i, self.n_users, self.n_items):
-            bu = ials.group_by_entity_bucketed(u, i, t, self.n_users)
-            bi = ials.group_by_entity_bucketed(i, u, t, self.n_items)
+            bu, bi = ials.group_both_sides_bucketed(
+                u, i, t, self.n_users, self.n_items)
             params, _ = ials.ials_train_bucketed(
                 params, bu, bi, data, lin, sweeps, reg_scale="per_obs")
         else:

@@ -13,6 +13,7 @@
 // user/item ids only; string ids fall back to the pandas path.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -394,6 +395,38 @@ void mf_pack_grouped(const int32_t* ids, const int32_t* other, const float* r,
     oi_pool[slot] = other[k];
     rr_pool[slot] = r[k];
     mm_pool[slot] = 1.0f;
+  }
+}
+
+// Same pass but emitting the compressed WIRE pools directly: uint16 low
+// id halves (+ a uint8 high plane when wide=1 — ids up to 16.7M),
+// ratings as int8 half-steps (half=1) or f32, and NO mask pool (the
+// device rebuilds masks from per-entity counts — rows are filled
+// left-contiguously by construction).  Random pool writes shrink from
+// 12 bytes/slot to 3-4, which is most of this loop's cost at 25M+
+// rows (the pools exceed every cache level).
+void mf_pack_grouped_wire(const int32_t* ids, const int32_t* other,
+                          const float* r, long long n,
+                          const int32_t* chunk_of, const int32_t* row_of,
+                          const int32_t* L_of_chunk,
+                          const long long* chunk_base, uint16_t* lo_pool,
+                          uint8_t* hi_pool, int wide, int8_t* r8_pool,
+                          float* rf_pool, int half,
+                          int32_t* fill /* zeroed, n_entities */) {
+  for (long long k = 0; k < n; ++k) {
+    const int32_t e = ids[k];
+    const int32_t c = chunk_of[e];
+    const long long L = L_of_chunk[c];
+    const long long slot =
+        chunk_base[c] + static_cast<long long>(row_of[e]) * L + fill[e]++;
+    const int32_t o = other[k];
+    lo_pool[slot] = static_cast<uint16_t>(o & 0xFFFF);
+    if (wide) hi_pool[slot] = static_cast<uint8_t>(o >> 16);
+    if (half) {
+      r8_pool[slot] = static_cast<int8_t>(lrintf(r[k] * 2.0f));
+    } else {
+      rf_pool[slot] = r[k];
+    }
   }
 }
 

@@ -82,6 +82,40 @@ def _native_pack(lib, ids, other_ids, ratings, chunk_of, row_of,
     return oi, rr, mm
 
 
+def _native_pack_wire(lib, ids, other_ids, ratings, chunk_of, row_of,
+                      L_of_chunk, chunk_base, pool_size, n_entities):
+    """One native pass emitting the compressed wire pools directly
+    (``loader.cpp::mf_pack_grouped_wire`` — no mask pool, no f32/int32
+    intermediate): returns ``(lo, hi|None, ratings_enc, half)`` or None
+    when ids exceed the 24-bit hi-plane range (fall back to the
+    uncompressed pack + host-side encode)."""
+    o_max = int(other_ids.max()) if len(other_ids) else 0
+    if o_max >= (1 << 24):
+        return None
+    twice = ratings * 2.0
+    rint = np.rint(twice)
+    half = bool(len(ratings)) and bool(
+        (np.abs(twice - rint) < 1e-6).all() and (np.abs(rint) < 127).all())
+    wide = o_max >= (1 << 16)
+    lo = np.zeros(pool_size, np.uint16)
+    hi = np.zeros(pool_size if wide else 1, np.uint8)
+    r8 = np.zeros(pool_size if half else 1, np.int8)
+    rf = np.zeros(1 if half else pool_size, np.float32)
+    fill = np.zeros(n_entities, np.int32)
+    lib.mf_pack_grouped_wire(
+        np.ascontiguousarray(ids, np.int32),
+        np.ascontiguousarray(other_ids, np.int32),
+        np.ascontiguousarray(ratings, np.float32),
+        len(ids),
+        np.ascontiguousarray(chunk_of, np.int32),
+        np.ascontiguousarray(row_of, np.int32),
+        np.ascontiguousarray(L_of_chunk, np.int32),
+        np.ascontiguousarray(chunk_base, np.int64),
+        lo, hi, int(wide), r8, rf, int(half), fill,
+    )
+    return lo, (hi if wide else None), (r8 if half else rf), half
+
+
 def group_by_entity(
     ids: np.ndarray, other_ids: np.ndarray, ratings: np.ndarray,
     n_entities: int,
@@ -95,8 +129,7 @@ def group_by_entity(
     lib, counts = _native_counts(np.asarray(ids, np.int32), n_entities)
     if lib is not None:
         L = round_up(max(1, int(counts.max())), 8)
-        oi, rr, mm = _native_pack(
-            lib, ids, other_ids, ratings,
+        layout = dict(
             chunk_of=np.zeros(n_entities, np.int32),
             row_of=np.arange(n_entities, dtype=np.int32),
             L_of_chunk=np.asarray([L], np.int32),
@@ -104,18 +137,20 @@ def group_by_entity(
             pool_size=n_entities * L,
             n_entities=n_entities,
         )
+        wire = _native_pack_wire(lib, ids, other_ids, ratings, **layout)
+        if wire is not None:
+            lo, hi, renc, half = wire
+            return GroupedRatings(
+                *_ship_wire(lo, hi, renc, counts, n_entities, L, half))
+        oi, rr, mm = _native_pack(lib, ids, other_ids, ratings, **layout)
         return GroupedRatings(
-            jnp.asarray(oi.reshape(n_entities, L)),
-            jnp.asarray(rr.reshape(n_entities, L)),
-            jnp.asarray(mm.reshape(n_entities, L)),
-        )
+            *_ship_grouped(oi, rr, counts, n_entities, L))
     order = np.argsort(ids, kind="stable")
     ids_s, other_s, r_s = ids[order], other_ids[order], ratings[order]
     counts = np.bincount(ids_s, minlength=n_entities)
     L = round_up(max(1, int(counts.max())), 8)
     oi = np.zeros((n_entities, L), np.int32)
     rr = np.zeros((n_entities, L), np.float32)
-    mm = np.zeros((n_entities, L), np.float32)
     starts = np.concatenate([[0], np.cumsum(counts)])
     for e in range(n_entities):
         c = int(counts[e])
@@ -123,8 +158,7 @@ def group_by_entity(
             sl = slice(starts[e], starts[e] + c)
             oi[e, :c] = other_s[sl]
             rr[e, :c] = r_s[sl]
-            mm[e, :c] = 1.0
-    return GroupedRatings(jnp.asarray(oi), jnp.asarray(rr), jnp.asarray(mm))
+    return GroupedRatings(*_ship_grouped(oi, rr, counts, n_entities, L))
 
 
 def ials_train(
@@ -205,6 +239,112 @@ class Bucket(NamedTuple):
     mask: jax.Array
 
 
+_decode_cache: dict = {}
+
+
+def _grouped_decoder(L: int, has_hi: bool, half: bool):
+    """jit'd device-side decoder for one wire layout (cached per shape
+    class — L values are pow2-bucketed so this stays small)."""
+    key = (L, has_hi, half)
+    fn = _decode_cache.get(key)
+    if fn is None:
+        def decode(oi_lo, oi_hi, rr_enc, counts):
+            oi = oi_lo.astype(jnp.int32)
+            if has_hi:
+                oi = oi + (oi_hi.astype(jnp.int32) << 16)
+            rr = rr_enc.astype(jnp.float32)
+            if half:
+                rr = rr * 0.5
+            mm = (jnp.arange(L, dtype=jnp.int32)[None, :]
+                  < counts[:, None]).astype(jnp.float32)
+            return oi, rr, mm
+
+        fn = jax.jit(decode)
+        _decode_cache[key] = fn
+    return fn
+
+
+def _ship_wire(lo: np.ndarray, hi, rr_enc: np.ndarray, counts: np.ndarray,
+               E: int, L: int, half: bool):
+    """Ship pools already in wire layout (from ``mf_pack_grouped_wire``)
+    and decode on device — same decoder jits as ``_ship_grouped``."""
+    has_hi = hi is not None
+    fn = _grouped_decoder(L, has_hi, half)
+    return fn(
+        jnp.asarray(lo.reshape(E, L)),
+        jnp.asarray(hi.reshape(E, L)) if has_hi else jnp.zeros((), jnp.uint8),
+        jnp.asarray(rr_enc.reshape(E, L)),
+        jnp.asarray(counts.astype(np.int32)),
+    )
+
+
+def _ship_grouped(oi: np.ndarray, rr: np.ndarray, counts: np.ndarray,
+                  E: int, L: int):
+    """Compressed host->device transfer of one (E, L) grouped block.
+
+    The padded bucket streams were the iALS prep bottleneck on
+    remote-tunnel images: 12 bytes/slot (int32 other-ids + f32 ratings
+    + f32 masks) at single-digit MB/s was 36-40s of every 25M-rating
+    sweep's wall-clock (RESULTS.md, ials_vs_sgd).  Wire format here
+    (the ``pack_ratings`` ``_ship_*`` idea applied to grouped blocks):
+
+    * other-ids: uint16, plus a uint8 high-byte plane only when ids
+      exceed 65535 (covers 16.7M entities) — 2-3B instead of 4B
+    * ratings: int8 half-steps when exactly representable (MovieLens
+      scales), else raw f32
+    * mask: NOT shipped — both pack paths fill each entity's row
+      left-contiguously, so the mask is rebuilt on device from the
+      per-entity counts ((E,) int32 instead of (E, L) f32)
+
+    Decoding runs on device in one jit; the resident arrays are
+    bit-identical to the uncompressed path (regression-tested).
+    """
+    oi = oi.reshape(E, L)
+    rr = rr.reshape(E, L)
+    hi_max = int(oi.max()) if oi.size else 0
+    if hi_max < (1 << 16):
+        lo, hi, has_hi = oi.astype(np.uint16), None, False
+    elif hi_max < (1 << 24):
+        lo = (oi & 0xFFFF).astype(np.uint16)
+        hi = (oi >> 16).astype(np.uint8)
+        has_hi = True
+    else:  # ids beyond 16.7M: ship raw (still mask-free on the wire)
+        lo, hi, has_hi = oi, None, False
+    twice = rr * 2.0
+    rint = np.rint(twice)
+    half = bool(rr.size) and bool(
+        (np.abs(twice - rint) < 1e-6).all() and (np.abs(rint) < 127).all())
+    rr_enc = rint.astype(np.int8) if half else rr
+    fn = _grouped_decoder(L, has_hi, half)
+    return fn(jnp.asarray(lo),
+              jnp.asarray(hi) if has_hi else jnp.zeros((), jnp.uint8),
+              jnp.asarray(rr_enc), jnp.asarray(counts.astype(np.int32)))
+
+
+def group_both_sides_bucketed(
+    u: np.ndarray,
+    i: np.ndarray,
+    r: np.ndarray,
+    n_users: int,
+    n_items: int,
+    max_block_rows: int = 4_000_000,
+) -> Tuple[list, list]:
+    """Both grouped views (by user, by item) with the two native O(n)
+    packs overlapped in worker threads — ctypes releases the GIL during
+    the C pass, so the host work runs concurrently while the device
+    transfers serialize safely inside the JAX runtime.  Results are
+    identical to two sequential ``group_by_entity_bucketed`` calls
+    (regression-tested)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fu = ex.submit(group_by_entity_bucketed, u, i, r, n_users,
+                       max_block_rows)
+        fi = ex.submit(group_by_entity_bucketed, i, u, r, n_items,
+                       max_block_rows)
+        return fu.result(), fi.result()
+
+
 def group_by_entity_bucketed(
     ids: np.ndarray,
     other_ids: np.ndarray,
@@ -251,8 +391,7 @@ def group_by_entity_bucketed(
         sizes = np.asarray(
             [L * len(chunk) for L, chunk in chunk_meta], np.int64)
         chunk_base = np.concatenate([[0], np.cumsum(sizes)])
-        oi, rr, mm = _native_pack(
-            lib, ids, other_ids, ratings,
+        layout = dict(
             chunk_of=chunk_of.astype(np.int32),
             row_of=row_of.astype(np.int32),
             L_of_chunk=L_of_chunk,
@@ -260,16 +399,27 @@ def group_by_entity_bucketed(
             pool_size=int(sizes.sum()),
             n_entities=n_entities,
         )
+        wire = _native_pack_wire(lib, ids, other_ids, ratings, **layout)
         buckets = []
+        if wire is not None:
+            wlo, whi, wrenc, half = wire
+            for c, (L, chunk) in enumerate(chunk_meta):
+                E = len(chunk)
+                a, b = int(chunk_base[c]), int(chunk_base[c] + E * L)
+                doi, drr, dmm = _ship_wire(
+                    wlo[a:b], whi[a:b] if whi is not None else None,
+                    wrenc[a:b], counts[chunk], E, L, half)
+                buckets.append(Bucket(
+                    jnp.asarray(chunk.astype(np.int32)), doi, drr, dmm))
+            return buckets
+        oi, rr, mm = _native_pack(lib, ids, other_ids, ratings, **layout)
         for c, (L, chunk) in enumerate(chunk_meta):
             E = len(chunk)
-            lo, hi = int(chunk_base[c]), int(chunk_base[c] + E * L)
+            a, b = int(chunk_base[c]), int(chunk_base[c] + E * L)
+            doi, drr, dmm = _ship_grouped(
+                oi[a:b], rr[a:b], counts[chunk], E, L)
             buckets.append(Bucket(
-                jnp.asarray(chunk.astype(np.int32)),
-                jnp.asarray(oi[lo:hi].reshape(E, L)),
-                jnp.asarray(rr[lo:hi].reshape(E, L)),
-                jnp.asarray(mm[lo:hi].reshape(E, L)),
-            ))
+                jnp.asarray(chunk.astype(np.int32)), doi, drr, dmm))
         return buckets
 
     # numpy fallback: three O(nnz) passes + a flat scatter per chunk
@@ -286,16 +436,11 @@ def group_by_entity_bucketed(
         flat = entry_row[sl] * L + pos_in_entity[sl]
         oi = np.zeros(E * L, np.int32)
         rr = np.zeros(E * L, np.float32)
-        mm = np.zeros(E * L, np.float32)
         oi[flat] = other_s[sl]
         rr[flat] = r_s[sl]
-        mm[flat] = 1.0
+        doi, drr, dmm = _ship_grouped(oi, rr, counts[chunk], E, L)
         buckets.append(Bucket(
-            jnp.asarray(chunk.astype(np.int32)),
-            jnp.asarray(oi.reshape(E, L)),
-            jnp.asarray(rr.reshape(E, L)),
-            jnp.asarray(mm.reshape(E, L)),
-        ))
+            jnp.asarray(chunk.astype(np.int32)), doi, drr, dmm))
     return buckets
 
 

@@ -331,3 +331,56 @@ def test_sigmoid_als_warm_start_beats_cold_sgd():
         KernelMF(method="als", als_warm_start=1)
     with pytest.raises(ValueError):
         KernelMF(als_warm_start=-1)
+
+
+def test_ship_grouped_wire_codec_roundtrip(rng):
+    """The compressed bucket wire format (uint16/uint8-plane ids, int8
+    half-step ratings, mask rebuilt from counts) must decode to exactly
+    the arrays the uncompressed path shipped, on every encode branch."""
+    E, L = 7, 8
+    counts = rng.integers(0, L + 1, E).astype(np.int32)
+
+    def build(max_id, half_steps):
+        oi = np.zeros((E, L), np.int32)
+        rr = np.zeros((E, L), np.float32)
+        mm = np.zeros((E, L), np.float32)
+        for e in range(E):
+            c = int(counts[e])
+            oi[e, :c] = rng.integers(0, max_id, c)
+            vals = (rng.integers(1, 11, c) * 0.5 if half_steps
+                    else rng.uniform(0.1, 5.0, c))
+            rr[e, :c] = vals
+            mm[e, :c] = 1.0
+        return oi, rr, mm
+
+    for max_id, half in [(60_000, True),      # uint16 ids + int8 ratings
+                         (60_000, False),     # uint16 ids + f32 ratings
+                         (9_000_000, True),   # hi-plane ids + int8
+                         (9_000_000, False)]:  # hi-plane ids + f32
+        oi, rr, mm = build(max_id, half)
+        doi, drr, dmm = ials._ship_grouped(oi.copy(), rr.copy(),
+                                           counts, E, L)
+        np.testing.assert_array_equal(np.asarray(doi), oi, err_msg=str((max_id, half)))
+        np.testing.assert_array_equal(np.asarray(drr), rr)
+        np.testing.assert_array_equal(np.asarray(dmm), mm)
+        assert np.asarray(doi).dtype == np.int32
+        assert np.asarray(drr).dtype == np.float32
+
+
+def test_group_both_sides_matches_sequential(rng):
+    """The thread-overlapped two-sided pack must equal two sequential
+    group_by_entity_bucketed calls exactly."""
+    n, U, I = 20_000, 500, 320
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    r = rng.uniform(0.5, 5, n).astype(np.float32)
+    bu, bi = ials.group_both_sides_bucketed(u, i, r, U, I,
+                                            max_block_rows=40_000)
+    su = ials.group_by_entity_bucketed(u, i, r, U, max_block_rows=40_000)
+    si = ials.group_by_entity_bucketed(i, u, r, I, max_block_rows=40_000)
+    for got, want in ((bu, su), (bi, si)):
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            for f in a._fields:
+                np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                              np.asarray(getattr(b, f)))
