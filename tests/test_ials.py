@@ -218,33 +218,42 @@ def test_native_packing_byte_identical_to_numpy(rng):
     stable-argsort fallback (VERDICT r1 #10)."""
     from matrix_factorization_tpu.data import loader
 
-    n, U = 30_000, 700
-    u = rng.integers(0, U, n).astype(np.int32)
-    i = rng.integers(0, 300, n).astype(np.int32)
-    r = rng.uniform(0.5, 5, n).astype(np.float32)
-
     lib = loader.get_native_lib()
     if lib is None:
         pytest.skip("native lib unavailable")
-    nat_b = ials.group_by_entity_bucketed(u, i, r, U, max_block_rows=50_000)
-    nat_g = ials.group_by_entity(u, i, r, U)
-    loader._lib = None
-    loader._build_failed = True
-    try:
-        ref_b = ials.group_by_entity_bucketed(u, i, r, U,
+
+    n, U = 30_000, 700
+    u = rng.integers(0, U, n).astype(np.int32)
+    # all four native wire-encode branches: {uint16, hi-plane} ids x
+    # {int8 half-step, f32} ratings (loader.cpp::mf_pack_grouped_wire)
+    for max_other, half in [(300, False), (300, True),
+                            (9_000_000, False), (9_000_000, True)]:
+        i = rng.integers(0, max_other, n).astype(np.int32)
+        r = ((rng.integers(1, 11, n) * 0.5) if half
+             else rng.uniform(0.5, 5, n)).astype(np.float32)
+
+        nat_b = ials.group_by_entity_bucketed(u, i, r, U,
                                               max_block_rows=50_000)
-        ref_g = ials.group_by_entity(u, i, r, U)
-    finally:
-        loader._lib = lib
-        loader._build_failed = False
-    assert len(nat_b) == len(ref_b) > 1
-    for a, b in zip(nat_b, ref_b):
-        for f in a._fields:
-            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
-                                          np.asarray(getattr(b, f)))
-    for f in nat_g._fields:
-        np.testing.assert_array_equal(np.asarray(getattr(nat_g, f)),
-                                      np.asarray(getattr(ref_g, f)))
+        nat_g = ials.group_by_entity(u, i, r, U)
+        loader._lib = None
+        loader._build_failed = True
+        try:
+            ref_b = ials.group_by_entity_bucketed(u, i, r, U,
+                                                  max_block_rows=50_000)
+            ref_g = ials.group_by_entity(u, i, r, U)
+        finally:
+            loader._lib = lib
+            loader._build_failed = False
+        assert len(nat_b) == len(ref_b) > 1
+        for a, b in zip(nat_b, ref_b):
+            for f in a._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    err_msg=f"{max_other=} {half=} field={f}")
+        for f in nat_g._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(nat_g, f)), np.asarray(getattr(ref_g, f)),
+                err_msg=f"{max_other=} {half=} field={f}")
 
 
 def test_per_obs_reg_scale_matches_numpy_and_bucketed(rng):
