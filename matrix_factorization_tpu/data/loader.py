@@ -88,6 +88,23 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             u16p, u8p, i32, i8p, fp, i32, ip,
         ]
         lib.mf_pack_grouped_wire.restype = None
+        lib.mf_sort_ranges.argtypes = [
+            ip, ip, fp, fp, llp, llp, i32, i32, i32, i32,
+        ]
+        lib.mf_sort_ranges.restype = None
+        lib.mf_argsort_ranges.argtypes = [
+            ip, llp, llp, i32, i32, ip, ip, i32,
+        ]
+        lib.mf_argsort_ranges.restype = None
+        lib.mf_encode_half.argtypes = [fp, ll, i8p, i32]
+        lib.mf_encode_half.restype = i32
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.mf_gather_rows.argtypes = [
+            ip, ip, fp, i64p, ll, ip, ip, fp, i32,
+        ]
+        lib.mf_gather_rows.restype = None
+        lib.mf_encode_ids_wire.argtypes = [ip, ll, u16p, u8p, i32, i32]
+        lib.mf_encode_ids_wire.restype = None
         _lib = lib
         return _lib
 

@@ -430,4 +430,178 @@ void mf_pack_grouped_wire(const int32_t* ids, const int32_t* other,
   }
 }
 
+// ---------------------------------------------------------------------------
+// SGD batch packing (ops/segment_sgd.py::pack_ratings host side).
+//
+// pack_ratings sorts each whole-batch chunk, then each batch, by an id
+// key with numpy stable argsort + 4x take_along_axis — ~10s of the
+// ~20s host pack at 25M ratings.  Ids are dense (< a few hundred
+// thousand), so a stable COUNTING sort per range is O(len + K), runs
+// threaded across ranges (ranges are independent by construction:
+// chunk bounds and batch bounds never straddle), and reproduces
+// np.argsort(kind='stable') byte-for-byte.
+// ---------------------------------------------------------------------------
+
+// Stable counting-sort of [starts[j], ends[j]) ranges by key (0 = user
+// column, 1 = item column), applied in place to all four columns.
+void mf_sort_ranges(int32_t* u, int32_t* i, float* r, float* w,
+                    const long long* starts, const long long* ends,
+                    int n_ranges, int key_is_item, int32_t n_keys,
+                    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n_ranges) n_threads = n_ranges;
+  std::atomic<int> next_range{0};
+  auto worker = [&]() {
+    std::vector<int32_t> offs;
+    std::vector<int32_t> su, si;
+    std::vector<float> sr, sw;
+    for (;;) {
+      const int j = next_range.fetch_add(1);
+      if (j >= n_ranges) return;
+      const long long lo = starts[j], hi = ends[j];
+      const long long len = hi - lo;
+      if (len <= 1) continue;
+      const int32_t* key = (key_is_item ? i : u) + lo;
+      offs.assign(static_cast<size_t>(n_keys) + 1, 0);
+      for (long long k = 0; k < len; ++k) ++offs[key[k] + 1];
+      for (int32_t b = 0; b < n_keys; ++b) offs[b + 1] += offs[b];
+      su.resize(len); si.resize(len); sr.resize(len); sw.resize(len);
+      for (long long k = 0; k < len; ++k) {
+        const int32_t pos = offs[key[k]]++;
+        su[pos] = u[lo + k];
+        si[pos] = i[lo + k];
+        sr[pos] = r[lo + k];
+        sw[pos] = w[lo + k];
+      }
+      memcpy(u + lo, su.data(), sizeof(int32_t) * len);
+      memcpy(i + lo, si.data(), sizeof(int32_t) * len);
+      memcpy(r + lo, sr.data(), sizeof(float) * len);
+      memcpy(w + lo, sw.data(), sizeof(float) * len);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
+// Stable counting ARGsort per range: perm_out gets range-relative
+// positions (the np.argsort(kind='stable') permutation), sorted_out the
+// keys in sorted order.
+void mf_argsort_ranges(const int32_t* keys, const long long* starts,
+                       const long long* ends, int n_ranges, int32_t n_keys,
+                       int32_t* perm_out, int32_t* sorted_out,
+                       int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n_ranges) n_threads = n_ranges;
+  std::atomic<int> next_range{0};
+  auto worker = [&]() {
+    std::vector<int32_t> offs;
+    for (;;) {
+      const int j = next_range.fetch_add(1);
+      if (j >= n_ranges) return;
+      const long long lo = starts[j], hi = ends[j];
+      const long long len = hi - lo;
+      offs.assign(static_cast<size_t>(n_keys) + 1, 0);
+      const int32_t* key = keys + lo;
+      for (long long k = 0; k < len; ++k) ++offs[key[k] + 1];
+      for (int32_t b = 0; b < n_keys; ++b) offs[b + 1] += offs[b];
+      for (long long k = 0; k < len; ++k) {
+        const int32_t pos = offs[key[k]]++;
+        perm_out[lo + pos] = static_cast<int32_t>(k);
+        sorted_out[lo + pos] = key[k];
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
+// Shuffle application for pack_ratings: gather the three rating columns
+// through the epoch permutation in one threaded pass, writing straight
+// into the caller's padded buffers (replaces three numpy fancy-index
+// copies plus three astype+concatenate copies).
+void mf_gather_rows(const int32_t* u, const int32_t* i, const float* r,
+                    const int64_t* perm, long long n, int32_t* ou,
+                    int32_t* oi, float* orr, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const long long per = (n + n_threads - 1) / n_threads;
+  auto worker = [&](long long lo, long long hi) {
+    for (long long k = lo; k < hi; ++k) {
+      const int64_t p = perm[k];
+      ou[k] = u[p];
+      oi[k] = i[p];
+      orr[k] = r[p];
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) {
+    const long long lo = t * per;
+    if (lo >= n) break;
+    threads.emplace_back(worker, lo, std::min(n, lo + per));
+  }
+  worker(0, std::min(n, per));
+  for (auto& th : threads) th.join();
+}
+
+// One-pass id wire encode (uint16 low halves + optional uint8 high
+// plane) — replaces numpy's mask/shift/astype multi-pass chain in
+// _ship_ids.
+void mf_encode_ids_wire(const int32_t* a, long long n, uint16_t* lo,
+                        uint8_t* hi, int wide, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const long long per = (n + n_threads - 1) / n_threads;
+  auto worker = [&](long long b, long long e) {
+    if (wide) {
+      for (long long k = b; k < e; ++k) {
+        lo[k] = static_cast<uint16_t>(a[k] & 0xFFFF);
+        hi[k] = static_cast<uint8_t>(a[k] >> 16);
+      }
+    } else {
+      for (long long k = b; k < e; ++k) {
+        lo[k] = static_cast<uint16_t>(a[k]);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) {
+    const long long b = t * per;
+    if (b >= n) break;
+    threads.emplace_back(worker, b, std::min(n, b + per));
+  }
+  worker(0, std::min(n, per));
+  for (auto& th : threads) th.join();
+}
+
+// Half-step rating check + encode in one threaded pass: returns 1 and
+// fills r8 with rint(r*2) iff every rating*2 is within 1e-6 of an
+// integer with |.| < 127 (the _ship_ratings contract).
+int mf_encode_half(const float* r, long long n, int8_t* r8, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const long long per = (n + n_threads - 1) / n_threads;
+  std::atomic<int> ok{1};
+  auto worker = [&](long long lo, long long hi) {
+    for (long long k = lo; k < hi; ++k) {
+      const float twice = r[k] * 2.0f;
+      const float rounded = nearbyintf(twice);
+      if (!(fabsf(twice - rounded) < 1e-6f) || !(fabsf(rounded) < 127.0f)) {
+        ok.store(0, std::memory_order_relaxed);
+        return;
+      }
+      r8[k] = static_cast<int8_t>(rounded);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) {
+    const long long lo = t * per;
+    if (lo >= n) break;
+    threads.emplace_back(worker, lo, std::min(n, lo + per));
+  }
+  worker(0, std::min(n, per));
+  for (auto& th : threads) th.join();
+  return ok.load();
+}
+
 }  // extern "C"

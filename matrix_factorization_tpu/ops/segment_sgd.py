@@ -244,29 +244,108 @@ def _expand_wins(S: int, C: int, row_width: int) -> bool:
     return expand < g
 
 
+def _native_threads() -> int:
+    import os
+
+    return min(16, os.cpu_count() or 1)
+
+
+def _native_sort_ranges(u: np.ndarray, i: np.ndarray, r: np.ndarray,
+                        w: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                        key_is_item: bool, n_keys: int) -> bool:
+    """In-place stable sort of each [start, end) range by the key column
+    via the threaded native counting sort (loader.cpp::mf_sort_ranges);
+    byte-identical to argsort(kind='stable') + take_along_axis.  Returns
+    False (and does nothing) when the native lib is unavailable."""
+    from matrix_factorization_tpu.data.loader import get_native_lib
+
+    lib = get_native_lib()
+    if lib is None:
+        return False
+    lib.mf_sort_ranges(u, i, r, w, starts, ends, len(starts),
+                       int(key_is_item), int(n_keys), _native_threads())
+    return True
+
+
+def _argsort_batches(sec: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-batch stable (argsort perm, sorted keys) — the threaded
+    native counting argsort when available, numpy otherwise (identical
+    outputs)."""
+    from matrix_factorization_tpu.data.loader import get_native_lib
+
+    lib = get_native_lib()
+    nb, bs = sec.shape
+    if lib is not None:
+        flat = np.ascontiguousarray(sec.reshape(-1), np.int32)
+        perm = np.empty(nb * bs, np.int32)
+        srt = np.empty(nb * bs, np.int32)
+        lib.mf_argsort_ranges(flat, starts, ends, nb,
+                              int(sec.max()) + 1, perm, srt,
+                              _native_threads())
+        return perm.reshape(nb, bs), srt.reshape(nb, bs)
+    ssort = np.argsort(sec, axis=1, kind="stable").astype(np.int32)
+    return ssort, np.take_along_axis(sec, ssort, axis=1)
+
+
 def _ship_ids(a: np.ndarray) -> jax.Array:
     """Host->device id transfer in the narrowest lossless wire dtype.
 
     On remote-tunnel images bulk transfers run at single-digit MB/s, so
     halving bytes-on-the-wire halves the fit's transfer phase
-    (ROADMAP r2: the int8/uint16 wire-format lever).  The upcast back to
-    int32 runs on device — HBM is not the bottleneck, the link is.
+    (ROADMAP r2: the int8/uint16 wire-format lever).  Ids in
+    [65536, 2^24) ship as a uint16 low-half + uint8 high plane (3B
+    instead of 4B — covers 16.7M entities, same trick as the iALS
+    grouped wire).  The upcast back to int32 runs on device — HBM is
+    not the bottleneck, the link is.
     """
-    if a.size and a.min() >= 0 and a.max() < (1 << 16):
-        return jnp.asarray(a.astype(np.uint16)).astype(jnp.int32)
+    if a.size and a.min() >= 0:
+        amax = int(a.max())
+        if amax < (1 << 24):
+            wide = amax >= (1 << 16)
+            from matrix_factorization_tpu.data.loader import get_native_lib
+
+            lib = get_native_lib()
+            if lib is not None:
+                flat = np.ascontiguousarray(a.reshape(-1), np.int32)
+                lo = np.empty(flat.size, np.uint16)
+                hi = np.empty(flat.size if wide else 1, np.uint8)
+                lib.mf_encode_ids_wire(flat, flat.size, lo, hi,
+                                       int(wide), _native_threads())
+                lo = lo.reshape(a.shape)
+                hi = hi.reshape(a.shape) if wide else hi
+            else:
+                lo = (a & 0xFFFF).astype(np.uint16) if wide else (
+                    a.astype(np.uint16))
+                hi = (a >> 16).astype(np.uint8) if wide else None
+            out = jnp.asarray(lo).astype(jnp.int32)
+            if wide:
+                out = out | (jnp.asarray(hi).astype(jnp.int32) << 16)
+            return out
     return jnp.asarray(a)
 
 
 def _ship_ratings(r: np.ndarray) -> jax.Array:
     """f32 ratings as int8 half-steps when exactly representable
     (MovieLens-style half-star scales), else raw f32."""
-    if r.size:
-        twice = r * 2.0
-        rounded = np.rint(twice)
-        if (np.abs(twice - rounded) < 1e-6).all() and (
-                np.abs(rounded) < 127).all():
-            return jnp.asarray(rounded.astype(np.int8)).astype(
+    if not r.size:
+        return jnp.asarray(r)
+    from matrix_factorization_tpu.data.loader import get_native_lib
+
+    lib = get_native_lib()
+    if lib is not None:
+        flat = np.ascontiguousarray(r.reshape(-1), np.float32)
+        r8 = np.empty(flat.size, np.int8)
+        if lib.mf_encode_half(flat, flat.size, r8, _native_threads()):
+            return jnp.asarray(r8.reshape(r.shape)).astype(
                 jnp.float32) * 0.5
+        return jnp.asarray(r)
+    twice = r * 2.0
+    rounded = np.rint(twice)
+    if (np.abs(twice - rounded) < 1e-6).all() and (
+            np.abs(rounded) < 127).all():
+        return jnp.asarray(rounded.astype(np.int8)).astype(
+            jnp.float32) * 0.5
     return jnp.asarray(r)
 
 
@@ -311,11 +390,6 @@ def pack_ratings(
     chooses, so smaller workloads are unaffected).
     """
     n = int(len(ratings))
-    if shuffle_seed is not None and n > 1:
-        perm = np.random.default_rng(shuffle_seed).permutation(n)
-        user_ids, item_ids, ratings = (
-            user_ids[perm], item_ids[perm], ratings[perm],
-        )
     if order == "auto" and n > 0:
         order = "user" if int(user_ids.max()) > int(item_ids.max()) else "item"
     elif order == "auto":
@@ -325,20 +399,46 @@ def pack_ratings(
     n_pad = max(batch_size, round_up(n, batch_size))
     pad = n_pad - n
     nb = n_pad // batch_size
+    u = np.empty(n_pad, np.int32)
+    i = np.empty(n_pad, np.int32)
+    r = np.empty(n_pad, np.float32)
+    lib = None
+    if shuffle_seed is not None and n > 1:
+        from matrix_factorization_tpu.data.loader import get_native_lib
+
+        lib = get_native_lib()
+    if lib is not None:
+        # apply the epoch permutation in one native gather pass, writing
+        # straight into the padded buffers (the numpy path below costs
+        # three fancy-index copies + three astype/concatenate copies)
+        perm = np.random.default_rng(shuffle_seed).permutation(n)
+        lib.mf_gather_rows(
+            np.ascontiguousarray(user_ids, np.int32),
+            np.ascontiguousarray(item_ids, np.int32),
+            np.ascontiguousarray(ratings, np.float32),
+            perm, n, u[:n], i[:n], r[:n], _native_threads())
+    else:
+        if shuffle_seed is not None and n > 1:
+            perm = np.random.default_rng(shuffle_seed).permutation(n)
+            user_ids, item_ids, ratings = (
+                user_ids[perm], item_ids[perm], ratings[perm],
+            )
+        u[:n] = user_ids
+        i[:n] = item_ids
+        r[:n] = ratings
     # pads resample the TAIL of the real stream cyclically (weight 0 makes
     # them no-ops): they follow the local id distribution of the chunk
     # they land in, so the pad-heavy last batch keeps the same sorted-tile
     # spans as full batches instead of leaving its few real ids spread
     # thin (which would blow up the C bound)
-    tail = min(n, max(pad, 1))
-    pad_u = (np.resize(user_ids[n - tail:].astype(np.int32), pad) if n
-             else np.zeros(pad, np.int32))
-    pad_i = (np.resize(item_ids[n - tail:].astype(np.int32), pad) if n
-             else np.zeros(pad, np.int32))
-    u = np.concatenate([user_ids.astype(np.int32), pad_u])
-    i = np.concatenate([item_ids.astype(np.int32), pad_i])
-    r = np.concatenate([ratings.astype(np.float32), np.zeros(pad, np.float32)])
-    w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    if pad:
+        tail = min(n, max(pad, 1))
+        u[n:] = np.resize(u[n - tail:n], pad) if n else 0
+        i[n:] = np.resize(i[n - tail:n], pad) if n else 0
+        r[n:] = 0.0
+    w = np.empty(n_pad, np.float32)
+    w[:n] = 1.0
+    w[n:] = 0.0
     if order in ("item", "user") and n > 1:
         # sort whole-batch chunks by the chosen id: chunk bounds are batch
         # boundaries, so no aggregation tile ever straddles two chunks
@@ -346,14 +446,18 @@ def pack_ratings(
         # tile path); pads carry weight 0, sorting them in is harmless
         sort_key = i if order == "item" else u
         chunks = max(1, min(item_sort_chunks, nb))
-        for lo_b in range(0, nb, -(-nb // chunks)):
-            lo = lo_b * batch_size
-            hi = min(lo + -(-nb // chunks) * batch_size, n_pad)
-            srt = np.argsort(sort_key[lo:hi], kind="stable")
-            u[lo:hi] = u[lo:hi][srt]
-            i[lo:hi] = i[lo:hi][srt]
-            r[lo:hi] = r[lo:hi][srt]
-            w[lo:hi] = w[lo:hi][srt]
+        step = -(-nb // chunks) * batch_size
+        starts = np.arange(0, nb * batch_size, step, dtype=np.int64)
+        ends = np.minimum(starts + step, n_pad)
+        if not _native_sort_ranges(u, i, r, w, starts, ends,
+                                   order == "item",
+                                   int(sort_key.max()) + 1):
+            for lo, hi in zip(starts, ends):
+                srt = np.argsort(sort_key[lo:hi], kind="stable")
+                u[lo:hi] = u[lo:hi][srt]
+                i[lo:hi] = i[lo:hi][srt]
+                r[lo:hi] = r[lo:hi][srt]
+                w[lo:hi] = w[lo:hi][srt]
     u = u.reshape(nb, batch_size)
     i = i.reshape(nb, batch_size)
     r = r.reshape(nb, batch_size)
@@ -368,11 +472,19 @@ def pack_ratings(
     if aggregate and n > 0:
         # store each batch primary-sorted; that side then needs no perm
         prim, sec = (i, u) if primary == "item" else (u, i)
-        psort = np.argsort(prim, axis=1, kind="stable")
-        u = np.take_along_axis(u, psort, axis=1)
-        i = np.take_along_axis(i, psort, axis=1)
-        r = np.take_along_axis(r, psort, axis=1)
-        w = np.take_along_axis(w, psort, axis=1)
+        bstarts = np.arange(nb, dtype=np.int64) * batch_size
+        bends = bstarts + batch_size
+        if _native_sort_ranges(u.reshape(-1), i.reshape(-1),
+                               r.reshape(-1), w.reshape(-1),
+                               bstarts, bends, primary == "item",
+                               int(prim.max()) + 1):
+            pass  # sorted in place through the flat views
+        else:
+            psort = np.argsort(prim, axis=1, kind="stable")
+            u = np.take_along_axis(u, psort, axis=1)
+            i = np.take_along_axis(i, psort, axis=1)
+            r = np.take_along_axis(r, psort, axis=1)
+            w = np.take_along_axis(w, psort, axis=1)
         prim, sec = (i, u) if primary == "item" else (u, i)
         mp = _tile_meta(prim, batch_size, c_max, int(prim.max()),
                         agg_min_gain, row_width)
@@ -380,8 +492,7 @@ def pack_ratings(
             kw["prim_tile_base"] = jnp.asarray(mp[0])
             agg_prim = (mp[1], mp[2])
             expand_prim = _expand_wins(mp[1], mp[2], row_width)
-        ssort = np.argsort(sec, axis=1, kind="stable").astype(np.int32)
-        ss = np.take_along_axis(sec, ssort, axis=1)
+        ssort, ss = _argsort_batches(sec, bstarts, bends)
         ms = _tile_meta(ss, batch_size, c_max, int(sec.max()),
                         agg_min_gain, row_width)
         if ms is not None:

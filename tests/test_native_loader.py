@@ -89,3 +89,47 @@ def test_all_unique_ids_do_not_hang(tmp_path):
     assert len(nat.user_uniques) == n and len(nat.item_uniques) == n
     np.testing.assert_array_equal(nat.user_ids, pdl.user_ids)
     np.testing.assert_array_equal(nat.item_ids, pdl.item_ids)
+
+
+def test_native_pack_ratings_byte_identical_to_numpy(rng):
+    """The native pack_ratings fast paths (mf_gather_rows shuffle,
+    mf_sort_ranges chunk+batch counting sorts, mf_argsort_ranges,
+    mf_encode_ids_wire / mf_encode_half wire encodes) must reproduce the
+    numpy fallback byte-for-byte — counting sorts are stable, matching
+    argsort(kind='stable'), and the wire decode is exact.  Covers
+    hi-plane user ids (>=65536), both rating encode branches, every
+    pack order, and the unshuffled path."""
+    import dataclasses
+
+    from matrix_factorization_tpu.data import loader
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    lib = loader.get_native_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    names = [f.name for f in dataclasses.fields(sgd.RatingBatches)]
+    n, U, I = 60_000, 90_000, 700
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    for ratings in (rng.uniform(0.5, 5, n).astype(np.float32),
+                    (rng.integers(1, 11, n) * 0.5).astype(np.float32)):
+        for order in ("shuffle", "item", "user"):
+            for seed in (0, None):
+                nat = sgd.pack_ratings(u, i, ratings, 16_384,
+                                       order=order, shuffle_seed=seed)
+                loader._lib = None
+                loader._build_failed = True
+                try:
+                    ref = sgd.pack_ratings(u, i, ratings, 16_384,
+                                           order=order, shuffle_seed=seed)
+                finally:
+                    loader._lib = lib
+                    loader._build_failed = False
+                for f in names:
+                    a, b = getattr(nat, f), getattr(ref, f)
+                    if a is None or isinstance(a, (int, str, bool, tuple)):
+                        assert a == b, (order, seed, f)
+                    else:
+                        np.testing.assert_array_equal(
+                            np.asarray(a), np.asarray(b),
+                            err_msg=f"{order} {seed} {f}")
