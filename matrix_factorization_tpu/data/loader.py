@@ -105,6 +105,10 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         lib.mf_gather_rows.restype = None
         lib.mf_encode_ids_wire.argtypes = [ip, ll, u16p, u8p, i32, i32]
         lib.mf_encode_ids_wire.restype = None
+        lib.mf_sort_pairs_by_key.argtypes = [ip, ip, fp, ll, i32, ip, fp]
+        lib.mf_sort_pairs_by_key.restype = None
+        lib.mf_lexsort_pair.argtypes = [ip, ip, fp, ll, i32, i32, ip, fp]
+        lib.mf_lexsort_pair.restype = None
         _lib = lib
         return _lib
 

@@ -138,9 +138,24 @@ class _TopKNeighborCF(RecommenderBase):
         # Transfer compressed (uint16 ids when they fit, int8 half-step
         # ratings when exact) and widen ON DEVICE: at 25M ratings this is
         # 200MB -> ~75MB over the host->device link.
-        order = np.lexsort((cands, rows))
         counts = np.bincount(rows, minlength=n_rows)
-        cands_s = cands[order]
+        from matrix_factorization_tpu.data.loader import get_native_lib
+
+        lib = get_native_lib()
+        if lib is not None and len(rows):
+            # native two-pass counting radix — identical to
+            # np.lexsort((cands, rows)) applied, at O(n + K)
+            cands_s = np.empty(len(cands), np.int32)
+            r_s = np.empty(len(r), np.float32)
+            lib.mf_lexsort_pair(
+                np.ascontiguousarray(rows, np.int32),
+                np.ascontiguousarray(cands, np.int32),
+                np.ascontiguousarray(r, np.float32),
+                len(rows), n_rows, int(cands.max()) + 1, cands_s, r_s)
+        else:
+            order = np.lexsort((cands, rows))
+            cands_s = cands[order]
+            r_s = r[order]
         if len(cands_s) and int(cands_s.max()) < 65536:
             cands_s = cands_s.astype(np.uint16)
         else:
@@ -148,7 +163,6 @@ class _TopKNeighborCF(RecommenderBase):
         self._flat_q = jax.jit(lambda x: x.astype(jnp.int32))(
             jnp.asarray(cands_s)
         )
-        r_s = r[order]
         r2 = r_s * 2.0
         if (np.abs(r_s) <= 63).all() and (r2 == np.round(r2)).all():
             self._flat_r = jax.jit(

@@ -575,6 +575,59 @@ void mf_encode_ids_wire(const int32_t* a, long long n, uint16_t* lo,
   for (auto& th : threads) th.join();
 }
 
+// Stable counting sort of (other, r) pairs by a dense key — the CF
+// sparse-gram stream build (ops/sparse_gram.py) needs the counterpart
+// ids and ratings in entity-sorted order; the sorted keys themselves
+// never ship (the device rebuilds them from per-entity counts).
+// Identical to other[argsort(key, kind='stable')].
+void mf_sort_pairs_by_key(const int32_t* key, const int32_t* other,
+                          const float* r, long long n, int32_t n_keys,
+                          int32_t* other_out, float* r_out) {
+  std::vector<int32_t> offs(static_cast<size_t>(n_keys) + 1, 0);
+  for (long long k = 0; k < n; ++k) ++offs[key[k] + 1];
+  for (int32_t b = 0; b < n_keys; ++b) offs[b + 1] += offs[b];
+  for (long long k = 0; k < n; ++k) {
+    const int32_t pos = offs[key[k]]++;
+    other_out[pos] = other[k];
+    r_out[pos] = r[k];
+  }
+}
+
+// Two-key stable sort (primary asc, then secondary asc) emitting the
+// secondary ids and ratings in final order — reproduces
+// np.lexsort((sec, prim)) applied to (sec, r).  Radix: one stable
+// counting pass by sec, then one by prim.  The CF top-k CSR build
+// (models/cf_topk.py) needs per-row candidate ids ascending for its
+// device binary search.
+void mf_lexsort_pair(const int32_t* prim, const int32_t* sec,
+                     const float* r, long long n, int32_t n_prim,
+                     int32_t n_sec, int32_t* sec_out, float* r_out) {
+  std::vector<int32_t> prim_t(n);
+  std::vector<int32_t> sec_t(n);
+  std::vector<float> r_t(n);
+  {
+    std::vector<int32_t> offs(static_cast<size_t>(n_sec) + 1, 0);
+    for (long long k = 0; k < n; ++k) ++offs[sec[k] + 1];
+    for (int32_t b = 0; b < n_sec; ++b) offs[b + 1] += offs[b];
+    for (long long k = 0; k < n; ++k) {
+      const int32_t pos = offs[sec[k]]++;
+      prim_t[pos] = prim[k];
+      sec_t[pos] = sec[k];
+      r_t[pos] = r[k];
+    }
+  }
+  {
+    std::vector<int32_t> offs(static_cast<size_t>(n_prim) + 1, 0);
+    for (long long k = 0; k < n; ++k) ++offs[prim_t[k] + 1];
+    for (int32_t b = 0; b < n_prim; ++b) offs[b + 1] += offs[b];
+    for (long long k = 0; k < n; ++k) {
+      const int32_t pos = offs[prim_t[k]]++;
+      sec_out[pos] = sec_t[k];
+      r_out[pos] = r_t[k];
+    }
+  }
+}
+
 // Half-step rating check + encode in one threaded pass: returns 1 and
 // fills r8 with rint(r*2) iff every rating*2 is within 1e-6 of an
 // integer with |.| < 127 (the _ship_ratings contract).

@@ -133,3 +133,30 @@ def test_native_pack_ratings_byte_identical_to_numpy(rng):
                         np.testing.assert_array_equal(
                             np.asarray(a), np.asarray(b),
                             err_msg=f"{order} {seed} {f}")
+
+
+def test_native_stream_sorts_byte_identical_to_numpy(rng):
+    """mf_sort_pairs_by_key must equal argsort(kind='stable') applied
+    (sparse_gram stream build) and mf_lexsort_pair must equal
+    np.lexsort((sec, prim)) applied (cf_topk CSR build)."""
+    lib = get_native_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    n, U, I = 50_000, 900, 400
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    r = rng.uniform(0.5, 5, n).astype(np.float32)
+
+    i_s = np.empty(n, np.int32)
+    r_s = np.empty(n, np.float32)
+    lib.mf_sort_pairs_by_key(u, i, r, n, U, i_s, r_s)
+    order = np.argsort(u, kind="stable")
+    np.testing.assert_array_equal(i_s, i[order])
+    np.testing.assert_array_equal(r_s, r[order])
+
+    c_s = np.empty(n, np.int32)
+    rr_s = np.empty(n, np.float32)
+    lib.mf_lexsort_pair(u, i, r, n, U, I, c_s, rr_s)
+    order = np.lexsort((i, u))
+    np.testing.assert_array_equal(c_s, i[order])
+    np.testing.assert_array_equal(rr_s, r[order])
