@@ -107,6 +107,10 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         lib.mf_encode_ids_wire.restype = None
         lib.mf_sort_pairs_by_key.argtypes = [ip, ip, fp, ll, i32, ip, fp]
         lib.mf_sort_pairs_by_key.restype = None
+        lib.mf_sort_triple_by_key.argtypes = [
+            ip, ip, ip, fp, ll, i32, ip, ip, fp,
+        ]
+        lib.mf_sort_triple_by_key.restype = None
         lib.mf_lexsort_pair.argtypes = [ip, ip, fp, ll, i32, i32, ip, fp]
         lib.mf_lexsort_pair.restype = None
         _lib = lib

@@ -593,6 +593,24 @@ void mf_sort_pairs_by_key(const int32_t* key, const int32_t* other,
   }
 }
 
+// Stable counting sort of (a, b, r) triples by a dense key — the
+// dp/dp_tp rating partitioners (parallel/distributed.py) sort the full
+// stream by device/cell id (a handful of distinct keys).
+void mf_sort_triple_by_key(const int32_t* key, const int32_t* a,
+                           const int32_t* b, const float* r, long long n,
+                           int32_t n_keys, int32_t* a_out, int32_t* b_out,
+                           float* r_out) {
+  std::vector<int32_t> offs(static_cast<size_t>(n_keys) + 1, 0);
+  for (long long k = 0; k < n; ++k) ++offs[key[k] + 1];
+  for (int32_t c = 0; c < n_keys; ++c) offs[c + 1] += offs[c];
+  for (long long k = 0; k < n; ++k) {
+    const int32_t pos = offs[key[k]]++;
+    a_out[pos] = a[k];
+    b_out[pos] = b[k];
+    r_out[pos] = r[k];
+  }
+}
+
 // Two-key stable sort (primary asc, then secondary asc) emitting the
 // secondary ids and ratings in final order — reproduces
 // np.lexsort((sec, prim)) applied to (sec, r).  Radix: one stable

@@ -53,6 +53,31 @@ class ShardedRatings(NamedTuple):
         return self.user_ids.shape[0]
 
 
+def _sort_stream_by_key(key: np.ndarray, u: np.ndarray, i: np.ndarray,
+                        r: np.ndarray, n_keys: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(u, i, r) stably sorted by a dense key — the native counting sort
+    (O(n + n_keys), byte-identical to argsort(kind='stable')) when
+    available, numpy otherwise."""
+    from matrix_factorization_tpu.data.loader import get_native_lib
+
+    lib = get_native_lib()
+    n = len(key)
+    if lib is not None and n:
+        u_s = np.empty(n, np.int32)
+        i_s = np.empty(n, np.int32)
+        r_s = np.empty(n, np.float32)
+        lib.mf_sort_triple_by_key(
+            np.ascontiguousarray(key, np.int32),
+            np.ascontiguousarray(u, np.int32),
+            np.ascontiguousarray(i, np.int32),
+            np.ascontiguousarray(r, np.float32),
+            n, int(n_keys), u_s, i_s, r_s)
+        return u_s, i_s, r_s
+    order = np.argsort(key, kind="stable")
+    return u[order], i[order], r[order]
+
+
 def shard_ratings_by_user(
     u: np.ndarray,
     i: np.ndarray,
@@ -70,9 +95,8 @@ def shard_ratings_by_user(
     assert user_capacity % n_dev == 0
     users_per_dev = user_capacity // n_dev
     dev = (u // users_per_dev).astype(np.int32)
-    order = np.argsort(dev, kind="stable")
-    u, i, r, dev = u[order], i[order], r[order], dev[order]
     counts = np.bincount(dev, minlength=n_dev)
+    u, i, r = _sort_stream_by_key(dev, u, i, r, n_dev)
     n_pad = max(batch_size, round_up(int(counts.max()), batch_size))
 
     uu = np.zeros((n_dev, n_pad), np.int32)
@@ -252,10 +276,10 @@ def shard_ratings_2d(
     assert user_capacity % n_data == 0 and item_capacity % n_model == 0
     users_per = user_capacity // n_data
     items_per = item_capacity // n_model
-    cell = (u // users_per).astype(np.int64) * n_model + (i // items_per)
-    order = np.argsort(cell, kind="stable")
-    u, i, r, cell = u[order], i[order], r[order], cell[order]
+    cell = ((u // users_per).astype(np.int32) * n_model
+            + (i // items_per).astype(np.int32))
     counts = np.bincount(cell, minlength=n_data * n_model)
+    u, i, r = _sort_stream_by_key(cell, u, i, r, n_data * n_model)
     n_pad = max(batch_size, round_up(int(counts.max()), batch_size))
 
     n_dev = n_data * n_model
