@@ -10,9 +10,15 @@ host you can emulate a mesh with:
 import jax
 import numpy as np
 
-# emulate 8 devices when only CPU is available (harmless on real TPU pods)
-if jax.default_backend() == "cpu" and len(jax.devices()) == 1:
-    jax.config.update("jax_num_cpu_devices", 8)
+# emulate 8 devices when running CPU-only (JAX_PLATFORMS=cpu): the knob
+# must be set BEFORE any backend initializes — probing
+# jax.default_backend()/jax.devices() here would itself initialize one,
+# so gate on the platform config instead
+if (jax.config.jax_platforms or "").startswith("cpu"):
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        pass  # a backend is already live (e.g. interactive session)
 
 from matrix_factorization_tpu import KernelMF
 from matrix_factorization_tpu.data.synthetic import movielens_shaped
