@@ -160,3 +160,40 @@ def test_native_stream_sorts_byte_identical_to_numpy(rng):
     order = np.lexsort((i, u))
     np.testing.assert_array_equal(c_s, i[order])
     np.testing.assert_array_equal(rr_s, r[order])
+
+
+def test_wire_id_boundaries_roundtrip():
+    """_ship_ids must be lossless at the encode-branch boundaries:
+    65535/65536 (uint16 -> hi-plane) and 2^24-1/2^24 (hi-plane -> raw
+    int32)."""
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    for ids in ([0], [65535], [65536], [65535, 65536],
+                [(1 << 24) - 1], [(1 << 24)], [0, (1 << 24) - 1],
+                [123, 70_000, (1 << 24) - 1]):
+        a = np.asarray(ids, np.int32)
+        out = np.asarray(sgd._ship_ids(a))
+        np.testing.assert_array_equal(out, a, err_msg=str(ids))
+        assert out.dtype == np.int32
+
+    # negative ids (cold-start -1 markers) must pass through untouched
+    a = np.asarray([-1, 5, 70_000], np.int32)
+    np.testing.assert_array_equal(np.asarray(sgd._ship_ids(a)), a)
+
+
+def test_wire_rating_boundaries_roundtrip():
+    """_ship_ratings int8 half-step encode boundaries: ±63.0 encodes,
+    63.5 (=127 half-steps) must NOT take the int8 branch."""
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    for vals, exact in [([0.5, 5.0, -2.5], True), ([63.0, -63.0], True),
+                        ([63.5], False), ([0.3], False),
+                        ([1e6], False)]:
+        a = np.asarray(vals, np.float32)
+        out = np.asarray(sgd._ship_ratings(a))
+        np.testing.assert_array_equal(out, a, err_msg=str(vals))
+
+    # single-element and empty
+    np.testing.assert_array_equal(
+        np.asarray(sgd._ship_ratings(np.zeros(0, np.float32))),
+        np.zeros(0, np.float32))
