@@ -57,6 +57,7 @@ class KernelMF(RecommenderBase):
         method: str = "sgd",
         epoch_order: str = "shuffle",
         keep_sharded: bool = False,
+        overlap_psum: bool = False,
         reg_scale: str = "absolute",
         als_warm_start: int = 0,
         als_warm_reg: Optional[float] = None,
@@ -74,6 +75,19 @@ class KernelMF(RecommenderBase):
         ``recommend_batch`` then route through the distributed top-k
         (``parallel.serving.ShardedCatalog``), and ``predict`` gathers
         rows on demand.
+
+        ``overlap_psum`` (mesh SGD fits only): defer each training step's
+        delta all-reduce by one step so the collective overlaps the next
+        step's compute instead of sitting on the critical path
+        (``parallel.distributed._local_minibatch_step_overlap``).  Every
+        item update lands exactly one step late, uniformly across
+        devices — replicas stay bit-identical and training stays
+        deterministic; pending deltas flush at each epoch boundary.
+        Final-RMSE parity with the synchronous schedule is
+        regression-tested; worth turning on when the measured psum share
+        of the step is non-trivial (see the multi-chip performance model
+        in benchmarks/RESULTS.md — up to ~16% of the step at the
+        headline shape).
 
         ``method``: 'sgd' (reference semantics) or 'als' (extension: exact
         alternating least squares for factors+biases — linear kernel only,
@@ -147,6 +161,16 @@ class KernelMF(RecommenderBase):
                 raise ValueError(
                     "als_warm_start is not supported with a mesh yet "
                     "(the dp/tp trainers own their init)")
+        if overlap_psum and mesh is None:
+            raise ValueError(
+                "overlap_psum=True requires a mesh: without one there is "
+                "no delta all-reduce to overlap"
+            )
+        if overlap_psum and method == "als":
+            raise ValueError(
+                "overlap_psum applies to the mesh SGD trainers; "
+                "method='als' has no per-step delta psum"
+            )
         if keep_sharded and mesh is None:
             raise ValueError(
                 "keep_sharded=True requires a mesh: without one the item "
@@ -173,6 +197,7 @@ class KernelMF(RecommenderBase):
         self.als_warm_reg = als_warm_reg
         self.epoch_order = epoch_order
         self.keep_sharded = keep_sharded
+        self.overlap_psum = overlap_psum
         self.serving_dtype = serving_dtype
         self._params: Optional[sgd.MFParams] = None
         self._topk_catalog = None
@@ -280,6 +305,7 @@ class KernelMF(RecommenderBase):
                     u, i, r, self.n_users, self.n_items, cfg, n_epochs,
                     self.lr, self.mesh, seed=self.seed,
                     init_mean=self.init_mean, init_sd=self.init_sd,
+                    overlap_psum=self.overlap_psum,
                 )
             if self.keep_sharded:
                 # tables stay resident in their training shardings;

@@ -139,6 +139,46 @@ def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr,
     return (P_l, Q, mu), None
 
 
+def _local_minibatch_step_overlap(carry, batch, cfg: SGDConfig, lr,
+                                  data_axes=(DATA_AXIS,)):
+    """One step with the item-delta psum DEFERRED by one step.
+
+    The synchronous step puts ``psum(dQ)`` on the critical path: the next
+    step's gathers read ``Q + psum(dQ)``.  Here the all-reduce of step
+    t's deltas is applied at the START of step t+1, and step t+1's
+    gathers read the PRE-psum table — so the collective's only consumer
+    is the next iteration's carry and XLA's async collective pair
+    (all-reduce-start/-done on TPU) can overlap it with the whole
+    gather/compute/scatter of the current step.
+
+    Semantics: every item update (own and remote alike) lands exactly one
+    step late — uniform across devices, so the Q replicas stay
+    bit-identical and training stays deterministic.  With one batch per
+    epoch (the flush below) this is bit-identical to the synchronous
+    step; the trajectory otherwise differs by one step of staleness on
+    the item side (parity-tested in tests/test_parallel.py).
+    """
+    P_l, Q, mu, dQ_pend = carry
+    u, i, r, w = batch
+    Q_next = Q + jax.lax.psum(dQ_pend, data_axes)
+    pu = P_l.at[u].get(mode="promise_in_bounds")
+    qi = Q.at[i].get(mode="promise_in_bounds")
+    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
+    err = (pred - r) * w
+
+    if cfg.update_user_params:
+        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
+        P_l = P_l.at[u].add(-lr * g, mode="promise_in_bounds")
+    if cfg.update_item_params:
+        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
+        dQ = jnp.zeros_like(Q).at[i].add(-lr * g, mode="promise_in_bounds")
+    else:
+        dQ = jnp.zeros_like(Q)
+    return (P_l, Q_next, mu, dQ), None
+
+
 def _local_sse(P_l, Q, mu, u, i, r, w, cfg: SGDConfig):
     pred = sgd.ext_forward(cfg, mu, P_l[u], Q[i])
     e = (pred - r) * w
@@ -154,12 +194,19 @@ def dp_sgd_train(
     lr: float,
     mesh: Mesh,
     n_real: int,
+    overlap_psum: bool = False,
 ) -> Tuple[MFParams, jax.Array]:
     """Multi-epoch data-parallel training under ``shard_map``.
 
     ``params.user_features`` must be placed row-sharded over ``data``;
     the item table replicated; ``data`` arrays device-major row-sharded.
     On a multi-slice mesh the user shard spans ``(slice, data)``.
+
+    ``overlap_psum=True`` defers each step's item-delta all-reduce to the
+    start of the next step so it can overlap that step's compute
+    (:func:`_local_minibatch_step_overlap`); pending deltas are flushed
+    at every epoch boundary, so per-epoch RMSE sees fully-applied tables
+    and one-batch epochs are bit-identical to the synchronous schedule.
     """
     data_axes = data_axes_of(mesh)
     n_dev = 1
@@ -192,10 +239,23 @@ def dp_sgd_train(
                     x.reshape(nb, cfg.batch_size)
                     for x in (u_l, i_l, r_l, w_l)
                 )
-            carry, _ = jax.lax.scan(
-                lambda c, b: _local_minibatch_step(c, b, cfg, lr, data_axes),
-                carry, xs,
-            )
+            if overlap_psum and cfg.update_item_params:
+                # the zero init must be marked device-varying: the step's
+                # dQ output is (each device carries its own deltas)
+                dq0 = jax.lax.pcast(jnp.zeros_like(carry[1]), data_axes,
+                                    to="varying")
+                (p, q, m, dq), _ = jax.lax.scan(
+                    lambda c, b: _local_minibatch_step_overlap(
+                        c, b, cfg, lr, data_axes),
+                    (*carry, dq0), xs,
+                )
+                carry = (p, q + jax.lax.psum(dq, data_axes), m)
+            else:
+                carry, _ = jax.lax.scan(
+                    lambda c, b: _local_minibatch_step(c, b, cfg, lr,
+                                                       data_axes),
+                    carry, xs,
+                )
             if cfg.compute_epoch_rmse:
                 sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
                 rmse = jnp.sqrt(jax.lax.psum(sse, data_axes) / max(n_real, 1))
@@ -323,6 +383,36 @@ def _local_minibatch_step_2d(carry, batch, cfg: SGDConfig, lr,
     return (P_l, Q_l, mu), None
 
 
+def _local_minibatch_step_2d_overlap(carry, batch, cfg: SGDConfig, lr,
+                                     data_axes=(DATA_AXIS,)):
+    """2D step with BOTH delta psums deferred by one step (the dP
+    all-reduce over ``model`` and the dQ all-reduce over the data axes
+    each overlap the next step's compute — see
+    :func:`_local_minibatch_step_overlap` for the semantics)."""
+    P_l, Q_l, mu, dP_pend, dQ_pend = carry
+    u, i, r, w = batch
+    P_next = P_l + jax.lax.psum(dP_pend, MODEL_AXIS)
+    Q_next = Q_l + jax.lax.psum(dQ_pend, data_axes)
+    pu = P_l.at[u].get(mode="promise_in_bounds")
+    qi = Q_l.at[i].get(mode="promise_in_bounds")
+    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
+    err = (pred - r) * w
+
+    if cfg.update_user_params:
+        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
+        dP = jnp.zeros_like(P_l).at[u].add(-lr * g, mode="promise_in_bounds")
+    else:
+        dP = jnp.zeros_like(P_l)
+    if cfg.update_item_params:
+        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
+        dQ = jnp.zeros_like(Q_l).at[i].add(-lr * g, mode="promise_in_bounds")
+    else:
+        dQ = jnp.zeros_like(Q_l)
+    return (P_next, Q_next, mu, dP, dQ), None
+
+
 def dp_tp_sgd_train(
     params: MFParams,
     data: ShardedRatings,
@@ -332,6 +422,7 @@ def dp_tp_sgd_train(
     lr: float,
     mesh: Mesh,
     n_real: int,
+    overlap_psum: bool = False,
 ) -> Tuple[MFParams, jax.Array]:
     """Multi-epoch 2D-sharded training under ``shard_map``.
 
@@ -339,6 +430,10 @@ def dp_tp_sgd_train(
     ``params.item_features`` row-sharded over ``model``; ``data`` arrays
     device-major in (d, m) order with LOCAL ids (see
     :func:`shard_ratings_2d`).
+
+    ``overlap_psum=True`` defers BOTH per-step delta all-reduces by one
+    step (:func:`_local_minibatch_step_2d_overlap`), flushing pending
+    deltas at every epoch boundary.
     """
     data_axes = data_axes_of(mesh)
     n_data = 1
@@ -373,11 +468,27 @@ def dp_tp_sgd_train(
                     x.reshape(nb, cfg.batch_size)
                     for x in (u_l, i_l, r_l, w_l)
                 )
-            carry, _ = jax.lax.scan(
-                lambda c, b: _local_minibatch_step_2d(c, b, cfg, lr,
-                                                      data_axes),
-                carry, xs,
-            )
+            if overlap_psum and (cfg.update_user_params
+                                 or cfg.update_item_params):
+                # zero inits marked varying over the axes their deltas
+                # vary on (P_l already varies over data, Q_l over model)
+                zP = jax.lax.pcast(jnp.zeros_like(carry[0]), MODEL_AXIS,
+                                   to="varying")
+                zQ = jax.lax.pcast(jnp.zeros_like(carry[1]), data_axes,
+                                   to="varying")
+                (p, q, m_, dp, dq), _ = jax.lax.scan(
+                    lambda c, b: _local_minibatch_step_2d_overlap(
+                        c, b, cfg, lr, data_axes),
+                    (*carry, zP, zQ), xs,
+                )
+                carry = (p + jax.lax.psum(dp, MODEL_AXIS),
+                         q + jax.lax.psum(dq, data_axes), m_)
+            else:
+                carry, _ = jax.lax.scan(
+                    lambda c, b: _local_minibatch_step_2d(c, b, cfg, lr,
+                                                          data_axes),
+                    carry, xs,
+                )
             if cfg.compute_epoch_rmse:
                 sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
                 sse = jax.lax.psum(jax.lax.psum(sse, data_axes), MODEL_AXIS)
@@ -441,6 +552,7 @@ def dp_tp_fit(
     seed: int = 0,
     init_mean: float = 0.0,
     init_sd: float = 0.1,
+    overlap_psum: bool = False,
 ) -> Tuple[MFParams, np.ndarray]:
     """End-to-end 2D-sharded fit (sharded P AND Q)."""
     data_axes = data_axes_of(mesh)
@@ -470,7 +582,7 @@ def dp_tp_fit(
     )
     train = jax.jit(
         lambda p, d, k: dp_tp_sgd_train(p, d, k, cfg, n_epochs, lr, mesh,
-                                        len(r))
+                                        len(r), overlap_psum=overlap_psum)
     )
     params, hist = train(params, data, k_train)
     return params, np.asarray(hist)
@@ -489,6 +601,7 @@ def dp_fit(
     seed: int = 0,
     init_mean: float = 0.0,
     init_sd: float = 0.1,
+    overlap_psum: bool = False,
 ) -> Tuple[MFParams, np.ndarray]:
     """End-to-end sharded fit: init, shard, train, return device params."""
     data_axes = data_axes_of(mesh)
@@ -515,7 +628,8 @@ def dp_fit(
         jax.device_put(sw, shard),
     )
     train = jax.jit(
-        lambda p, d, k: dp_sgd_train(p, d, k, cfg, n_epochs, lr, mesh, len(r))
+        lambda p, d, k: dp_sgd_train(p, d, k, cfg, n_epochs, lr, mesh,
+                                     len(r), overlap_psum=overlap_psum)
     )
     params, hist = train(params, data, k_train)
     return params, np.asarray(hist)

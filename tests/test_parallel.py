@@ -170,6 +170,96 @@ def test_2d_fit_converges_and_matches_replicated_q(ratings):
                                np.asarray(p1.item_features), atol=1e-5)
 
 
+def test_overlap_psum_exact_with_one_batch_epochs(ratings):
+    """With one batch per device per epoch the deferred psum is flushed
+    at the epoch boundary before anything reads it — overlap_psum must be
+    BIT-identical to the synchronous schedule."""
+    u, i, r, n_users, n_items = ratings
+    n_dev = 4
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    ucap = sgd.round_up(n_users, 8 * n_dev)
+    _, _, _, _, n_pad = dist.shard_ratings_by_user(u, i, r, ucap, n_dev, 1)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=n_pad, shuffle="none")
+    p_sync, h_sync = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=4,
+                                 lr=cfg.lr, mesh=mesh)
+    p_ovl, h_ovl = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=4,
+                               lr=cfg.lr, mesh=mesh, overlap_psum=True)
+    np.testing.assert_array_equal(np.asarray(h_ovl), np.asarray(h_sync))
+    np.testing.assert_array_equal(np.asarray(p_ovl.item_features),
+                                  np.asarray(p_sync.item_features))
+    np.testing.assert_array_equal(np.asarray(p_ovl.user_features),
+                                  np.asarray(p_sync.user_features))
+
+
+def test_overlap_psum_parity_and_determinism(ratings):
+    """Multi-batch epochs: item updates land one step late, so the
+    trajectory differs — but it must converge to the same neighborhood
+    (final-RMSE parity) and stay bit-deterministic across runs."""
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=4, n_model=1)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=32, shuffle="none")
+    _, h_sync = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=15,
+                            lr=cfg.lr, mesh=mesh)
+    p1, h1 = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=15,
+                         lr=cfg.lr, mesh=mesh, overlap_psum=True)
+    p2, h2 = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=15,
+                         lr=cfg.lr, mesh=mesh, overlap_psum=True)
+    assert h1[-1] < h1[0]
+    assert abs(float(h1[-1]) - float(h_sync[-1])) < 5e-3
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(p1.item_features),
+                                  np.asarray(p2.item_features))
+
+
+def test_overlap_psum_2d(ratings):
+    """2D mesh: both deferred all-reduces. One-batch epochs are exact vs
+    the synchronous 2D trainer; multi-batch converges."""
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=2, n_model=2)
+    ucap = sgd.round_up(n_users, 8 * 2)
+    icap = sgd.round_up(n_items, 8 * 2)
+    _, _, _, _, n_pad = dist.shard_ratings_2d(u, i, r, ucap, icap, 2, 2, 1)
+    cfg1 = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                     batch_size=n_pad, shuffle="none")
+    p_s, h_s = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg1, n_epochs=3,
+                              lr=cfg1.lr, mesh=mesh)
+    p_o, h_o = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg1, n_epochs=3,
+                              lr=cfg1.lr, mesh=mesh, overlap_psum=True)
+    np.testing.assert_array_equal(np.asarray(h_o), np.asarray(h_s))
+    np.testing.assert_array_equal(np.asarray(p_o.item_features),
+                                  np.asarray(p_s.item_features))
+
+    cfg2 = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                     batch_size=32, shuffle="none")
+    _, hist = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg2, n_epochs=10,
+                             lr=cfg2.lr, mesh=mesh, overlap_psum=True)
+    assert hist[-1] < hist[0]
+
+
+def test_overlap_psum_model_api_and_validation():
+    """KernelMF(overlap_psum=True) trains through the mesh path and beats
+    the mean; the flag is rejected without a mesh and with method='als'."""
+    from matrix_factorization_tpu import KernelMF
+    from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+    from matrix_factorization_tpu.utils.metrics import rmse as rmse_m
+
+    with pytest.raises(ValueError, match="overlap_psum"):
+        KernelMF(overlap_psum=True)
+    with pytest.raises(ValueError, match="overlap_psum"):
+        KernelMF(overlap_psum=True, method="als", kernel="linear",
+                 mesh=make_mesh(n_data=8))
+
+    X, y = lowrank_ratings(n_users=64, n_items=40, density=0.5, seed=29)
+    m = KernelMF(n_factors=8, n_epochs=15, lr=0.03, reg=0.01, batch_size=64,
+                 mesh=make_mesh(n_data=8), overlap_psum=True)
+    m.fit(X, y)
+    assert m.train_rmse[-1] < m.train_rmse[0]
+    base = rmse_m(y, np.full(len(y), float(np.mean(y))))
+    assert rmse_m(y, m.predict(X)) < base
+
+
 def test_multislice_dp_matches_flat_dp(ratings):
     """A (2 slice x 2 data) mesh must train EXACTLY like a flat 4-device
     data mesh: the DCN axis only changes where collectives ride, not the
