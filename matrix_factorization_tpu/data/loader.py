@@ -41,80 +41,105 @@ def _build_native() -> bool:
         return False
 
 
+def _so_is_stale() -> bool:
+    """A cached .so built from an older loader.cpp lacks newer symbols."""
+    src = _NATIVE_DIR / "loader.cpp"
+    try:
+        return src.exists() and src.stat().st_mtime > _SO_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def get_native_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native loader; None if unavailable."""
+    """Load (building if needed) the native loader; None if unavailable.
+
+    Rebuilds when ``loader.cpp`` is newer than the cached ``.so``, and
+    treats missing symbols (a stale ``.so`` whose mtime lied, e.g. after
+    a checkout that preserved timestamps) as one more rebuild trigger —
+    every failure path degrades to the numpy fallback, never raises.
+    """
     global _lib, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
         if _build_failed:
             return None
-        if not _SO_PATH.exists() and not _build_native():
+        if (not _SO_PATH.exists() or _so_is_stale()) and not _build_native():
             _build_failed = True
             return None
-        try:
-            lib = ctypes.CDLL(str(_SO_PATH))
-        except OSError:
-            _build_failed = True
-            return None
-        c = ctypes.c_char_p
-        ll = ctypes.c_longlong
-        i32 = ctypes.c_int
-        dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        lib.mf_count_rows.argtypes = [c, ll, i32]
-        lib.mf_count_rows.restype = ll
-        lib.mf_parse_numeric_csv.argtypes = [
-            c, ll, i32, i32, i32, i32, ll, dp, dp, fp, i32,
-        ]
-        lib.mf_parse_numeric_csv.restype = ll
-        lib.mf_dense_encode.argtypes = [dp, ll, ip, dp]
-        lib.mf_dense_encode.restype = ll
-        lib.mf_find_duplicate_pair.argtypes = [dp, dp, ll]
-        lib.mf_find_duplicate_pair.restype = ll
-        llp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        lib.mf_entity_counts.argtypes = [ip, ll, i32, ip]
-        lib.mf_entity_counts.restype = None
-        lib.mf_pack_grouped.argtypes = [
-            ip, ip, fp, ll, ip, ip, ip, llp, ip, fp, fp, ip,
-        ]
-        lib.mf_pack_grouped.restype = None
-        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-        lib.mf_pack_grouped_wire.argtypes = [
-            ip, ip, fp, ll, ip, ip, ip, llp,
-            u16p, u8p, i32, i8p, fp, i32, ip,
-        ]
-        lib.mf_pack_grouped_wire.restype = None
-        lib.mf_sort_ranges.argtypes = [
-            ip, ip, fp, fp, llp, llp, i32, i32, i32, i32,
-        ]
-        lib.mf_sort_ranges.restype = None
-        lib.mf_argsort_ranges.argtypes = [
-            ip, llp, llp, i32, i32, ip, ip, i32,
-        ]
-        lib.mf_argsort_ranges.restype = None
-        lib.mf_encode_half.argtypes = [fp, ll, i8p, i32]
-        lib.mf_encode_half.restype = i32
-        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        lib.mf_gather_rows.argtypes = [
-            ip, ip, fp, i64p, ll, ip, ip, fp, i32,
-        ]
-        lib.mf_gather_rows.restype = None
-        lib.mf_encode_ids_wire.argtypes = [ip, ll, u16p, u8p, i32, i32]
-        lib.mf_encode_ids_wire.restype = None
-        lib.mf_sort_pairs_by_key.argtypes = [ip, ip, fp, ll, i32, ip, fp]
-        lib.mf_sort_pairs_by_key.restype = None
-        lib.mf_sort_triple_by_key.argtypes = [
-            ip, ip, ip, fp, ll, i32, ip, ip, fp,
-        ]
-        lib.mf_sort_triple_by_key.restype = None
-        lib.mf_lexsort_pair.argtypes = [ip, ip, fp, ll, i32, i32, ip, fp]
-        lib.mf_lexsort_pair.restype = None
+        for attempt in range(2):
+            try:
+                lib = _load_and_bind()
+                break
+            except (OSError, AttributeError):
+                # AttributeError = stale .so missing a newer symbol;
+                # rebuild once, then give up and use the numpy paths
+                if attempt or not _build_native():
+                    _build_failed = True
+                    return None
         _lib = lib
         return _lib
+
+
+def _load_and_bind() -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(_SO_PATH))
+    c = ctypes.c_char_p
+    ll = ctypes.c_longlong
+    i32 = ctypes.c_int
+    dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.mf_count_rows.argtypes = [c, ll, i32]
+    lib.mf_count_rows.restype = ll
+    lib.mf_parse_numeric_csv.argtypes = [
+        c, ll, i32, i32, i32, i32, ll, dp, dp, fp, i32,
+    ]
+    lib.mf_parse_numeric_csv.restype = ll
+    lib.mf_dense_encode.argtypes = [dp, ll, ip, dp]
+    lib.mf_dense_encode.restype = ll
+    lib.mf_find_duplicate_pair.argtypes = [dp, dp, ll]
+    lib.mf_find_duplicate_pair.restype = ll
+    llp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.mf_entity_counts.argtypes = [ip, ll, i32, ip]
+    lib.mf_entity_counts.restype = None
+    lib.mf_pack_grouped.argtypes = [
+        ip, ip, fp, ll, ip, ip, ip, llp, ip, fp, fp, ip,
+    ]
+    lib.mf_pack_grouped.restype = None
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.mf_pack_grouped_wire.argtypes = [
+        ip, ip, fp, ll, ip, ip, ip, llp,
+        u16p, u8p, i32, i8p, fp, i32, ip,
+    ]
+    lib.mf_pack_grouped_wire.restype = None
+    lib.mf_sort_ranges.argtypes = [
+        ip, ip, fp, fp, llp, llp, i32, i32, i32, i32,
+    ]
+    lib.mf_sort_ranges.restype = None
+    lib.mf_argsort_ranges.argtypes = [
+        ip, llp, llp, i32, i32, ip, ip, i32,
+    ]
+    lib.mf_argsort_ranges.restype = None
+    lib.mf_encode_half.argtypes = [fp, ll, i8p, i32]
+    lib.mf_encode_half.restype = i32
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.mf_gather_rows.argtypes = [
+        ip, ip, fp, i64p, ll, ip, ip, fp, i32,
+    ]
+    lib.mf_gather_rows.restype = None
+    lib.mf_encode_ids_wire.argtypes = [ip, ll, u16p, u8p, i32, i32]
+    lib.mf_encode_ids_wire.restype = None
+    lib.mf_sort_pairs_by_key.argtypes = [ip, ip, fp, ll, i32, ip, fp]
+    lib.mf_sort_pairs_by_key.restype = None
+    lib.mf_sort_triple_by_key.argtypes = [
+        ip, ip, ip, fp, ll, i32, ip, ip, fp,
+    ]
+    lib.mf_sort_triple_by_key.restype = None
+    lib.mf_lexsort_pair.argtypes = [ip, ip, fp, ll, i32, i32, ip, fp]
+    lib.mf_lexsort_pair.restype = None
+    return lib
 
 
 class LoadedRatings(NamedTuple):

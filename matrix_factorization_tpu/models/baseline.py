@@ -192,32 +192,26 @@ class BaselineModel(RecommenderBase):
         )
 
     def _catalog_topk(self, u_dense: np.ndarray, k: int):
-        """Device-side top-k: score + ``lax.top_k`` in one dispatch so
-        only (B, k) values+indices are fetched (same contract as
-        ``ops.scoring.catalog_topk``; the bias model has its own scorer
-        because its parameters are bias vectors, not factor tables)."""
-        k = min(k, self.n_items)
-        kb = min(self.n_items, 1 << max(4, (k - 1).bit_length()))
-        B = len(u_dense)
-        bb = 1 << max(0, (B - 1).bit_length())
-        key = ("topk", self.n_items, kb, bb)
-        fn = _predict_jit_cache.get(key)
-        if fn is None:
-            n_items = self.n_items
+        """Device-side top-k through the shared pad/bucket/jit-cache
+        harness (``ops.scoring.topk_harness``); only the bias-vector
+        score expression is this model's own."""
+        from matrix_factorization_tpu.ops.scoring import topk_harness
 
-            def run(mu, bu, bi, u):
+        n_items = self.n_items
+
+        def make_run(kb, bb):
+            def run(u, mu, bu, bi):
                 s = (mu + bu.at[u].get(mode="promise_in_bounds")[:, None]
                      + bi[None, :n_items])
                 return jax.lax.top_k(s, kb)
 
-            fn = jax.jit(run)
-            _predict_jit_cache[key] = fn
-        u_pad = np.zeros(bb, np.int32)
-        u_pad[:B] = np.asarray(u_dense, np.int32)
-        vals, idx = fn(jnp.float32(self.global_mean),
-                       self._params.user_biases, self._params.item_biases,
-                       jnp.asarray(u_pad))
-        return np.asarray(vals)[:B, :k], np.asarray(idx)[:B, :k]
+            return run
+
+        return topk_harness(
+            make_run, "bias_topk", n_items, u_dense, k, _predict_jit_cache,
+            (jnp.float32(self.global_mean), self._params.user_biases,
+             self._params.item_biases),
+        )
 
     # -- reference-parity parameter views ------------------------------------
     @property

@@ -353,7 +353,11 @@ class KernelMF(RecommenderBase):
                         cfg, n_epochs, reg_scale=self.reg_scale
                     )(params, by_user, by_item, data)
             else:
-                if self.als_warm_start:
+                # warm sweeps initialize a FRESH fit only: a
+                # fit(warm_start=True) continuation (fit_resumable's
+                # chunks) must keep descending from the current tables,
+                # not overwrite the SGD-refined rows with exact solves
+                if self.als_warm_start and not warm_start:
                     params = self._run_als_warm_start(params, u, i, r,
                                                       cfg, data)
                 params, rmse_hist = sgd.jit_sgd_train(cfg, n_epochs)(

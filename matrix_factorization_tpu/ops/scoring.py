@@ -75,6 +75,35 @@ def _pallas_serving_wins(cfg: SGDConfig, b_padded: int, kp: int) -> bool:
     )
 
 
+def topk_harness(make_run, key_extra, n_items: int, u_dense, k: int,
+                 cache: dict, arrays):
+    """Shared plumbing for device-side catalog top-k dispatches.
+
+    Pads ``k`` and the user batch to power-of-two buckets to bound the
+    number of distinct compilations, jit-caches ``make_run(kb, bb)``
+    (which must return ``run(u_pad, *arrays) -> (vals, idx)``) once per
+    ``(key_extra, n_items, kb, bb)`` bucket, and slices the (B, k) host
+    result.  ``lax.top_k`` inside ``run`` sorts descending with
+    lowest-index tie-breaks, matching the reference's stable
+    sort-then-head ordering (``recommender_base.py:259-260``).
+    """
+    import numpy as np
+
+    k = min(k, n_items)
+    kb = min(n_items, 1 << max(4, (k - 1).bit_length()))
+    B = len(u_dense)
+    bb = 1 << max(0, (B - 1).bit_length())
+    key = (key_extra, n_items, kb, bb)
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(make_run(kb, bb))
+        cache[key] = fn
+    u_pad = np.zeros(bb, np.int32)
+    u_pad[:B] = np.asarray(u_dense, np.int32)
+    vals, idx = fn(jnp.asarray(u_pad), *arrays)
+    return np.asarray(vals)[:B, :k], np.asarray(idx)[:B, :k]
+
+
 def catalog_topk(
     cfg: SGDConfig,
     params,  # MFParams (or anything with the same three fields)
@@ -88,51 +117,32 @@ def catalog_topk(
     values+indices cross the host link instead of (B, n_items) scores
     (400KB/user at 100k items; over a remote-dispatch tunnel the score
     transfer dominated single-user ``recommend`` latency).
-
-    ``k`` and the batch are padded to power-of-two buckets to bound the
-    number of distinct compilations; ``lax.top_k`` sorts descending with
-    lowest-index tie-breaks, matching the reference's stable
-    sort-then-head ordering (``recommender_base.py:259-260``).
     Returns host ``(values, indices)``, each (B, k).
     """
-    import numpy as np
-
-    k = min(k, n_items)
-    kb = min(n_items, 1 << max(4, (k - 1).bit_length()))
-    B = len(u_dense)
-    bb = 1 << max(0, (B - 1).bit_length())
     kp = int(params.user_features.shape[1])
     dt = str(params.item_features.dtype)
-    # the Pallas kernel is written for f32 blocks; bf16-resident tables
-    # take the XLA path (which is what the bf16 mode accelerates)
-    use_pallas = _pallas_serving_wins(cfg, bb, kp) and dt == "float32"
-    key = (cfg, n_items, kb, bb, use_pallas, dt)
-    fn = _topk_jit_cache.get(key)
-    if fn is None:
-        if use_pallas:
+
+    def make_run(kb, bb):
+        # the Pallas kernel is written for f32 blocks; bf16-resident
+        # tables take the XLA path (which is what bf16 mode accelerates)
+        if _pallas_serving_wins(cfg, bb, kp) and dt == "float32":
             from matrix_factorization_tpu.ops.pallas_scores import (
                 pallas_score_catalog,
             )
-
-            def run(mu, P, Q, u):
-                pu = P.at[u].get(mode="promise_in_bounds")
-                s = pallas_score_catalog(cfg, mu, pu, Q[:n_items])
-                return jax.lax.top_k(s, kb)
-
+            scorer = pallas_score_catalog
         else:
+            scorer = score_catalog
 
-            def run(mu, P, Q, u):
-                pu = P.at[u].get(mode="promise_in_bounds")
-                s = score_catalog(cfg, mu, pu, Q[:n_items])
-                return jax.lax.top_k(s, kb)
+        def run(u, mu, P, Q):
+            pu = P.at[u].get(mode="promise_in_bounds")
+            return jax.lax.top_k(scorer(cfg, mu, pu, Q[:n_items]), kb)
 
-        fn = jax.jit(run)
-        _topk_jit_cache[key] = fn
-    u_pad = np.zeros(bb, np.int32)
-    u_pad[:B] = np.asarray(u_dense, np.int32)
-    vals, idx = fn(params.global_mean, params.user_features,
-                   params.item_features, jnp.asarray(u_pad))
-    return np.asarray(vals)[:B, :k], np.asarray(idx)[:B, :k]
+        return run
+
+    return topk_harness(
+        make_run, (cfg, dt), n_items, u_dense, k, _topk_jit_cache,
+        (params.global_mean, params.user_features, params.item_features),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "tile"))

@@ -297,7 +297,8 @@ class JaxMLPReranker:
         # BCE-val early stopping (0.46 — pointwise val loss is a weak
         # proxy for ranking quality)
         n_val = int(round(n * self.val_frac))
-        if 0 < n_val < n:
+        track_best = 0 < n_val < n
+        if track_best:
             perm = np.random.default_rng(self.seed).permutation(n)
             vi, ti = perm[:n_val], perm[n_val:]
         else:
@@ -338,18 +339,22 @@ class JaxMLPReranker:
                 g = jax.grad(loss_fn)(p)
                 up, s = opt.update(g, s)
                 p = optax.apply_updates(p, up)
-                vl = val_loss(p)
-                better = vl < best_l
-                best_p = jax.tree.map(
-                    lambda new, old: jnp.where(better, new, old), p, best_p)
-                best_l = jnp.minimum(vl, best_l)
+                if track_best:
+                    vl = val_loss(p)
+                    better = vl < best_l
+                    best_p = jax.tree.map(
+                        lambda new, old: jnp.where(better, new, old),
+                        p, best_p)
+                    best_l = jnp.minimum(vl, best_l)
                 return (p, s, best_p, best_l), None
 
             init = (params, state, params, val_loss(params))
-            (_, _, best_p, _), _ = jax.lax.scan(
+            (last_p, _, best_p, _), _ = jax.lax.scan(
                 step, init, None, length=self.max_iter
             )
-            return best_p
+            # default (no held-out split): the documented fixed-budget
+            # endpoint, with no per-step val pass paid
+            return best_p if track_best else last_p
 
         self._params = {k: np.asarray(v) for k, v in train(params).items()}
         return self

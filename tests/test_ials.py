@@ -342,6 +342,34 @@ def test_sigmoid_als_warm_start_beats_cold_sgd():
         KernelMF(als_warm_start=-1)
 
 
+def test_als_warm_start_skipped_on_warm_start_continuation():
+    """fit(warm_start=True) must continue from the current tables; the
+    exact warm sweeps are a FRESH-fit initializer and re-running them
+    mid-continuation would overwrite the SGD-refined rows (code-review
+    r3 finding #2 — fit_resumable's chunked fits hit this path)."""
+    X, y = lowrank_ratings(n_users=80, n_items=60, n_factors=4,
+                           density=0.35, noise_sd=0.1, min_rating=0.5,
+                           max_rating=5.0, seed=9)
+    kw = dict(n_factors=8, kernel="sigmoid", lr=0.01, reg=0.02,
+              min_rating=0.5, max_rating=5.0, batch_size=512,
+              als_warm_start=1)
+    m = KernelMF(n_epochs=2, **kw)
+    m.fit(X, y)
+    calls = []
+    orig = m._run_als_warm_start
+    m._run_als_warm_start = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    before = np.asarray(m._params.user_features).copy()
+    rmse_before = m.train_rmse[-1]
+    m.fit(X, y, n_epochs=2, warm_start=True)
+    assert not calls, "warm sweeps must not re-run on a continuation fit"
+    # the continuation actually trained on from the previous tables
+    assert len(m.train_rmse) == 4
+    # continuation descends near the previous floor (fresh shuffle keys
+    # can wobble it a few 1e-3), instead of restarting from exact solves
+    assert m.train_rmse[-1] <= rmse_before + 0.02
+    assert not np.array_equal(before, np.asarray(m._params.user_features))
+
+
 def test_ship_grouped_wire_codec_roundtrip(rng):
     """The compressed bucket wire format (uint16/uint8-plane ids, int8
     half-step ratings, mask rebuilt from counts) must decode to exactly

@@ -197,3 +197,37 @@ def test_wire_rating_boundaries_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(sgd._ship_ratings(np.zeros(0, np.float32))),
         np.zeros(0, np.float32))
+
+
+def test_stale_so_rebuilds_instead_of_crashing(tmp_path):
+    """A cached _loader.so older than loader.cpp must trigger a rebuild
+    (a stale binary lacks newly added symbols, and the old code path
+    raised AttributeError from the ctypes bindings instead of falling
+    back — code-review r3 finding #1)."""
+    import os
+    import time
+
+    from matrix_factorization_tpu.data import loader
+
+    lib = loader.get_native_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    so, cpp = loader._SO_PATH, loader._NATIVE_DIR / "loader.cpp"
+    old_so_mtime = so.stat().st_mtime
+    # make the source look newer than the cached binary
+    os.utime(cpp, (time.time() + 5, time.time() + 5))
+    try:
+        loader._lib = None
+        loader._build_failed = False
+        assert loader._so_is_stale()
+        lib2 = loader.get_native_lib()
+        assert lib2 is not None
+        assert so.stat().st_mtime > old_so_mtime, "stale .so must rebuild"
+        # every symbol the bindings need resolved on the fresh build
+        assert lib2.mf_pack_grouped_wire is not None
+    finally:
+        now = time.time()
+        os.utime(cpp, (now - 10, now - 10))
+        loader._lib = None
+        loader._build_failed = False
+        loader.get_native_lib()
