@@ -29,6 +29,7 @@ from matrix_factorization_tpu.models.base import RecommenderBase
 from matrix_factorization_tpu.models.collaborative import ItemItemCF, UserUserCF
 from matrix_factorization_tpu.models.content_based import ContentBasedRecommender
 from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
+from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
 from matrix_factorization_tpu.models.grid_search import grid_search_kernel_mf
 from matrix_factorization_tpu.utils.splits import train_update_test_split
@@ -45,6 +46,7 @@ __all__ = [
     "ItemItemCF",
     "TopKItemItemCF",
     "TopKUserUserCF",
+    "BPR",
     "ImplicitALS",
     "grid_search_kernel_mf",
 ]

@@ -6,6 +6,7 @@ from matrix_factorization_tpu.models.kernel_mf import KernelMF
 from matrix_factorization_tpu.models.collaborative import ItemItemCF, UserUserCF
 from matrix_factorization_tpu.models.content_based import ContentBasedRecommender
 from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
+from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "TopKItemItemCF",
     "TopKUserUserCF",
     "ContentBasedRecommender",
+    "BPR",
     "ImplicitALS",
 ]

@@ -1,0 +1,232 @@
+"""BPR: pairwise-ranking matrix factorization for implicit feedback.
+
+The ranking-loss companion of
+:class:`~matrix_factorization_tpu.models.implicit.ImplicitALS` — see
+``ops/bpr.py`` for the objective and the TPU design (triplet scan,
+deterministic uniform negatives, extended-row tables).  The reference
+has no implicit-feedback models; both are extensions beyond its surface.
+
+API matches the ``RecommenderBase`` lifecycle: ``fit(X)`` on an
+interaction table (``y`` optional — interactions are binary events; a
+provided ``y`` only filters rows with strength <= 0 out of the positive
+set), ``predict`` returns unbounded ranking scores, ``recommend`` /
+``recommend_batch`` rank the catalog on device, and ``update_users``
+re-trains the named users' rows with the item side frozen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.models.base import RecommenderBase, bucketed_predict
+from matrix_factorization_tpu.ops import bpr as bpr_ops
+from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+
+class BPR(RecommenderBase):
+    def __init__(
+        self,
+        n_factors: int = 64,
+        n_epochs: int = 30,
+        lr: float = 0.05,
+        reg: float = 0.002,
+        batch_size: int = 8192,
+        init_sd: float = 0.1,
+        verbose: int = 0,
+        seed: int = 0,
+        serving_dtype: str = "float32",
+    ):
+        """``serving_dtype``: 'float32' or 'bfloat16' — the same
+        bf16-resident catalog-serving option as ``KernelMF``."""
+        if serving_dtype not in ("float32", "bfloat16"):
+            raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
+        # ranking scores are unbounded; +-inf makes every clamp a no-op
+        super().__init__(min_rating=float("-inf"), max_rating=float("inf"),
+                         verbose=verbose)
+        self.n_factors = n_factors
+        self.n_epochs = n_epochs
+        self.lr = lr
+        self.reg = reg
+        self.batch_size = batch_size
+        self.init_sd = init_sd
+        self.seed = seed
+        self.serving_dtype = serving_dtype
+        self._params: Optional[sgd.MFParams] = None
+        self._serving_cache = None
+        self.train_loss: list = []
+
+    def _cfg(self, compute_epoch_rmse: bool = False) -> SGDConfig:
+        # rating bounds enter SGDConfig only through the sigmoid/rbf
+        # epilogues and the clamp; BPR serves the linear kernel unbounded
+        return SGDConfig(
+            kernel="linear",
+            n_factors=self.n_factors,
+            reg=self.reg,
+            min_rating=0.0,
+            max_rating=1.0,
+            compute_epoch_rmse=compute_epoch_rmse,
+        )
+
+    # -- lifecycle ----------------------------------------------------------
+    def fit(self, X: pd.DataFrame, y: pd.Series = None):
+        """Train on the interaction table.  ``y`` (optional interaction
+        strengths) only gates which rows count as positives (> 0)."""
+        if y is None:
+            y = pd.Series(np.ones(len(X), np.float32))
+        u, i, r = self._preprocess_fit(X, y)
+        keep = r > 0
+        u, i = u[keep], i[keep]
+        if len(u) == 0:
+            raise ValueError("BPR needs at least one positive interaction")
+        cfg = self._cfg()
+        params = sgd.init_params(
+            jax.random.PRNGKey(self.seed), self.n_users, self.n_items, cfg,
+            global_mean=0.0, init_sd=self.init_sd,
+        )
+        self._train_pairs = (u.copy(), i.copy())  # for AUC negative rejection
+        up, ip, wp, bs = bpr_ops.pack_positives(u, i, self.batch_size)
+        fn = bpr_ops.jit_bpr_train(cfg, self.n_epochs, self.lr,
+                                   self.n_items, bs, len(u))
+        params, hist = fn(params, jnp.asarray(up), jnp.asarray(ip),
+                          jnp.asarray(wp),
+                          jax.random.fold_in(jax.random.PRNGKey(self.seed), 1))
+        self._params = params
+        self.global_mean = 0.0
+        self.train_loss = np.asarray(hist).tolist()
+        if self.verbose:
+            for e, v in enumerate(self.train_loss):
+                print(f"Epoch {e + 1} BPR loss: {v:.4f}")
+        return self
+
+    def _predict_arrays(self, u: np.ndarray, i: np.ndarray,
+                        bound_ratings: bool):
+        self._require_fitted()
+        # bound_ratings is a no-op on (-inf, inf); keep the unbounded path
+        fn = sgd.jit_predict_pairs(self._cfg(), False)
+        return bucketed_predict(
+            lambda uu, ii: fn(self._params, jnp.asarray(uu), jnp.asarray(ii)),
+            u, i,
+        )
+
+    def predict(self, X: pd.DataFrame, bound_ratings: bool = True) -> list:
+        """Unbounded ranking scores (higher = preferred); cold-start
+        pairs fall back to 0 with ``predictions_possible`` False."""
+        if X.shape[0] == 0:
+            return []
+        u, i = self._preprocess_predict(X)
+        preds, possible = self._predict_arrays(u, i, bound_ratings)
+        self.predictions_possible = possible.tolist()
+        return preds.tolist()
+
+    def _predict_dense(self, u, i, bound_ratings):
+        return self._predict_arrays(
+            np.asarray(u, np.int32), np.asarray(i, np.int32), bound_ratings
+        )
+
+    def update_users(self, X: pd.DataFrame, y: pd.Series = None,
+                     lr: float = None, n_epochs: int = None,
+                     verbose: int = 0):
+        """Re-train the named users' rows (fresh random init, reference
+        re-initialize-then-refit semantics) with the item side frozen."""
+        if y is None:
+            y = pd.Series(np.ones(len(X), np.float32))
+        u, i, r, known_users, _new = self._preprocess_update(X, y)
+        keep = r > 0
+        u, i = u[keep], i[keep]
+        if len(u) == 0:
+            return self
+        cfg = self._cfg()
+        cap = self._params.user_features.shape[0]
+        if self.n_users > cap:
+            grown = sgd.round_up(self.n_users, 1024)
+            fresh = sgd.fresh_user_rows(
+                jax.random.PRNGKey(self.seed + 1), grown - cap, cfg, 0.0,
+                self.init_sd,
+            )
+            self._params = self._params._replace(
+                user_features=jnp.concatenate(
+                    [self._params.user_features, fresh])
+            )
+        if known_users:
+            idx = jnp.asarray(
+                self.user_vocab.encode(np.asarray(known_users, dtype=object)))
+            fresh = sgd.fresh_user_rows(
+                jax.random.PRNGKey(self.seed + 2), len(known_users), cfg,
+                0.0, self.init_sd,
+            )
+            self._params = self._params._replace(
+                user_features=self._params.user_features.at[idx].set(fresh)
+            )
+        up, ip, wp, bs = bpr_ops.pack_positives(u, i, self.batch_size)
+        fn = bpr_ops.jit_bpr_train(
+            cfg, n_epochs or self.n_epochs, lr or self.lr, self.n_items,
+            bs, len(u), update_item_params=False,
+        )
+        params, hist = fn(self._params, jnp.asarray(up), jnp.asarray(ip),
+                          jnp.asarray(wp),
+                          jax.random.fold_in(jax.random.PRNGKey(self.seed), 2))
+        self._params = params
+        self._serving_cache = None
+        if verbose:
+            for e, v in enumerate(np.asarray(hist).tolist()):
+                print(f"Epoch {e + 1} BPR loss: {v:.4f}")
+        return self
+
+    # -- serving --------------------------------------------------------------
+    def _serving_params(self) -> sgd.MFParams:
+        if self.serving_dtype == "float32":
+            return self._params
+        c = self._serving_cache
+        if c is None or c[0] is not self._params:
+            p = self._params
+            bf = p._replace(
+                user_features=p.user_features.astype(jnp.bfloat16),
+                item_features=p.item_features.astype(jnp.bfloat16),
+            )
+            self._serving_cache = c = (p, bf)
+        return c[1]
+
+    def _catalog_topk(self, u_dense: np.ndarray, k: int):
+        from matrix_factorization_tpu.ops.scoring import catalog_topk
+
+        return catalog_topk(self._cfg(), self._serving_params(),
+                            self.n_items, u_dense, k)
+
+    def auc(self, X: pd.DataFrame, n_neg: int = 20, seed: int = 0) -> float:
+        """Sampled pairwise AUC on held-out positives (the BPR metric).
+        Negative draws reject the training positives AND the evaluated
+        pairs, so the score is not capped by positive-positive ties."""
+        self._require_fitted()
+        u = self.user_vocab.encode(X["user_id"].to_numpy())
+        i = self.item_vocab.encode(X["item_id"].to_numpy())
+        keep = (u >= 0) & (i >= 0)
+        if not keep.any():
+            raise ValueError("no known (user, item) pairs to score")
+        tu, ti = self._train_pairs
+        observed = (np.concatenate([tu, u[keep]]),
+                    np.concatenate([ti, i[keep]]))
+        return bpr_ops.auc_sampled(self._params, u[keep], i[keep],
+                                   self.n_items, self._cfg(), seed=seed,
+                                   n_neg=n_neg, observed=observed)
+
+    # -- parameter views ------------------------------------------------------
+    @property
+    def user_features(self) -> np.ndarray:
+        return np.asarray(
+            self._params.user_features[: self.n_users, : self.n_factors])
+
+    @property
+    def item_features(self) -> np.ndarray:
+        return np.asarray(
+            self._params.item_features[: self.n_items, : self.n_factors])
+
+    @property
+    def item_biases(self) -> np.ndarray:
+        col = sgd.bias_col(self._cfg(), "item")
+        return np.asarray(self._params.item_features[: self.n_items, col])

@@ -15,6 +15,7 @@ import pickle
 import pandas as pd
 
 from matrix_factorization_tpu import (
+    BPR,
     BaselineModel,
     ContentBasedRecommender,
     ImplicitALS,
@@ -42,6 +43,9 @@ def build_model(name: str, args) -> object:
     if name == "implicit":
         return ImplicitALS(n_factors=args.factors, n_epochs=args.epochs,
                            reg=args.reg, alpha=args.alpha)
+    if name == "bpr":
+        return BPR(n_factors=args.factors, n_epochs=args.epochs,
+                   lr=args.lr, reg=args.reg, batch_size=args.batch_size)
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -57,7 +61,7 @@ def main() -> None:
     add_paths_arg(p)
     p.add_argument("--model", default="kernel_mf",
                    choices=["baseline", "kernel_mf", "item_cf", "user_cf",
-                            "content_based", "implicit"])
+                            "content_based", "implicit", "bpr"])
     p.add_argument("--kernel", default="linear")
     p.add_argument("--method", default="als")
     p.add_argument("--factors", type=int, default=100)

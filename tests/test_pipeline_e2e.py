@@ -105,6 +105,14 @@ def test_full_pipeline(workdir, capsys):
     assert isinstance(model, ImplicitALS)
     assert model.train_loss[-1] < model.train_loss[0]
 
+    # BPR trainer: positives are the rating>0 rows
+    run_cli(train_cli, ["--root", root, "--model", "bpr",
+                        "--factors", "8", "--epochs", "5", "--lr", "0.05"])
+    model = _pkl.loads((workdir / "artifacts" / "model.pkl").read_bytes())
+    from matrix_factorization_tpu import BPR
+    assert isinstance(model, BPR)
+    assert model.train_loss[-1] < model.train_loss[0]
+
     run_cli(evaluate_llm, ["--root", root, "--query", "chicken rice dinner",
                            "--must-include", "chicken", "--avoid", "peanut"])
     report = json.loads((workdir / "artifacts" / "llm_eval_report.json").read_text())
