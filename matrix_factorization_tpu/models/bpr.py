@@ -40,12 +40,22 @@ class BPR(RecommenderBase):
         init_sd: float = 0.1,
         verbose: int = 0,
         seed: int = 0,
+        mesh=None,
+        overlap_psum: bool = False,
         serving_dtype: str = "float32",
     ):
         """``serving_dtype``: 'float32' or 'bfloat16' — the same
-        bf16-resident catalog-serving option as ``KernelMF``."""
+        bf16-resident catalog-serving option as ``KernelMF``.
+
+        ``mesh``: optional ``jax.sharding.Mesh``; with >1 device on the
+        data axes, ``fit`` trains data-parallel (user-sharded P, psum'd
+        item deltas — ``ops/bpr.py::dp_bpr_train``) and gathers the
+        result for serving.  ``overlap_psum`` defers the per-step item
+        all-reduce one step, same knob as ``KernelMF``."""
         if serving_dtype not in ("float32", "bfloat16"):
             raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
+        if overlap_psum and mesh is None:
+            raise ValueError("overlap_psum=True requires a mesh")
         # ranking scores are unbounded; +-inf makes every clamp a no-op
         super().__init__(min_rating=float("-inf"), max_rating=float("inf"),
                          verbose=verbose)
@@ -56,6 +66,8 @@ class BPR(RecommenderBase):
         self.batch_size = batch_size
         self.init_sd = init_sd
         self.seed = seed
+        self.mesh = mesh
+        self.overlap_psum = overlap_psum
         self.serving_dtype = serving_dtype
         self._params: Optional[sgd.MFParams] = None
         self._serving_cache = None
@@ -85,17 +97,60 @@ class BPR(RecommenderBase):
         if len(u) == 0:
             raise ValueError("BPR needs at least one positive interaction")
         cfg = self._cfg()
-        params = sgd.init_params(
-            jax.random.PRNGKey(self.seed), self.n_users, self.n_items, cfg,
-            global_mean=0.0, init_sd=self.init_sd,
-        )
         self._train_pairs = (u.copy(), i.copy())  # for AUC negative rejection
-        up, ip, wp, bs = bpr_ops.pack_positives(u, i, self.batch_size)
-        fn = bpr_ops.jit_bpr_train(cfg, self.n_epochs, self.lr,
-                                   self.n_items, bs, len(u))
-        params, hist = fn(params, jnp.asarray(up), jnp.asarray(ip),
-                          jnp.asarray(wp),
-                          jax.random.fold_in(jax.random.PRNGKey(self.seed), 1))
+        k_fit = jax.random.fold_in(jax.random.PRNGKey(self.seed), 1)
+        mesh_data = 1
+        if self.mesh is not None:
+            from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+            for a in data_axes_of(self.mesh):
+                mesh_data *= self.mesh.shape[a]
+        if mesh_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from matrix_factorization_tpu.parallel import distributed as dist
+            from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+            ucap = sgd.round_up(self.n_users, 8 * mesh_data)
+            params = sgd.init_params(
+                jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
+                cfg, global_mean=0.0, init_sd=self.init_sd,
+                user_capacity=ucap,
+            )
+            params = dist.place_params(params, self.mesh)
+            su, si, _, sw, _ = dist.shard_ratings_by_user(
+                u.astype(np.int32), i.astype(np.int32),
+                np.ones(len(u), np.float32), ucap, mesh_data,
+                min(self.batch_size, max(1, len(u))),
+            )
+            shard = NamedSharding(self.mesh, P(data_axes_of(self.mesh)))
+            bs = min(self.batch_size, max(1, len(u)))
+            train = jax.jit(
+                lambda p, uu, ii, ww, k: bpr_ops.dp_bpr_train(
+                    p, uu, ii, ww, k, cfg, self.n_epochs, self.lr,
+                    self.n_items, bs, len(u), self.mesh,
+                    overlap_psum=self.overlap_psum,
+                )
+            )
+            params, hist = train(
+                params, jax.device_put(su, shard), jax.device_put(si, shard),
+                jax.device_put(sw, shard), k_fit,
+            )
+            # gather for the single-device serving paths
+            params = sgd.MFParams(
+                user_features=jnp.asarray(np.asarray(params.user_features)),
+                item_features=jnp.asarray(np.asarray(params.item_features)),
+                global_mean=jnp.asarray(np.asarray(params.global_mean)),
+            )
+        else:
+            params = sgd.init_params(
+                jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
+                cfg, global_mean=0.0, init_sd=self.init_sd,
+            )
+            up, ip, wp, bs = bpr_ops.pack_positives(u, i, self.batch_size)
+            fn = bpr_ops.jit_bpr_train(cfg, self.n_epochs, self.lr,
+                                       self.n_items, bs, len(u))
+            params, hist = fn(params, jnp.asarray(up), jnp.asarray(ip),
+                              jnp.asarray(wp), k_fit)
         self._params = params
         self.global_mean = 0.0
         self.train_loss = np.asarray(hist).tolist()

@@ -79,10 +79,11 @@ def _bpr_step(carry, batch, cfg: SGDConfig, lr: float,
         imask = jnp.asarray(sgd.update_mask(cfg, "item"))
         gQi = (s[:, None] * pu - reg_w * qi) * imask[None, :]
         gQj = (-s[:, None] * pu - reg_w * qj) * imask[None, :]
-        dQ = jnp.zeros_like(Q)
-        dQ = dQ.at[i].add(gQi, mode="promise_in_bounds")
-        dQ = dQ.at[j].add(gQj, mode="promise_in_bounds")
-        Q = Q + lr * dQ
+        # direct scatter-adds: no (n_items, kp) delta table materialized
+        # per step (the dp variant needs the delta table for its psum;
+        # single-device does not)
+        Q = Q.at[i].add(lr * gQi, mode="promise_in_bounds")
+        Q = Q.at[j].add(lr * gQj, mode="promise_in_bounds")
     return (P, Q, loss_acc), None
 
 
@@ -144,6 +145,119 @@ def jit_bpr_train(cfg: SGDConfig, n_epochs: int, lr: float, n_items: int,
         )
         _train_cache[key] = fn
     return fn
+
+
+def _dp_bpr_step(carry, batch, cfg: SGDConfig, lr: float, data_axes,
+                 overlap: bool):
+    """One synchronous (or one-step-deferred) data-parallel BPR step:
+    the local P shard updates in place, item deltas are ``psum``'d —
+    the same layout contract as ``parallel.distributed`` (P row-sharded
+    over the data axes with LOCAL user ids, Q replicated)."""
+    P_l, Q, dQ_pend, loss_acc = carry
+    u, i, j, w = batch
+    if overlap:
+        Q_next = Q + jax.lax.psum(dQ_pend, data_axes)
+    pu = P_l.at[u].get(mode="promise_in_bounds")
+    qi = Q.at[i].get(mode="promise_in_bounds")
+    qj = Q.at[j].get(mode="promise_in_bounds")
+    x = jnp.einsum("nk,nk->n", pu, qi - qj)
+    s = jax.nn.sigmoid(-x) * w
+    loss_acc = loss_acc + jnp.sum(jax.nn.softplus(-x) * w)
+
+    umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+    reg_w = (cfg.reg * w)[:, None]
+    gP = (s[:, None] * (qi - qj) - reg_w * pu) * umask[None, :]
+    P_l = P_l.at[u].add(lr * gP, mode="promise_in_bounds")
+    imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+    gQi = (s[:, None] * pu - reg_w * qi) * imask[None, :]
+    gQj = (-s[:, None] * pu - reg_w * qj) * imask[None, :]
+    dQ = jnp.zeros_like(Q)
+    dQ = dQ.at[i].add(lr * gQi, mode="promise_in_bounds")
+    dQ = dQ.at[j].add(lr * gQj, mode="promise_in_bounds")
+    if overlap:
+        return (P_l, Q_next, dQ, loss_acc), None
+    Q = Q + jax.lax.psum(dQ, data_axes)
+    return (P_l, Q, dQ_pend, loss_acc), None
+
+
+def dp_bpr_train(
+    params: sgd.MFParams,
+    u_all: jax.Array,  # device-major LOCAL user ids (shard_ratings_by_user)
+    i_all: jax.Array,
+    w_all: jax.Array,
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr: float,
+    n_items: int,
+    batch_size: int,
+    n_real: int,
+    mesh,
+    overlap_psum: bool = False,
+) -> Tuple[sgd.MFParams, jax.Array]:
+    """Data-parallel BPR under ``shard_map``: P row-sharded over the
+    mesh's data axes (ratings pre-sharded by user range, so every P
+    update is local), Q replicated with ``psum``'d per-step deltas —
+    replicas stay bit-identical.  Negatives and the epoch permutation
+    are drawn per device from the epoch key folded with the device
+    index, so the global epoch is deterministic.  ``overlap_psum``
+    defers the item-delta all-reduce one step (flushed per epoch), the
+    same knob as the explicit dp trainer.
+    """
+    from jax.sharding import PartitionSpec as P
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+    data_axes = data_axes_of(mesh)
+    n_dev = 1
+    for a in data_axes:
+        n_dev *= mesh.shape[a]
+    n_pad_local = u_all.shape[0] // n_dev
+    nb = n_pad_local // batch_size
+
+    def local_train(P_l, Q, u_l, i_l, w_l, keys):
+        dev = jnp.int32(0)
+        for a in data_axes:
+            dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
+
+        def epoch(carry, k):
+            P_l, Q = carry
+            k = jax.random.fold_in(k, dev)
+            kp, kn = jax.random.split(k)
+            perm = jax.random.permutation(kp, n_pad_local)
+            j_l = jax.random.randint(kn, (n_pad_local,), 0, n_items,
+                                     jnp.int32)
+            xs = (
+                u_l[perm].reshape(nb, batch_size),
+                i_l[perm].reshape(nb, batch_size),
+                j_l.reshape(nb, batch_size),
+                w_l[perm].reshape(nb, batch_size),
+            )
+            dq0 = jax.lax.pcast(jnp.zeros_like(Q), data_axes, to="varying")
+            loss0 = jax.lax.pcast(jnp.float32(0.0), data_axes, to="varying")
+            (P_l, Q, dq, loss), _ = jax.lax.scan(
+                lambda c, b: _dp_bpr_step(c, b, cfg, lr, data_axes,
+                                          overlap_psum),
+                (P_l, Q, dq0, loss0), xs,
+            )
+            if overlap_psum:
+                Q = Q + jax.lax.psum(dq, data_axes)
+            loss = jax.lax.psum(loss, data_axes) / max(n_real, 1)
+            return (P_l, Q), loss
+
+        (P_l, Q), hist = jax.lax.scan(epoch, (P_l, Q), keys)
+        return P_l, Q, hist
+
+    shard = P(data_axes)
+    rep = P()
+    fn = jax.shard_map(
+        local_train, mesh=mesh,
+        in_specs=(shard, rep, shard, shard, shard, rep),
+        out_specs=(shard, rep, rep),
+    )
+    keys = jax.random.split(key, n_epochs)
+    P_new, Q_new, hist = fn(params.user_features, params.item_features,
+                            u_all, i_all, w_all, keys)
+    return params._replace(user_features=P_new, item_features=Q_new), hist
 
 
 def pack_positives(u: np.ndarray, i: np.ndarray, batch_size: int

@@ -139,6 +139,42 @@ def test_bpr_update_users_freezes_items():
     np.testing.assert_array_equal(m.item_features, Q2)
 
 
+def test_dp_bpr_mesh_training():
+    """Data-parallel BPR on the 8-device mesh: learns the ranking, is
+    deterministic, and the overlap_psum variant is bit-identical to the
+    synchronous schedule when each epoch is one batch per device."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X = _blocky_interactions()
+    mesh = make_mesh(n_data=8)
+    m = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=128,
+            seed=3, mesh=mesh)
+    m.fit(X)
+    assert m.train_loss[-1] < m.train_loss[0]
+    assert m.auc(X, n_neg=30, seed=0) > 0.85
+
+    m2 = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=128,
+             seed=3, mesh=mesh).fit(X)
+    np.testing.assert_array_equal(m.item_features, m2.item_features)
+
+    # overlap knob: converges, and with one batch per device per epoch
+    # the deferred psum flushes before anything reads it -> bit-equal
+    m3 = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=128,
+             seed=3, mesh=mesh, overlap_psum=True).fit(X)
+    assert m3.auc(X, n_neg=30, seed=0) > 0.85
+
+    big_bs = 4096  # every per-device epoch is a single padded batch
+    a = BPR(n_factors=8, n_epochs=5, lr=0.1, batch_size=big_bs, seed=1,
+            mesh=mesh).fit(X)
+    b = BPR(n_factors=8, n_epochs=5, lr=0.1, batch_size=big_bs, seed=1,
+            mesh=mesh, overlap_psum=True).fit(X)
+    np.testing.assert_array_equal(a.item_features, b.item_features)
+    np.testing.assert_array_equal(a.user_features, b.user_features)
+
+    with pytest.raises(ValueError, match="overlap_psum"):
+        BPR(overlap_psum=True)
+
+
 def test_bpr_validation():
     with pytest.raises(ValueError):
         BPR(serving_dtype="float16")
