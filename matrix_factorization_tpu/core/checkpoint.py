@@ -38,6 +38,41 @@ def _model_arrays(model) -> Dict[str, np.ndarray]:
     }
 
 
+def _aux_arrays(model) -> Dict[str, np.ndarray]:
+    """Model state outside the params tuple, keyed with an ``aux_``
+    prefix so it never collides with a params field.  Today: BPR's
+    ``_train_pairs`` (the positives its sampled-AUC eval rejects as
+    negatives)."""
+    aux: Dict[str, np.ndarray] = {}
+    tp = getattr(model, "_train_pairs", None)
+    if tp is not None:
+        aux["aux_train_pairs_u"] = np.asarray(tp[0])
+        aux["aux_train_pairs_i"] = np.asarray(tp[1])
+    return aux
+
+
+def _restore_aux(model, arrays) -> None:
+    if "aux_train_pairs_u" in arrays:
+        model._train_pairs = (
+            np.asarray(arrays["aux_train_pairs_u"]),
+            np.asarray(arrays["aux_train_pairs_i"]),
+        )
+
+
+def _model_classes() -> dict:
+    from matrix_factorization_tpu.models.baseline import BaselineModel
+    from matrix_factorization_tpu.models.bpr import BPR
+    from matrix_factorization_tpu.models.implicit import ImplicitALS
+    from matrix_factorization_tpu.models.kernel_mf import KernelMF
+
+    return {
+        "KernelMF": KernelMF,
+        "BaselineModel": BaselineModel,
+        "BPR": BPR,
+        "ImplicitALS": ImplicitALS,
+    }
+
+
 def save_model(model, path: Path) -> None:
     """Checkpoint a fitted model to a directory (atomic)."""
     path = Path(path)
@@ -47,7 +82,7 @@ def save_model(model, path: Path) -> None:
     tmp = Path(tempfile.mkdtemp(dir=path.parent))
     try:
         arrays = _model_arrays(model)
-        np.savez(tmp / "arrays.npz", **arrays)
+        np.savez(tmp / "arrays.npz", **arrays, **_aux_arrays(model))
         config = dict(model.get_params()) if hasattr(model, "get_params") else {}
         # device meshes are runtime objects, not state: drop from the
         # pickle (a restored model re-attaches a mesh explicitly if needed)
@@ -61,6 +96,7 @@ def save_model(model, path: Path) -> None:
             "user_raw_ids": model.user_vocab.raw_ids,
             "item_raw_ids": model.item_vocab.raw_ids,
             "train_rmse": list(getattr(model, "train_rmse", [])),
+            "train_loss": list(getattr(model, "train_loss", [])),
             "global_mean": float(getattr(model, "global_mean", 0.0)),
             "epochs_done": int(getattr(model, "_epochs_done", 0)),
         }
@@ -83,33 +119,32 @@ def save_model(model, path: Path) -> None:
 def load_model(path: Path):
     """Restore a model from a checkpoint directory."""
     from matrix_factorization_tpu.core.ids import IdVocab
-    from matrix_factorization_tpu.models.baseline import BaselineModel
-    from matrix_factorization_tpu.models.kernel_mf import KernelMF
     from matrix_factorization_tpu.ops.als import BiasParams
     from matrix_factorization_tpu.ops.segment_sgd import MFParams
 
     path = Path(path)
     with (path / "meta.pkl").open("rb") as f:
         meta = pickle.load(f)
-    classes = {"KernelMF": KernelMF, "BaselineModel": BaselineModel}
-    cls = classes.get(meta["model_class"])
+    cls = _model_classes().get(meta["model_class"])
     if cls is None:
         raise ValueError(f"unknown model class {meta['model_class']!r}")
     model = cls(**meta["config"])
     model.user_vocab = IdVocab(meta["user_raw_ids"])
     model.item_vocab = IdVocab(meta["item_raw_ids"])
     model.train_rmse = meta["train_rmse"]
+    model.train_loss = list(meta.get("train_loss", []))
     model.global_mean = meta["global_mean"]
     model._epochs_done = meta["epochs_done"]
 
     npz = np.load(path / "arrays.npz")
-    if len(npz.files):
+    if meta["params_class"]:
         params_cls = {"MFParams": MFParams, "BiasParams": BiasParams}[
             meta["params_class"]
         ]
         model._params = params_cls(
             **{name: jnp.asarray(npz[name]) for name in params_cls._fields}
         )
+    _restore_aux(model, npz)
     return model
 
 
@@ -123,7 +158,8 @@ def save_model_orbax(model, path: Path) -> None:
     path.mkdir(parents=True, exist_ok=True)
     arrays = _model_arrays(model)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path / "arrays_orbax", dict(arrays), force=True)
+    ckptr.save(path / "arrays_orbax", {**arrays, **_aux_arrays(model)},
+               force=True)
     ckptr.wait_until_finished()
     config = dict(model.get_params()) if hasattr(model, "get_params") else {}
     if "mesh" in config:
@@ -136,6 +172,7 @@ def save_model_orbax(model, path: Path) -> None:
         "user_raw_ids": model.user_vocab.raw_ids,
         "item_raw_ids": model.item_vocab.raw_ids,
         "train_rmse": list(getattr(model, "train_rmse", [])),
+        "train_loss": list(getattr(model, "train_loss", [])),
         "global_mean": float(getattr(model, "global_mean", 0.0)),
         "epochs_done": int(getattr(model, "_epochs_done", 0)),
     }
@@ -147,19 +184,17 @@ def load_model_orbax(path: Path):
     import orbax.checkpoint as ocp
 
     from matrix_factorization_tpu.core.ids import IdVocab
-    from matrix_factorization_tpu.models.baseline import BaselineModel
-    from matrix_factorization_tpu.models.kernel_mf import KernelMF
     from matrix_factorization_tpu.ops.als import BiasParams
     from matrix_factorization_tpu.ops.segment_sgd import MFParams
 
     path = Path(path).resolve()
     with (path / "meta.pkl").open("rb") as f:
         meta = pickle.load(f)
-    classes = {"KernelMF": KernelMF, "BaselineModel": BaselineModel}
-    model = classes[meta["model_class"]](**meta["config"])
+    model = _model_classes()[meta["model_class"]](**meta["config"])
     model.user_vocab = IdVocab(meta["user_raw_ids"])
     model.item_vocab = IdVocab(meta["item_raw_ids"])
     model.train_rmse = meta["train_rmse"]
+    model.train_loss = list(meta.get("train_loss", []))
     model.global_mean = meta["global_mean"]
     model._epochs_done = meta["epochs_done"]
     if meta["params_class"]:
@@ -169,8 +204,10 @@ def load_model_orbax(path: Path):
             meta["params_class"]
         ]
         model._params = params_cls(
-            **{k: jnp.asarray(v) for k, v in tree.items()}
+            **{k: jnp.asarray(v) for k, v in tree.items()
+               if k in params_cls._fields}
         )
+        _restore_aux(model, tree)
     return model
 
 
@@ -184,7 +221,9 @@ def fit_resumable(
 ):
     """Train in checkpointed segments; resumes from ``ckpt_dir`` if present.
 
-    The model must support ``warm_start`` fitting (KernelMF/BaselineModel).
+    The model must support ``warm_start`` fitting
+    (KernelMF/BaselineModel/BPR; ``y=None`` passes through for
+    implicit-interaction models).
     """
     ckpt_dir = Path(ckpt_dir)
     total = total_epochs or model.n_epochs

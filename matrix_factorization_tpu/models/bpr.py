@@ -86,26 +86,49 @@ class BPR(RecommenderBase):
         )
 
     # -- lifecycle ----------------------------------------------------------
-    def fit(self, X: pd.DataFrame, y: pd.Series = None):
+    def fit(self, X: pd.DataFrame, y: pd.Series = None,
+            n_epochs: int = None, warm_start: bool = False):
         """Train on the interaction table.  ``y`` (optional interaction
-        strengths) only gates which rows count as positives (> 0)."""
+        strengths) only gates which rows count as positives (> 0).
+
+        ``warm_start=True`` continues from the current parameters (same
+        id space, strict encode) instead of re-initializing — the
+        building block of ``core.checkpoint.fit_resumable``.  Each
+        segment draws fresh negative/permutation randomness (the epoch
+        key is folded with the epochs completed so far); warm
+        continuations train on the single-device path even when a mesh
+        is attached, mirroring ``KernelMF``."""
         if y is None:
             y = pd.Series(np.ones(len(X), np.float32))
-        u, i, r = self._preprocess_fit(X, y)
+        if warm_start and self._params is not None:
+            from matrix_factorization_tpu.core.ids import check_no_duplicates
+
+            users = X["user_id"].to_numpy()
+            items = X["item_id"].to_numpy()
+            check_no_duplicates(users, items)
+            u = self.user_vocab.encode(users, strict=True)
+            i = self.item_vocab.encode(items, strict=True)
+            r = np.asarray(y, dtype=np.float32)
+        else:
+            warm_start = False
+            u, i, r = self._preprocess_fit(X, y)
+            self.train_loss = []
         keep = r > 0
         u, i = u[keep], i[keep]
         if len(u) == 0:
             raise ValueError("BPR needs at least one positive interaction")
         cfg = self._cfg()
+        n_epochs = n_epochs or self.n_epochs
         self._train_pairs = (u.copy(), i.copy())  # for AUC negative rejection
-        k_fit = jax.random.fold_in(jax.random.PRNGKey(self.seed), 1)
+        k_fit = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                   1 + len(self.train_loss))
         mesh_data = 1
         if self.mesh is not None:
             from matrix_factorization_tpu.parallel.mesh import data_axes_of
 
             for a in data_axes_of(self.mesh):
                 mesh_data *= self.mesh.shape[a]
-        if mesh_data > 1:
+        if mesh_data > 1 and not warm_start:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from matrix_factorization_tpu.parallel import distributed as dist
             from matrix_factorization_tpu.parallel.mesh import data_axes_of
@@ -126,7 +149,7 @@ class BPR(RecommenderBase):
             bs = min(self.batch_size, max(1, len(u)))
             train = jax.jit(
                 lambda p, uu, ii, ww, k: bpr_ops.dp_bpr_train(
-                    p, uu, ii, ww, k, cfg, self.n_epochs, self.lr,
+                    p, uu, ii, ww, k, cfg, n_epochs, self.lr,
                     self.n_items, bs, len(u), self.mesh,
                     overlap_psum=self.overlap_psum,
                 )
@@ -142,20 +165,25 @@ class BPR(RecommenderBase):
                 global_mean=jnp.asarray(np.asarray(params.global_mean)),
             )
         else:
-            params = sgd.init_params(
-                jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
-                cfg, global_mean=0.0, init_sd=self.init_sd,
-            )
+            if warm_start:
+                params = self._params
+            else:
+                params = sgd.init_params(
+                    jax.random.PRNGKey(self.seed), self.n_users,
+                    self.n_items, cfg, global_mean=0.0,
+                    init_sd=self.init_sd,
+                )
             up, ip, wp, bs = bpr_ops.pack_positives(u, i, self.batch_size)
-            fn = bpr_ops.jit_bpr_train(cfg, self.n_epochs, self.lr,
+            fn = bpr_ops.jit_bpr_train(cfg, n_epochs, self.lr,
                                        self.n_items, bs, len(u))
             params, hist = fn(params, jnp.asarray(up), jnp.asarray(ip),
                               jnp.asarray(wp), k_fit)
         self._params = params
         self.global_mean = 0.0
-        self.train_loss = np.asarray(hist).tolist()
+        done = len(self.train_loss)
+        self.train_loss = self.train_loss + np.asarray(hist).tolist()
         if self.verbose:
-            for e, v in enumerate(self.train_loss):
+            for e, v in enumerate(self.train_loss[done:], start=done):
                 print(f"Epoch {e + 1} BPR loss: {v:.4f}")
         return self
 

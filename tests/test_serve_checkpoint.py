@@ -212,6 +212,87 @@ def test_fit_resumable_resumes(tmp_path):
     assert m3.train_rmse[-1] <= m3.train_rmse[0]
 
 
+def _implicit_interactions(seed=0, n_users=40, n_items=48, n=700):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, n)
+    grp = u % 4
+    i = rng.integers(0, n_items // 4, n) + grp * (n_items // 4)
+    return pd.DataFrame({"user_id": u, "item_id": i}).drop_duplicates()
+
+
+def test_checkpoint_roundtrip_bpr(tmp_path):
+    from matrix_factorization_tpu.models import BPR
+
+    X = _implicit_interactions()
+    m = BPR(n_factors=8, n_epochs=15, lr=0.1, reg=0.002, batch_size=256,
+            seed=2).fit(X)
+    save_model(m, tmp_path / "bpr")
+    m2 = load_model(tmp_path / "bpr")
+    np.testing.assert_array_equal(m2.user_features, m.user_features)
+    np.testing.assert_array_equal(m2.item_features, m.item_features)
+    assert m2.train_loss == m.train_loss
+    # auc needs the restored _train_pairs for negative rejection
+    assert abs(m2.auc(X, n_neg=10, seed=0) - m.auc(X, n_neg=10, seed=0)) < 1e-9
+    uid = int(X.user_id.iloc[0])
+    pd.testing.assert_frame_equal(m2.recommend(user=uid, amount=5),
+                                  m.recommend(user=uid, amount=5))
+
+
+def test_checkpoint_roundtrip_implicit_als(tmp_path):
+    from matrix_factorization_tpu.models import ImplicitALS
+
+    X = _implicit_interactions(seed=3)
+    y = pd.Series(np.random.default_rng(3).uniform(1, 20, len(X)))
+    m = ImplicitALS(n_factors=8, n_epochs=4, seed=1).fit(X, y)
+    save_model(m, tmp_path / "ials")
+    m2 = load_model(tmp_path / "ials")
+    np.testing.assert_allclose(m2.predict(X.iloc[:30]), m.predict(X.iloc[:30]),
+                               atol=1e-6)
+    assert m2.train_loss == m.train_loss
+
+
+def test_fit_resumable_bpr(tmp_path):
+    from matrix_factorization_tpu.models import BPR
+
+    X = _implicit_interactions(seed=4)
+    ckpt = tmp_path / "bpr_resume"
+    m = BPR(n_factors=8, n_epochs=6, lr=0.1, reg=0.002, batch_size=256,
+            seed=5)
+    m = fit_resumable(m, X, None, ckpt, total_epochs=6, segment_epochs=2)
+    assert m._epochs_done == 6
+    assert len(m.train_loss) == 6
+    assert m.train_loss[-1] < m.train_loss[0]
+
+    # roll back to the 2-epoch checkpoint and resume: epochs 3-6 retrain
+    m2 = BPR(n_factors=8, n_epochs=6, lr=0.1, reg=0.002, batch_size=256,
+             seed=5).fit(X, n_epochs=2)
+    m2._epochs_done = 2
+    save_model(m2, ckpt)
+    m3 = fit_resumable(
+        BPR(n_factors=8, n_epochs=6, lr=0.1, reg=0.002, batch_size=256,
+            seed=5), X, None, ckpt, total_epochs=6, segment_epochs=2)
+    assert m3._epochs_done == 6
+    assert len(m3.train_loss) == 6
+
+
+def test_bpr_warm_start_continues(tmp_path):
+    from matrix_factorization_tpu.models import BPR
+
+    X = _implicit_interactions(seed=6)
+    m = BPR(n_factors=8, n_epochs=4, lr=0.1, batch_size=256, seed=7).fit(X)
+    P1 = m.user_features.copy()
+    m.fit(X, n_epochs=3, warm_start=True)
+    assert len(m.train_loss) == 7
+    assert not np.array_equal(m.user_features, P1)  # actually trained on
+    # unknown ids under warm_start are a strict-encode error
+    bad = pd.DataFrame({"user_id": [999999], "item_id": [0]})
+    with pytest.raises(Exception):
+        m.fit(bad, warm_start=True)
+    # fresh fit resets the loss history
+    m.fit(X)
+    assert len(m.train_loss) == 4
+
+
 def test_service_degrades_on_corrupt_model(tmp_path):
     """Failure handling: a corrupt model.pkl degrades to retrieval-only
     (reference api.py soft-fallback policy)."""
@@ -313,3 +394,13 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(m2.predict(X.iloc[:15]), m.predict(X.iloc[:15]),
                                atol=1e-6)
     assert m2.known_items == m.known_items
+
+    # BPR through orbax: params + aux train pairs round-trip
+    from matrix_factorization_tpu.models import BPR
+
+    Xi = _implicit_interactions(seed=9)
+    b = BPR(n_factors=8, n_epochs=8, lr=0.1, batch_size=256, seed=3).fit(Xi)
+    save_model_orbax(b, tmp_path / "ock_bpr")
+    b2 = load_model_orbax(tmp_path / "ock_bpr")
+    np.testing.assert_array_equal(b2.item_features, b.item_features)
+    assert abs(b2.auc(Xi, n_neg=10, seed=0) - b.auc(Xi, n_neg=10, seed=0)) < 1e-9
