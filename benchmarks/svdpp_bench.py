@@ -1,0 +1,85 @@
+"""SVD++ training throughput on the real chip.
+
+Extension bench (no reference counterpart): positives, neighbor weights
+and item degrees are generated/derived ON DEVICE so the shared tunnel
+never enters the measurement; first call pays the compile; the timed
+window is ``--epochs`` full epochs ending in a scalar fetch (the
+completion barrier on the remote-dispatch backend — same protocol as
+bench.py).  One JSON line per (k, batch_size):
+
+    python benchmarks/svdpp_bench.py --n 25000000 --factors 64 --bs 1048576
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops import segment_sgd as sgd
+from matrix_factorization_tpu.ops import svdpp as svdpp_ops
+
+
+def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
+              epochs: int, seed: int = 0) -> dict:
+    cfg = SGDConfig(kernel="linear", n_factors=k, lr=0.005, reg=0.02,
+                    min_rating=0.5, max_rating=5.0)
+    n_pad = sgd.round_up(n, bs)
+    params = svdpp_ops.init_params(jax.random.PRNGKey(seed), n_users,
+                                   n_items, cfg, 3.5, init_sd=0.05)
+    ucap = params.user_features.shape[0]
+    icap = params.item_features.shape[0]
+
+    @jax.jit
+    def make_data(key):
+        ku, ki, kr = jax.random.split(key, 3)
+        u = jax.random.randint(ku, (n_pad,), 0, n_users, jnp.int32)
+        i = jax.random.randint(ki, (n_pad,), 0, n_items, jnp.int32)
+        r = 0.5 * jax.random.randint(kr, (n_pad,), 1, 11, jnp.int32
+                                     ).astype(jnp.float32)
+        w = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        cnt = jnp.zeros(ucap, jnp.float32).at[u].add(w)
+        wvec = jnp.where(cnt > 0, jax.lax.rsqrt(jnp.maximum(cnt, 1.0)), 0.0)
+        deg = jnp.zeros(icap, jnp.float32).at[i].add(w)
+        return u, i, r, w, wvec, deg
+
+    u, i, r, w, wvec, deg = make_data(jax.random.PRNGKey(seed + 1))
+    fn = svdpp_ops.jit_svdpp_train(cfg, epochs, cfg.lr, cfg.reg, bs, n, n_pad)
+    out, hist = fn(params, u, i, r, w, wvec, deg, jax.random.PRNGKey(1))
+    float(np.asarray(hist[-1]))  # compile + warm barrier
+    t0 = time.perf_counter()
+    out, hist = fn(params, u, i, r, w, wvec, deg, jax.random.PRNGKey(2))
+    got = float(np.asarray(hist[-1]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got)
+    return {
+        "metric": "svdpp_rating_updates_per_sec_per_chip",
+        "value": round(n * epochs / dt, 1),
+        "unit": "updates/s",
+        "n_ratings": n, "n_factors": k, "batch_size": bs,
+        "epochs_timed": epochs, "seconds": round(dt, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--users", type=int, default=162_000)   # ML-25M shape
+    p.add_argument("--items", type=int, default=59_392)
+    p.add_argument("--n", type=int, default=25_000_000)
+    p.add_argument("--factors", type=int, nargs="+", default=[64])
+    p.add_argument("--bs", type=int, nargs="+", default=[1 << 20])
+    p.add_argument("--epochs", type=int, default=5)
+    args = p.parse_args()
+    for k in args.factors:
+        for bs in args.bs:
+            print(json.dumps(run_combo(args.users, args.items, args.n, k,
+                                       bs, args.epochs)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

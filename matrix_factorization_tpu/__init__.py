@@ -31,6 +31,7 @@ from matrix_factorization_tpu.models.content_based import ContentBasedRecommende
 from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
 from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
+from matrix_factorization_tpu.models.svdpp import SVDpp
 from matrix_factorization_tpu.models.grid_search import grid_search_kernel_mf
 from matrix_factorization_tpu.utils.splits import train_update_test_split
 
@@ -48,5 +49,6 @@ __all__ = [
     "TopKUserUserCF",
     "BPR",
     "ImplicitALS",
+    "SVDpp",
     "grid_search_kernel_mf",
 ]

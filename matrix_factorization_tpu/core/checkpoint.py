@@ -64,12 +64,26 @@ def _model_classes() -> dict:
     from matrix_factorization_tpu.models.bpr import BPR
     from matrix_factorization_tpu.models.implicit import ImplicitALS
     from matrix_factorization_tpu.models.kernel_mf import KernelMF
+    from matrix_factorization_tpu.models.svdpp import SVDpp
 
     return {
         "KernelMF": KernelMF,
         "BaselineModel": BaselineModel,
         "BPR": BPR,
         "ImplicitALS": ImplicitALS,
+        "SVDpp": SVDpp,
+    }
+
+
+def _params_classes() -> dict:
+    from matrix_factorization_tpu.ops.als import BiasParams
+    from matrix_factorization_tpu.ops.segment_sgd import MFParams
+    from matrix_factorization_tpu.ops.svdpp import SVDppParams
+
+    return {
+        "MFParams": MFParams,
+        "BiasParams": BiasParams,
+        "SVDppParams": SVDppParams,
     }
 
 
@@ -119,8 +133,6 @@ def save_model(model, path: Path) -> None:
 def load_model(path: Path):
     """Restore a model from a checkpoint directory."""
     from matrix_factorization_tpu.core.ids import IdVocab
-    from matrix_factorization_tpu.ops.als import BiasParams
-    from matrix_factorization_tpu.ops.segment_sgd import MFParams
 
     path = Path(path)
     with (path / "meta.pkl").open("rb") as f:
@@ -138,9 +150,7 @@ def load_model(path: Path):
 
     npz = np.load(path / "arrays.npz")
     if meta["params_class"]:
-        params_cls = {"MFParams": MFParams, "BiasParams": BiasParams}[
-            meta["params_class"]
-        ]
+        params_cls = _params_classes()[meta["params_class"]]
         model._params = params_cls(
             **{name: jnp.asarray(npz[name]) for name in params_cls._fields}
         )
@@ -184,8 +194,6 @@ def load_model_orbax(path: Path):
     import orbax.checkpoint as ocp
 
     from matrix_factorization_tpu.core.ids import IdVocab
-    from matrix_factorization_tpu.ops.als import BiasParams
-    from matrix_factorization_tpu.ops.segment_sgd import MFParams
 
     path = Path(path).resolve()
     with (path / "meta.pkl").open("rb") as f:
@@ -200,9 +208,7 @@ def load_model_orbax(path: Path):
     if meta["params_class"]:
         ckptr = ocp.StandardCheckpointer()
         tree = ckptr.restore(path / "arrays_orbax")
-        params_cls = {"MFParams": MFParams, "BiasParams": BiasParams}[
-            meta["params_class"]
-        ]
+        params_cls = _params_classes()[meta["params_class"]]
         model._params = params_cls(
             **{k: jnp.asarray(v) for k, v in tree.items()
                if k in params_cls._fields}

@@ -1,4 +1,4 @@
-"""Model library: the five rating models on one lifecycle protocol."""
+"""Model library: the rating models on one lifecycle protocol."""
 
 from matrix_factorization_tpu.models.base import RecommenderBase
 from matrix_factorization_tpu.models.baseline import BaselineModel
@@ -8,6 +8,7 @@ from matrix_factorization_tpu.models.content_based import ContentBasedRecommende
 from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUserCF
 from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
+from matrix_factorization_tpu.models.svdpp import SVDpp
 
 __all__ = [
     "RecommenderBase",
@@ -20,4 +21,5 @@ __all__ = [
     "ContentBasedRecommender",
     "BPR",
     "ImplicitALS",
+    "SVDpp",
 ]

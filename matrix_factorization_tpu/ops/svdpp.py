@@ -1,0 +1,360 @@
+"""SVD++ (Koren, KDD 2008): matrix factorization with implicit-feedback
+factor terms — an extension beyond the reference's surface (the
+reference's richest model is plain KernelMF,
+``matrix_factorization/kernel_matrix_factorization.py``).
+
+Model:  r_hat(u,i) = mu + b_u + b_i + q_i . (p_u + |N(u)|^-1/2 * sum_{j in N(u)} y_j)
+
+where N(u) is the set of items user u interacted with.  The classic
+per-rating SGD updates every y_j in N(u) for every visited rating — an
+O(nnz * |N|) scalar-loop algorithm that maps terribly onto a batch
+accelerator.  The TPU design here restructures the *schedule*, not the
+objective:
+
+* the implicit sum ``s_u`` is computed once per epoch from the full
+  rating stream with ONE O(nnz) gather + segment scatter-add (the
+  "epoch-cached implicit factors"), and held fixed for the epoch's
+  forward passes;
+* ``p_u``, ``q_i`` and both biases update per mini-batch exactly as in
+  the summed-minibatch SGD the rest of the framework uses;
+* the y-gradient is algebraically regrouped: summed over a batch,
+  dL/dy_j = sum_{u: j in N(u)} |N(u)|^-1/2 * G_u  with
+  G_u = sum_{ratings (u,i) in batch} e_ui * q_i.  G_u is accumulated
+  per user during the epoch (one segment-sum per batch), and since
+  "j in N(u)" is exactly the observed-pair relation, the epoch-end
+  y update is ONE more O(nnz) gather + scatter over the rating stream
+  itself — no ragged neighborhood tables, no per-row loops.
+
+Total per-epoch cost: one standard minibatch sweep + two O(nnz)
+segment passes.  The deviation from per-rating SGD (y one epoch stale,
+p/q batch-fresh) is a documented staleness schedule in the same spirit
+as the shipped multi-step batching study (benchmarks/RESULTS.md); the
+numpy oracle in tests/test_svdpp.py implements the SAME schedule and
+the trajectories agree to float tolerance.
+
+Bias folding matches ``segment_sgd.MFParams``: user rows are
+[factors..., b_u, 1, 0-pad], item rows [factors..., 1, b_i, 0-pad], and
+the implicit table ``y`` is nonzero ONLY in the factor columns — so
+q_i . (p_u + s_u) prices the biases exactly once and serving can reuse
+every linear-kernel scorer by substituting the effective user table
+P + S.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+
+class SVDppParams(NamedTuple):
+    """MFParams plus the implicit item-factor table ``implicit_features``
+    ((Icap, Kp) like ``item_features``; factor columns only) and the
+    materialized per-user implicit sums ``user_implicit_sums``
+    ((Ucap, Kp) — s_u = |N(u)|^-1/2 * sum y_j, refreshed at fit end and
+    per cohort in ``update_users``).  Keeping S in the params means the
+    serving view P + S and checkpoint round-trips need no access to the
+    historical interaction stream."""
+
+    user_features: jax.Array
+    item_features: jax.Array
+    implicit_features: jax.Array
+    user_implicit_sums: jax.Array
+    global_mean: jax.Array
+
+    @property
+    def as_mf(self) -> sgd.MFParams:
+        """Effective serving view: S is zero outside the factor columns,
+        so P + S prices biases exactly once under every linear scorer."""
+        return sgd.MFParams(self.user_features + self.user_implicit_sums,
+                            self.item_features, self.global_mean)
+
+
+def init_params(key: jax.Array, n_users: int, n_items: int, cfg: SGDConfig,
+                global_mean: float, init_mean: float = 0.0,
+                init_sd: float = 0.1) -> SVDppParams:
+    base = sgd.init_params(key, n_users, n_items, cfg, global_mean,
+                           init_mean, init_sd)
+    # y starts at zero (Koren's initialization): epoch 1 is exactly plain
+    # biased MF, the implicit terms grow from the data
+    return SVDppParams(
+        user_features=base.user_features,
+        item_features=base.item_features,
+        implicit_features=jnp.zeros_like(base.item_features),
+        user_implicit_sums=jnp.zeros_like(base.user_features),
+        global_mean=base.global_mean,
+    )
+
+
+def pack_pairs(u: np.ndarray, i: np.ndarray, r: np.ndarray,
+               batch_size: int) -> Tuple[np.ndarray, ...]:
+    """Pad the rating stream to whole batches; returns
+    (u, i, r, w) each (n_pad,) plus the real count."""
+    n = len(u)
+    bs = min(batch_size, max(1, n))
+    n_pad = sgd.round_up(n, bs)
+    up = np.zeros(n_pad, np.int32)
+    ip = np.zeros(n_pad, np.int32)
+    rp = np.zeros(n_pad, np.float32)
+    wp = np.zeros(n_pad, np.float32)
+    up[:n], ip[:n], rp[:n], wp[:n] = u, i, r, 1.0
+    return up, ip, rp, wp, bs
+
+
+def _neighbor_weights(u: np.ndarray, n_users: int, cap: int) -> np.ndarray:
+    """|N(u)|^-1/2 per user row (0 for users with no interactions)."""
+    counts = np.bincount(u, minlength=n_users).astype(np.float32)
+    w = np.zeros(cap, np.float32)
+    w[:n_users] = np.where(counts > 0, 1.0 / np.sqrt(np.maximum(counts, 1)),
+                           0.0)
+    return w
+
+
+def implicit_sum(Y: jax.Array, u: jax.Array, i: jax.Array, w: jax.Array,
+                 wvec: jax.Array, chunk: int = 0) -> jax.Array:
+    """S[u] = |N(u)|^-1/2 * sum_{j in N(u)} y_j — one gather + one
+    segment scatter-add over the (padded) pair stream.  ``chunk`` > 0
+    processes the stream in (chunk, Kp) slices under a ``lax.scan`` so
+    the gathered rows never materialize at (nnz, Kp) — 25.8GB at
+    ML-25M x Kp=256, past a v5e's HBM."""
+    S = jnp.zeros((wvec.shape[0], Y.shape[1]), Y.dtype)
+    n = u.shape[0]
+    if chunk <= 0 or chunk >= n:
+        S = S.at[u].add(Y.at[i].get(mode="promise_in_bounds") * w[:, None],
+                        mode="promise_in_bounds")
+    else:
+        nc = n // chunk
+
+        def body(acc, sl):
+            uu, ii, ww = sl
+            rows = Y.at[ii].get(mode="promise_in_bounds") * ww[:, None]
+            return acc.at[uu].add(rows, mode="promise_in_bounds"), None
+
+        S, _ = jax.lax.scan(
+            body, S,
+            (u[: nc * chunk].reshape(nc, chunk),
+             i[: nc * chunk].reshape(nc, chunk),
+             w[: nc * chunk].reshape(nc, chunk)),
+        )
+        tail = n - nc * chunk
+        if tail:
+            S = S.at[u[nc * chunk:]].add(
+                Y.at[i[nc * chunk:]].get(mode="promise_in_bounds")
+                * w[nc * chunk:, None],
+                mode="promise_in_bounds")
+    return S * wvec[:, None]
+
+
+def _scatter_pair_grads(A: jax.Array, Y_like: jax.Array, u: jax.Array,
+                        i: jax.Array, w: jax.Array, wvec: jax.Array,
+                        chunk: int) -> jax.Array:
+    """gY[j] = sum over observed pairs (u, j) of |N(u)|^-1/2 * A_u —
+    the transposed twin of ``implicit_sum``, chunked the same way."""
+    gY = jnp.zeros_like(Y_like)
+    n = u.shape[0]
+    if chunk <= 0 or chunk >= n:
+        rows = (A.at[u].get(mode="promise_in_bounds")
+                * wvec.at[u].get(mode="promise_in_bounds")[:, None]
+                * w[:, None])
+        return gY.at[i].add(rows, mode="promise_in_bounds")
+    nc = n // chunk
+
+    def body(acc, sl):
+        uu, ii, ww = sl
+        rows = (A.at[uu].get(mode="promise_in_bounds")
+                * wvec.at[uu].get(mode="promise_in_bounds")[:, None]
+                * ww[:, None])
+        return acc.at[ii].add(rows, mode="promise_in_bounds"), None
+
+    gY, _ = jax.lax.scan(
+        body, gY,
+        (u[: nc * chunk].reshape(nc, chunk),
+         i[: nc * chunk].reshape(nc, chunk),
+         w[: nc * chunk].reshape(nc, chunk)),
+    )
+    tail = n - nc * chunk
+    if tail:
+        sl = slice(nc * chunk, None)
+        rows = (A.at[u[sl]].get(mode="promise_in_bounds")
+                * wvec.at[u[sl]].get(mode="promise_in_bounds")[:, None]
+                * w[sl][:, None])
+        gY = gY.at[i[sl]].add(rows, mode="promise_in_bounds")
+    return gY
+
+
+def svdpp_train(
+    params: SVDppParams,
+    u_all: jax.Array,  # (n_pad,) padded pair stream (also the y index)
+    i_all: jax.Array,
+    r_all: jax.Array,
+    w_all: jax.Array,
+    wvec: jax.Array,       # (Ucap,) |N(u)|^-1/2
+    item_deg: jax.Array,   # (Icap,) pair count per item (for the y ridge)
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr_y: float,
+    reg_y: float,
+    batch_size: int,
+    n_real: int,
+) -> Tuple[SVDppParams, jax.Array]:
+    """Train under the epoch-cached schedule (module docstring).  Returns
+    (params, per-epoch train RMSE history)."""
+    n_pad = u_all.shape[0]
+    nb = n_pad // batch_size
+    umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+    imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+    kp = params.user_features.shape[1]
+    fmask = jnp.asarray((np.arange(kp) < cfg.n_factors).astype(np.float32))
+    mu = params.global_mean
+
+    def batch_step(carry, batch):
+        P, Q, S, A, sse = carry
+        u, i, r, w = batch
+        pu = P.at[u].get(mode="promise_in_bounds")
+        qi = Q.at[i].get(mode="promise_in_bounds")
+        su = S.at[u].get(mode="promise_in_bounds")
+        eff = pu + su
+        pred = mu + jnp.einsum("nk,nk->n", eff, qi)
+        e = (r - pred) * w
+        sse = sse + jnp.sum(e * e)
+        reg_w = (cfg.reg * w)[:, None]
+        gp = (e[:, None] * qi - reg_w * pu) * umask[None, :]
+        gq = (e[:, None] * eff - reg_w * qi) * imask[None, :]
+        # G_u accumulates with the PRE-update q_i (read above)
+        A = A.at[u].add(e[:, None] * qi * fmask[None, :],
+                        mode="promise_in_bounds")
+        P = P.at[u].add(cfg.lr * gp, mode="promise_in_bounds")
+        Q = Q.at[i].add(cfg.lr * gq, mode="promise_in_bounds")
+        return (P, Q, S, A, sse), None
+
+    def epoch(carry, k):
+        P, Q, Y = carry
+        S = implicit_sum(Y, u_all, i_all, w_all, wvec, chunk=batch_size)
+        perm = jax.random.permutation(k, n_pad)
+        xs = (
+            u_all[perm].reshape(nb, batch_size),
+            i_all[perm].reshape(nb, batch_size),
+            r_all[perm].reshape(nb, batch_size),
+            w_all[perm].reshape(nb, batch_size),
+        )
+        A0 = jnp.zeros_like(P)
+        (P, Q, _, A, sse), _ = jax.lax.scan(
+            batch_step, (P, Q, S, A0, jnp.float32(0.0)), xs)
+        # deferred y update: dL/dy_j = sum over observed pairs (u, j) of
+        # |N(u)|^-1/2 * G_u, ridge applied once per pair appearance
+        gY = _scatter_pair_grads(A, Y, u_all, i_all, w_all, wvec,
+                                 chunk=batch_size)
+        Y = Y + lr_y * (gY - reg_y * item_deg[:, None] * Y) * fmask[None, :]
+        rmse = jnp.sqrt(sse / max(n_real, 1))
+        return (P, Q, Y), rmse
+
+    keys = jax.random.split(key, n_epochs)
+    (P, Q, Y), hist = jax.lax.scan(
+        epoch,
+        (params.user_features, params.item_features,
+         params.implicit_features),
+        keys,
+    )
+    # refresh the materialized sums against the FINAL y table so the
+    # serving view P + S reflects the last deferred update
+    S = implicit_sum(Y, u_all, i_all, w_all, wvec, chunk=batch_size)
+    return params._replace(user_features=P, item_features=Q,
+                           implicit_features=Y,
+                           user_implicit_sums=S), hist
+
+
+_train_cache: dict = {}
+
+
+def jit_svdpp_train(cfg: SGDConfig, n_epochs: int, lr_y: float, reg_y: float,
+                    batch_size: int, n_real: int, n_pad: int):
+    key = (cfg, n_epochs, lr_y, reg_y, batch_size, n_real, n_pad)
+    fn = _train_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, u, i, r, w, wv, deg, k: svdpp_train(
+                p, u, i, r, w, wv, deg, k, cfg, n_epochs, lr_y, reg_y,
+                batch_size, n_real,
+            )
+        )
+        _train_cache[key] = fn
+    return fn
+
+
+def user_refit(
+    params: SVDppParams,
+    u_all: jax.Array,
+    i_all: jax.Array,
+    r_all: jax.Array,
+    w_all: jax.Array,
+    wvec: jax.Array,
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    batch_size: int,
+) -> SVDppParams:
+    """``update_users``: P rows retrain against FROZEN Q and Y.  The
+    cohort's implicit sums come from its own interactions (the rows were
+    re-initialized, their history is the update set) and stay fixed —
+    Y does not move, so S is computed once; the touched rows replace the
+    stored ``user_implicit_sums`` so serving sees the cohort's sums."""
+    n_pad = u_all.shape[0]
+    nb = n_pad // batch_size
+    umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+    mu = params.global_mean
+    Q = params.item_features
+    S = implicit_sum(params.implicit_features, u_all, i_all, w_all, wvec,
+                     chunk=batch_size)
+
+    def batch_step(P, batch):
+        u, i, r, w = batch
+        pu = P.at[u].get(mode="promise_in_bounds")
+        qi = Q.at[i].get(mode="promise_in_bounds")
+        su = S.at[u].get(mode="promise_in_bounds")
+        pred = mu + jnp.einsum("nk,nk->n", pu + su, qi)
+        e = (r - pred) * w
+        gp = (e[:, None] * qi - (cfg.reg * w)[:, None] * pu) * umask[None, :]
+        return P.at[u].add(cfg.lr * gp, mode="promise_in_bounds"), None
+
+    def epoch(P, k):
+        perm = jax.random.permutation(k, n_pad)
+        xs = (
+            u_all[perm].reshape(nb, batch_size),
+            i_all[perm].reshape(nb, batch_size),
+            r_all[perm].reshape(nb, batch_size),
+            w_all[perm].reshape(nb, batch_size),
+        )
+        P, _ = jax.lax.scan(batch_step, P, xs)
+        return P, None
+
+    P, _ = jax.lax.scan(epoch, params.user_features,
+                        jax.random.split(key, n_epochs))
+    touched = jnp.zeros(P.shape[0], jnp.float32).at[u_all].max(
+        w_all, mode="promise_in_bounds")
+    S_new = jnp.where(touched[:, None] > 0, S, params.user_implicit_sums)
+    return params._replace(user_features=P, user_implicit_sums=S_new)
+
+
+_refit_cache: dict = {}
+
+
+def jit_user_refit(cfg: SGDConfig, n_epochs: int, batch_size: int,
+                   n_pad: int):
+    key = (cfg, n_epochs, batch_size, n_pad)
+    fn = _refit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, u, i, r, w, wv, k: user_refit(
+                p, u, i, r, w, wv, k, cfg, n_epochs, batch_size,
+            )
+        )
+        _refit_cache[key] = fn
+    return fn
+
+

@@ -21,6 +21,7 @@ from matrix_factorization_tpu import (
     ImplicitALS,
     ItemItemCF,
     KernelMF,
+    SVDpp,
     UserUserCF,
 )
 from matrix_factorization_tpu.pipeline.common import add_paths_arg, cli_setup, require_columns
@@ -46,6 +47,9 @@ def build_model(name: str, args) -> object:
     if name == "bpr":
         return BPR(n_factors=args.factors, n_epochs=args.epochs,
                    lr=args.lr, reg=args.reg, batch_size=args.batch_size)
+    if name == "svdpp":
+        return SVDpp(n_factors=args.factors, n_epochs=args.epochs,
+                     lr=args.lr, reg=args.reg, batch_size=args.batch_size)
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -61,7 +65,7 @@ def main() -> None:
     add_paths_arg(p)
     p.add_argument("--model", default="kernel_mf",
                    choices=["baseline", "kernel_mf", "item_cf", "user_cf",
-                            "content_based", "implicit", "bpr"])
+                            "content_based", "implicit", "bpr", "svdpp"])
     p.add_argument("--kernel", default="linear")
     p.add_argument("--method", default="als")
     p.add_argument("--factors", type=int, default=100)
