@@ -44,15 +44,26 @@ class SVDpp(RecommenderBase):
         init_sd: float = 0.1,
         verbose: int = 0,
         seed: int = 0,
+        mesh=None,
+        overlap_psum: bool = False,
         serving_dtype: str = "float32",
     ):
         """``lr_y`` / ``reg_y`` control the implicit table's deferred
         epoch update (default: same as ``lr`` / ``reg``; the aggregated
         epoch gradient has the same first-order magnitude as a full
         per-rating sweep, so no rescaling is needed).  ``serving_dtype``:
-        'float32' or 'bfloat16', as on ``KernelMF``."""
+        'float32' or 'bfloat16', as on ``KernelMF``.
+
+        ``mesh``: optional ``jax.sharding.Mesh``; with >1 device on the
+        data axes, ``fit`` trains data-parallel (user-sharded P/S/A,
+        psum'd Q deltas, one extra psum per epoch for the deferred
+        y-gradient — ``ops/svdpp.py::dp_svdpp_train``) and gathers for
+        serving.  ``overlap_psum`` defers the per-step Q all-reduce one
+        step, the same knob as ``KernelMF``/``BPR``."""
         if serving_dtype not in ("float32", "bfloat16"):
             raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
+        if overlap_psum and mesh is None:
+            raise ValueError("overlap_psum=True requires a mesh")
         super().__init__(min_rating=min_rating, max_rating=max_rating,
                          verbose=verbose)
         self.n_factors = n_factors
@@ -64,6 +75,8 @@ class SVDpp(RecommenderBase):
         self.batch_size = batch_size
         self.init_sd = init_sd
         self.seed = seed
+        self.mesh = mesh
+        self.overlap_psum = overlap_psum
         self.serving_dtype = serving_dtype
         self._params: Optional[svdpp_ops.SVDppParams] = None
         self._serving_cache = None
@@ -86,24 +99,78 @@ class SVDpp(RecommenderBase):
         u, i, r = self._preprocess_fit(X, y)
         self.global_mean = float(np.mean(r))
         cfg = self._cfg()
-        params = svdpp_ops.init_params(
-            jax.random.PRNGKey(self.seed), self.n_users, self.n_items, cfg,
-            self.global_mean, init_sd=self.init_sd,
-        )
-        up, ip, rp, wp, bs = svdpp_ops.pack_pairs(u, i, r, self.batch_size)
-        wvec = svdpp_ops._neighbor_weights(
-            u, self.n_users, params.user_features.shape[0])
-        deg = np.zeros(params.item_features.shape[0], np.float32)
-        deg[: self.n_items] = np.bincount(i, minlength=self.n_items)
-        fn = svdpp_ops.jit_svdpp_train(
-            cfg, self.n_epochs, self.lr_y or self.lr, self.reg_y or self.reg,
-            bs, len(u), len(up),
-        )
-        params, hist = fn(
-            params, jnp.asarray(up), jnp.asarray(ip), jnp.asarray(rp),
-            jnp.asarray(wp), jnp.asarray(wvec), jnp.asarray(deg),
-            jax.random.fold_in(jax.random.PRNGKey(self.seed), 1),
-        )
+        k_fit = jax.random.fold_in(jax.random.PRNGKey(self.seed), 1)
+        mesh_data = 1
+        if self.mesh is not None:
+            from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+            for a in data_axes_of(self.mesh):
+                mesh_data *= self.mesh.shape[a]
+        if mesh_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from matrix_factorization_tpu.parallel import distributed as dist
+            from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+            ucap = sgd.round_up(self.n_users, 8 * mesh_data)
+            params = svdpp_ops.init_params(
+                jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
+                cfg, self.global_mean, init_sd=self.init_sd,
+                user_capacity=ucap,
+            )
+            bs = min(self.batch_size, max(1, len(u)))
+            su, si, sr, sw, _ = dist.shard_ratings_by_user(
+                u.astype(np.int32), i.astype(np.int32),
+                r.astype(np.float32), ucap, mesh_data, bs,
+            )
+            wvec = svdpp_ops._neighbor_weights(u, self.n_users, ucap)
+            deg = np.zeros(params.item_features.shape[0], np.float32)
+            deg[: self.n_items] = np.bincount(i, minlength=self.n_items)
+            shard = NamedSharding(self.mesh, P(data_axes_of(self.mesh)))
+            rep = NamedSharding(self.mesh, P())
+            params = svdpp_ops.SVDppParams(
+                user_features=jax.device_put(params.user_features, shard),
+                item_features=jax.device_put(params.item_features, rep),
+                implicit_features=jax.device_put(params.implicit_features,
+                                                 rep),
+                user_implicit_sums=jax.device_put(params.user_implicit_sums,
+                                                  shard),
+                global_mean=jax.device_put(params.global_mean, rep),
+            )
+            train = jax.jit(
+                lambda p, uu, ii, rr, ww, wv, dg, k: svdpp_ops.dp_svdpp_train(
+                    p, uu, ii, rr, ww, wv, dg, k, cfg, self.n_epochs,
+                    self.lr_y or self.lr, self.reg_y or self.reg, bs,
+                    len(u), self.mesh, overlap_psum=self.overlap_psum,
+                )
+            )
+            params, hist = train(
+                params, jax.device_put(su, shard), jax.device_put(si, shard),
+                jax.device_put(sr, shard), jax.device_put(sw, shard),
+                jax.device_put(jnp.asarray(wvec), shard),
+                jax.device_put(jnp.asarray(deg), rep), k_fit,
+            )
+            # gather for the single-device serving paths
+            params = svdpp_ops.SVDppParams(
+                *(jnp.asarray(np.asarray(x)) for x in params))
+        else:
+            params = svdpp_ops.init_params(
+                jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
+                cfg, self.global_mean, init_sd=self.init_sd,
+            )
+            up, ip, rp, wp, bs = svdpp_ops.pack_pairs(u, i, r,
+                                                      self.batch_size)
+            wvec = svdpp_ops._neighbor_weights(
+                u, self.n_users, params.user_features.shape[0])
+            deg = np.zeros(params.item_features.shape[0], np.float32)
+            deg[: self.n_items] = np.bincount(i, minlength=self.n_items)
+            fn = svdpp_ops.jit_svdpp_train(
+                cfg, self.n_epochs, self.lr_y or self.lr,
+                self.reg_y or self.reg, bs, len(u), len(up),
+            )
+            params, hist = fn(
+                params, jnp.asarray(up), jnp.asarray(ip), jnp.asarray(rp),
+                jnp.asarray(wp), jnp.asarray(wvec), jnp.asarray(deg), k_fit,
+            )
         self._params = params
         self._serving_cache = None
         self.train_rmse = np.asarray(hist).tolist()

@@ -77,9 +77,10 @@ class SVDppParams(NamedTuple):
 
 def init_params(key: jax.Array, n_users: int, n_items: int, cfg: SGDConfig,
                 global_mean: float, init_mean: float = 0.0,
-                init_sd: float = 0.1) -> SVDppParams:
+                init_sd: float = 0.1,
+                user_capacity: int = None) -> SVDppParams:
     base = sgd.init_params(key, n_users, n_items, cfg, global_mean,
-                           init_mean, init_sd)
+                           init_mean, init_sd, user_capacity=user_capacity)
     # y starts at zero (Koren's initialization): epoch 1 is exactly plain
     # biased MF, the implicit terms grow from the data
     return SVDppParams(
@@ -116,13 +117,18 @@ def _neighbor_weights(u: np.ndarray, n_users: int, cap: int) -> np.ndarray:
 
 
 def implicit_sum(Y: jax.Array, u: jax.Array, i: jax.Array, w: jax.Array,
-                 wvec: jax.Array, chunk: int = 0) -> jax.Array:
+                 wvec: jax.Array, chunk: int = 0,
+                 data_axes: tuple = ()) -> jax.Array:
     """S[u] = |N(u)|^-1/2 * sum_{j in N(u)} y_j — one gather + one
     segment scatter-add over the (padded) pair stream.  ``chunk`` > 0
     processes the stream in (chunk, Kp) slices under a ``lax.scan`` so
     the gathered rows never materialize at (nnz, Kp) — 25.8GB at
-    ML-25M x Kp=256, past a v5e's HBM."""
+    ML-25M x Kp=256, past a v5e's HBM.  ``data_axes`` marks the scan
+    carry device-varying when called inside ``shard_map`` (the
+    accumulator holds this device's local rows)."""
     S = jnp.zeros((wvec.shape[0], Y.shape[1]), Y.dtype)
+    if data_axes:
+        S = jax.lax.pcast(S, data_axes, to="varying")
     n = u.shape[0]
     if chunk <= 0 or chunk >= n:
         S = S.at[u].add(Y.at[i].get(mode="promise_in_bounds") * w[:, None],
@@ -152,10 +158,12 @@ def implicit_sum(Y: jax.Array, u: jax.Array, i: jax.Array, w: jax.Array,
 
 def _scatter_pair_grads(A: jax.Array, Y_like: jax.Array, u: jax.Array,
                         i: jax.Array, w: jax.Array, wvec: jax.Array,
-                        chunk: int) -> jax.Array:
+                        chunk: int, data_axes: tuple = ()) -> jax.Array:
     """gY[j] = sum over observed pairs (u, j) of |N(u)|^-1/2 * A_u —
     the transposed twin of ``implicit_sum``, chunked the same way."""
     gY = jnp.zeros_like(Y_like)
+    if data_axes:
+        gY = jax.lax.pcast(gY, data_axes, to="varying")
     n = u.shape[0]
     if chunk <= 0 or chunk >= n:
         rows = (A.at[u].get(mode="promise_in_bounds")
@@ -339,6 +347,131 @@ def user_refit(
         w_all, mode="promise_in_bounds")
     S_new = jnp.where(touched[:, None] > 0, S, params.user_implicit_sums)
     return params._replace(user_features=P, user_implicit_sums=S_new)
+
+
+def dp_svdpp_train(
+    params: SVDppParams,
+    u_all: jax.Array,  # device-major LOCAL user ids (shard_ratings_by_user)
+    i_all: jax.Array,
+    r_all: jax.Array,
+    w_all: jax.Array,
+    wvec: jax.Array,      # (Ucap,) |N(u)|^-1/2, row-sharded like P
+    item_deg: jax.Array,  # (Icap,) replicated
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr_y: float,
+    reg_y: float,
+    batch_size: int,
+    n_real: int,
+    mesh,
+    overlap_psum: bool = False,
+) -> Tuple[SVDppParams, jax.Array]:
+    """Data-parallel SVD++ under ``shard_map`` — the same layout contract
+    as ``parallel.distributed``: P (and S, and the A accumulator)
+    row-sharded over the mesh's data axes with ratings pre-sharded by
+    user range (every user-side op is local), Q and Y replicated.  Per
+    epoch the collectives are the per-step ``psum`` of Q deltas (the one
+    unavoidable collective of synchronous SGD, optionally one-step
+    deferred via ``overlap_psum``) plus ONE ``psum`` of the (Icap, Kp)
+    y-gradient — the deferred schedule means the implicit table costs a
+    single extra all-reduce per epoch, not per step.  Replicas stay
+    bit-identical; the per-device epoch shuffle folds the device index
+    so the run is deterministic.
+    """
+    from jax.sharding import PartitionSpec as P
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+    data_axes = data_axes_of(mesh)
+    n_dev = 1
+    for a in data_axes:
+        n_dev *= mesh.shape[a]
+    n_pad_local = u_all.shape[0] // n_dev
+    nb = n_pad_local // batch_size
+    umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+    imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+    kp = params.user_features.shape[1]
+    fmask = jnp.asarray((np.arange(kp) < cfg.n_factors).astype(np.float32))
+    mu = params.global_mean
+
+    def local_train(P_l, Q, Y, u_l, i_l, r_l, w_l, wv_l, deg, keys):
+        dev = jnp.int32(0)
+        for a in data_axes:
+            dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
+
+        def batch_step(carry, batch):
+            P_l, Q, S_l, A_l, dQ_pend, sse = carry
+            u, i, r, w = batch
+            if overlap_psum:
+                Q_next = Q + jax.lax.psum(dQ_pend, data_axes)
+            pu = P_l.at[u].get(mode="promise_in_bounds")
+            qi = Q.at[i].get(mode="promise_in_bounds")
+            su = S_l.at[u].get(mode="promise_in_bounds")
+            eff = pu + su
+            e = (r - (mu + jnp.einsum("nk,nk->n", eff, qi))) * w
+            sse = sse + jnp.sum(e * e)
+            reg_w = (cfg.reg * w)[:, None]
+            gp = (e[:, None] * qi - reg_w * pu) * umask[None, :]
+            gq = (e[:, None] * eff - reg_w * qi) * imask[None, :]
+            A_l = A_l.at[u].add(e[:, None] * qi * fmask[None, :],
+                                mode="promise_in_bounds")
+            P_l = P_l.at[u].add(cfg.lr * gp, mode="promise_in_bounds")
+            dQ = jnp.zeros_like(Q).at[i].add(cfg.lr * gq,
+                                             mode="promise_in_bounds")
+            if overlap_psum:
+                return (P_l, Q_next, S_l, A_l, dQ, sse), None
+            Q = Q + jax.lax.psum(dQ, data_axes)
+            return (P_l, Q, S_l, A_l, dQ_pend, sse), None
+
+        def epoch(carry, k):
+            P_l, Q, Y = carry
+            S_l = implicit_sum(Y, u_l, i_l, w_l, wv_l, chunk=batch_size,
+                               data_axes=data_axes)
+            k = jax.random.fold_in(k, dev)
+            perm = jax.random.permutation(k, n_pad_local)
+            xs = (
+                u_l[perm].reshape(nb, batch_size),
+                i_l[perm].reshape(nb, batch_size),
+                r_l[perm].reshape(nb, batch_size),
+                w_l[perm].reshape(nb, batch_size),
+            )
+            dq0 = jax.lax.pcast(jnp.zeros_like(Q), data_axes, to="varying")
+            sse0 = jax.lax.pcast(jnp.float32(0.0), data_axes, to="varying")
+            A0 = jnp.zeros_like(P_l)
+            (P_l, Q, _, A_l, dq, sse), _ = jax.lax.scan(
+                batch_step, (P_l, Q, S_l, A0, dq0, sse0), xs)
+            if overlap_psum:
+                Q = Q + jax.lax.psum(dq, data_axes)
+            gY_l = _scatter_pair_grads(A_l, Y, u_l, i_l, w_l, wv_l,
+                                       chunk=batch_size,
+                                       data_axes=data_axes)
+            gY = jax.lax.psum(gY_l, data_axes)
+            Y = Y + lr_y * (gY - reg_y * deg[:, None] * Y) * fmask[None, :]
+            rmse = jnp.sqrt(jax.lax.psum(sse, data_axes) / max(n_real, 1))
+            return (P_l, Q, Y), rmse
+
+        (P_l, Q, Y), hist = jax.lax.scan(epoch, (P_l, Q, Y), keys)
+        S_l = implicit_sum(Y, u_l, i_l, w_l, wv_l, chunk=batch_size,
+                           data_axes=data_axes)
+        return P_l, Q, Y, S_l, hist
+
+    shard = P(data_axes)
+    rep = P()
+    fn = jax.shard_map(
+        local_train, mesh=mesh,
+        in_specs=(shard, rep, rep, shard, shard, shard, shard, shard, rep,
+                  rep),
+        out_specs=(shard, rep, rep, shard, rep),
+    )
+    keys = jax.random.split(key, n_epochs)
+    P_new, Q_new, Y_new, S_new, hist = fn(
+        params.user_features, params.item_features,
+        params.implicit_features, u_all, i_all, r_all, w_all, wvec,
+        item_deg, keys,
+    )
+    return params._replace(user_features=P_new, item_features=Q_new,
+                           implicit_features=Y_new,
+                           user_implicit_sums=S_new), hist
 
 
 _refit_cache: dict = {}

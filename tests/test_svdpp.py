@@ -172,6 +172,44 @@ def test_svdpp_checkpoint_roundtrip(tmp_path):
                                   m.recommend(user=uid, amount=5))
 
 
+def test_dp_svdpp_mesh_training():
+    """Data-parallel SVD++ on the 8-device mesh: learns, is
+    deterministic, and with one batch per device per epoch the global
+    summed update equals the single-device single-batch trajectory."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=60, n_items=50, density=0.4, seed=11)
+    mesh = make_mesh(n_data=8)
+    m = SVDpp(n_factors=8, n_epochs=20, lr=0.05, reg=0.02, batch_size=64,
+              seed=6, mesh=mesh).fit(X, y)
+    assert m.train_rmse[-1] < m.train_rmse[0]
+    m2 = SVDpp(n_factors=8, n_epochs=20, lr=0.05, reg=0.02, batch_size=64,
+               seed=6, mesh=mesh).fit(X, y)
+    np.testing.assert_array_equal(m.item_features, m2.item_features)
+    np.testing.assert_array_equal(m.implicit_features, m2.implicit_features)
+
+    # overlap knob converges and serves
+    m3 = SVDpp(n_factors=8, n_epochs=20, lr=0.05, reg=0.02, batch_size=64,
+               seed=6, mesh=mesh, overlap_psum=True).fit(X, y)
+    assert m3.train_rmse[-1] < m3.train_rmse[0]
+    assert len(m3.recommend(user=X.user_id.iloc[0], amount=5)) == 5
+
+    # one batch per device == one global summed batch: dp trajectory
+    # matches the single-device big-batch trajectory to float tolerance
+    big = 4096
+    a = SVDpp(n_factors=8, n_epochs=5, lr=0.05, reg=0.02, batch_size=big,
+              seed=7, mesh=mesh).fit(X, y)
+    b = SVDpp(n_factors=8, n_epochs=5, lr=0.05, reg=0.02, batch_size=big,
+              seed=7).fit(X, y)
+    np.testing.assert_allclose(a.user_features, b.user_features, atol=1e-5)
+    np.testing.assert_allclose(a.item_features, b.item_features, atol=1e-5)
+    np.testing.assert_allclose(a.implicit_features, b.implicit_features,
+                               atol=1e-5)
+
+    with pytest.raises(ValueError, match="overlap_psum"):
+        SVDpp(overlap_psum=True)
+
+
 def test_svdpp_validation():
     with pytest.raises(ValueError):
         SVDpp(serving_dtype="float16")
