@@ -59,6 +59,20 @@ def _restore_aux(model, arrays) -> None:
         )
 
 
+def _strip_runtime_config(config: dict) -> dict:
+    """Device meshes are runtime objects, not state: drop the mesh AND
+    the flags whose constructor guards require one (overlap_psum,
+    keep_sharded would make the checkpoint unloadable — the restored
+    model re-attaches a mesh explicitly if needed)."""
+    if config.get("mesh") is not None:
+        config = dict(config)
+        config["mesh"] = None
+        for flag in ("overlap_psum", "keep_sharded"):
+            if config.get(flag):
+                config[flag] = False
+    return config
+
+
 def _model_classes() -> dict:
     from matrix_factorization_tpu.models.baseline import BaselineModel
     from matrix_factorization_tpu.models.bpr import BPR
@@ -98,10 +112,7 @@ def save_model(model, path: Path) -> None:
         arrays = _model_arrays(model)
         np.savez(tmp / "arrays.npz", **arrays, **_aux_arrays(model))
         config = dict(model.get_params()) if hasattr(model, "get_params") else {}
-        # device meshes are runtime objects, not state: drop from the
-        # pickle (a restored model re-attaches a mesh explicitly if needed)
-        if "mesh" in config:
-            config["mesh"] = None
+        config = _strip_runtime_config(config)
         meta = {
             "format_version": FORMAT_VERSION,
             "model_class": type(model).__name__,
@@ -172,8 +183,7 @@ def save_model_orbax(model, path: Path) -> None:
                force=True)
     ckptr.wait_until_finished()
     config = dict(model.get_params()) if hasattr(model, "get_params") else {}
-    if "mesh" in config:
-        config["mesh"] = None
+    config = _strip_runtime_config(config)
     meta = {
         "format_version": FORMAT_VERSION,
         "model_class": type(model).__name__,

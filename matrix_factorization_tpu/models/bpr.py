@@ -100,6 +100,7 @@ class BPR(RecommenderBase):
         is attached, mirroring ``KernelMF``."""
         if y is None:
             y = pd.Series(np.ones(len(X), np.float32))
+        prev_pairs = None
         if warm_start and self._params is not None:
             from matrix_factorization_tpu.core.ids import check_no_duplicates
 
@@ -109,6 +110,9 @@ class BPR(RecommenderBase):
             u = self.user_vocab.encode(users, strict=True)
             i = self.item_vocab.encode(items, strict=True)
             r = np.asarray(y, dtype=np.float32)
+            # auc() keeps rejecting EARLIER training positives too: a warm
+            # segment may carry different (incremental) interactions
+            prev_pairs = self._train_pairs
         else:
             warm_start = False
             u, i, r = self._preprocess_fit(X, y)
@@ -119,15 +123,18 @@ class BPR(RecommenderBase):
             raise ValueError("BPR needs at least one positive interaction")
         cfg = self._cfg()
         n_epochs = n_epochs or self.n_epochs
-        self._train_pairs = (u.copy(), i.copy())  # for AUC negative rejection
+        if prev_pairs is None:  # AUC negative rejection
+            self._train_pairs = (u.copy(), i.copy())
+        else:
+            self._train_pairs = (np.concatenate([prev_pairs[0], u]),
+                                 np.concatenate([prev_pairs[1], i]))
         k_fit = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                    1 + len(self.train_loss))
         mesh_data = 1
         if self.mesh is not None:
-            from matrix_factorization_tpu.parallel.mesh import data_axes_of
+            from matrix_factorization_tpu.parallel.mesh import data_size_of
 
-            for a in data_axes_of(self.mesh):
-                mesh_data *= self.mesh.shape[a]
+            mesh_data = data_size_of(self.mesh)
         if mesh_data > 1 and not warm_start:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from matrix_factorization_tpu.parallel import distributed as dist
@@ -140,13 +147,12 @@ class BPR(RecommenderBase):
                 user_capacity=ucap,
             )
             params = dist.place_params(params, self.mesh)
+            bs = min(self.batch_size, max(1, len(u)))
             su, si, _, sw, _ = dist.shard_ratings_by_user(
                 u.astype(np.int32), i.astype(np.int32),
-                np.ones(len(u), np.float32), ucap, mesh_data,
-                min(self.batch_size, max(1, len(u))),
+                np.ones(len(u), np.float32), ucap, mesh_data, bs,
             )
             shard = NamedSharding(self.mesh, P(data_axes_of(self.mesh)))
-            bs = min(self.batch_size, max(1, len(u)))
             train = jax.jit(
                 lambda p, uu, ii, ww, k: bpr_ops.dp_bpr_train(
                     p, uu, ii, ww, k, cfg, n_epochs, self.lr,
@@ -220,11 +226,11 @@ class BPR(RecommenderBase):
         if y is None:
             y = pd.Series(np.ones(len(X), np.float32))
         u, i, r, known_users, _new = self._preprocess_update(X, y)
-        keep = r > 0
-        u, i = u[keep], i[keep]
-        if len(u) == 0:
-            return self
         cfg = self._cfg()
+        # grow capacity BEFORE any early return: _preprocess_update has
+        # already registered new users in the vocab, and a dense id
+        # without a table row would silently clamp-gather another user's
+        # scores on a later predict/recommend
         cap = self._params.user_features.shape[0]
         if self.n_users > cap:
             grown = sgd.round_up(self.n_users, 1024)
@@ -236,6 +242,11 @@ class BPR(RecommenderBase):
                 user_features=jnp.concatenate(
                     [self._params.user_features, fresh])
             )
+            self._serving_cache = None
+        keep = r > 0
+        u, i = u[keep], i[keep]
+        if len(u) == 0:
+            return self
         if known_users:
             idx = jnp.asarray(
                 self.user_vocab.encode(np.asarray(known_users, dtype=object)))

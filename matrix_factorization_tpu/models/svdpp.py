@@ -80,6 +80,7 @@ class SVDpp(RecommenderBase):
         self.serving_dtype = serving_dtype
         self._params: Optional[svdpp_ops.SVDppParams] = None
         self._serving_cache = None
+        self._mf_cache = None
         self.train_rmse: list = []
 
     def _cfg(self, compute_epoch_rmse: bool = True) -> SGDConfig:
@@ -99,13 +100,16 @@ class SVDpp(RecommenderBase):
         u, i, r = self._preprocess_fit(X, y)
         self.global_mean = float(np.mean(r))
         cfg = self._cfg()
+        # 'is None', not 'or': an explicit 0.0 (freeze y / no ridge) is a
+        # legitimate ablation setting
+        lr_y = self.lr if self.lr_y is None else self.lr_y
+        reg_y = self.reg if self.reg_y is None else self.reg_y
         k_fit = jax.random.fold_in(jax.random.PRNGKey(self.seed), 1)
         mesh_data = 1
         if self.mesh is not None:
-            from matrix_factorization_tpu.parallel.mesh import data_axes_of
+            from matrix_factorization_tpu.parallel.mesh import data_size_of
 
-            for a in data_axes_of(self.mesh):
-                mesh_data *= self.mesh.shape[a]
+            mesh_data = data_size_of(self.mesh)
         if mesh_data > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from matrix_factorization_tpu.parallel import distributed as dist
@@ -139,8 +143,8 @@ class SVDpp(RecommenderBase):
             train = jax.jit(
                 lambda p, uu, ii, rr, ww, wv, dg, k: svdpp_ops.dp_svdpp_train(
                     p, uu, ii, rr, ww, wv, dg, k, cfg, self.n_epochs,
-                    self.lr_y or self.lr, self.reg_y or self.reg, bs,
-                    len(u), self.mesh, overlap_psum=self.overlap_psum,
+                    lr_y, reg_y, bs, len(u), self.mesh,
+                    overlap_psum=self.overlap_psum,
                 )
             )
             params, hist = train(
@@ -164,8 +168,7 @@ class SVDpp(RecommenderBase):
             deg = np.zeros(params.item_features.shape[0], np.float32)
             deg[: self.n_items] = np.bincount(i, minlength=self.n_items)
             fn = svdpp_ops.jit_svdpp_train(
-                cfg, self.n_epochs, self.lr_y or self.lr,
-                self.reg_y or self.reg, bs, len(u), len(up),
+                cfg, self.n_epochs, lr_y, reg_y, bs, len(u), len(up),
             )
             params, hist = fn(
                 params, jnp.asarray(up), jnp.asarray(ip), jnp.asarray(rp),
@@ -179,11 +182,19 @@ class SVDpp(RecommenderBase):
                 print(f"Epoch {e + 1} train RMSE: {v:.4f}")
         return self
 
+    def _mf_view(self) -> sgd.MFParams:
+        """f32 effective-table view P + S, identity-cached so the full
+        (Ucap, Kp) add is not re-materialized on every predict call."""
+        c = self._mf_cache
+        if c is None or c[0] is not self._params:
+            self._mf_cache = c = (self._params, self._params.as_mf)
+        return c[1]
+
     def _predict_arrays(self, u: np.ndarray, i: np.ndarray,
                         bound_ratings: bool):
         self._require_fitted()
         fn = sgd.jit_predict_pairs(self._cfg(), bound_ratings)
-        mf = self._params.as_mf
+        mf = self._mf_view()
         return bucketed_predict(
             lambda uu, ii: fn(mf, jnp.asarray(uu), jnp.asarray(ii)), u, i,
         )
@@ -258,7 +269,7 @@ class SVDpp(RecommenderBase):
         bf16 residency as on ``KernelMF``)."""
         c = self._serving_cache
         if c is None or c[0] is not self._params:
-            mf = self._params.as_mf
+            mf = self._mf_view()
             if self.serving_dtype == "bfloat16":
                 mf = mf._replace(
                     user_features=mf.user_features.astype(jnp.bfloat16),

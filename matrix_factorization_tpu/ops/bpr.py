@@ -205,19 +205,16 @@ def dp_bpr_train(
     same knob as the explicit dp trainer.
     """
     from jax.sharding import PartitionSpec as P
-    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+    from matrix_factorization_tpu.parallel.mesh import (
+        data_axes_of, data_size_of, device_index,
+    )
 
     data_axes = data_axes_of(mesh)
-    n_dev = 1
-    for a in data_axes:
-        n_dev *= mesh.shape[a]
-    n_pad_local = u_all.shape[0] // n_dev
+    n_pad_local = u_all.shape[0] // data_size_of(mesh)
     nb = n_pad_local // batch_size
 
     def local_train(P_l, Q, u_l, i_l, w_l, keys):
-        dev = jnp.int32(0)
-        for a in data_axes:
-            dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
+        dev = device_index(mesh)
 
         def epoch(carry, k):
             P_l, Q = carry

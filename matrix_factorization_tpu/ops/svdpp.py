@@ -380,13 +380,12 @@ def dp_svdpp_train(
     so the run is deterministic.
     """
     from jax.sharding import PartitionSpec as P
-    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+    from matrix_factorization_tpu.parallel.mesh import (
+        data_axes_of, data_size_of, device_index,
+    )
 
     data_axes = data_axes_of(mesh)
-    n_dev = 1
-    for a in data_axes:
-        n_dev *= mesh.shape[a]
-    n_pad_local = u_all.shape[0] // n_dev
+    n_pad_local = u_all.shape[0] // data_size_of(mesh)
     nb = n_pad_local // batch_size
     umask = jnp.asarray(sgd.update_mask(cfg, "user"))
     imask = jnp.asarray(sgd.update_mask(cfg, "item"))
@@ -395,9 +394,7 @@ def dp_svdpp_train(
     mu = params.global_mean
 
     def local_train(P_l, Q, Y, u_l, i_l, r_l, w_l, wv_l, deg, keys):
-        dev = jnp.int32(0)
-        for a in data_axes:
-            dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
+        dev = device_index(mesh)
 
         def batch_step(carry, batch):
             P_l, Q, S_l, A_l, dQ_pend, sse = carry

@@ -80,6 +80,26 @@ def data_axes_of(mesh: Mesh) -> tuple:
     return tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.axis_names)
 
 
+def data_size_of(mesh: Mesh) -> int:
+    """Total device count across the data axes (1 = no data parallelism)."""
+    n = 1
+    for a in data_axes_of(mesh):
+        n *= mesh.shape[a]
+    return n
+
+
+def device_index(mesh: Mesh):
+    """Linear device index over the data axes — callable only inside
+    ``shard_map`` (it reads ``lax.axis_index``); used to fold per-device
+    randomness deterministically."""
+    import jax.numpy as jnp
+
+    dev = jnp.int32(0)
+    for a in data_axes_of(mesh):
+        dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
+    return dev
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

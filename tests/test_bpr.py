@@ -175,6 +175,38 @@ def test_dp_bpr_mesh_training():
         BPR(overlap_psum=True)
 
 
+def test_bpr_update_users_empty_positive_set_grows_table():
+    """Regression: update_users that registers a new user but then
+    filters every row out (no positives) must still grow the table —
+    otherwise the orphan dense id clamp-gathers another user's row."""
+    X = _blocky_interactions()
+    m = BPR(n_factors=8, n_epochs=3, lr=0.1, batch_size=256, seed=0).fit(X)
+    cap = m._params.user_features.shape[0]
+    assert m.n_users <= cap
+    new = pd.DataFrame({"user_id": [999990 + k for k in range(cap - m.n_users + 3)],
+                        "item_id": [int(X.item_id.iloc[0])] * (cap - m.n_users + 3)})
+    m.update_users(new, y=pd.Series(np.zeros(len(new), np.float32)))
+    assert m._params.user_features.shape[0] >= m.n_users
+
+
+def test_bpr_warm_start_auc_rejects_all_training_positives():
+    """Regression: warm segments on different interactions must extend
+    (not replace) the AUC negative-rejection pair set."""
+    X = _blocky_interactions()
+    half = len(X) // 2
+    X1, X2 = X.iloc[:half], X.iloc[half:]
+    m = BPR(n_factors=8, n_epochs=3, lr=0.1, batch_size=256, seed=0).fit(X)
+    n_all = len(m._train_pairs[0])
+    m2 = BPR(n_factors=8, n_epochs=3, lr=0.1, batch_size=256, seed=0).fit(X1)
+    # warm-continue on rows whose ids are all known (X shares the vocab)
+    known_u = set(X1.user_id)
+    known_i = set(X1.item_id)
+    X2k = X2[X2.user_id.isin(known_u) & X2.item_id.isin(known_i)]
+    if len(X2k):
+        m2.fit(X2k, warm_start=True)
+        assert len(m2._train_pairs[0]) == len(X1) + len(X2k) <= n_all + len(X1)
+
+
 def test_bpr_validation():
     with pytest.raises(ValueError):
         BPR(serving_dtype="float16")

@@ -251,6 +251,23 @@ def test_checkpoint_roundtrip_implicit_als(tmp_path):
     assert m2.train_loss == m.train_loss
 
 
+def test_checkpoint_strips_mesh_coupled_flags(tmp_path):
+    """Regression: a dp+overlap model checkpoint must be LOADABLE — the
+    saved config nulls the mesh, so flags whose constructor guards
+    require one (overlap_psum, keep_sharded) must be stripped too."""
+    from matrix_factorization_tpu.models import BPR
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X = _implicit_interactions()
+    mesh = make_mesh(n_data=8)
+    m = BPR(n_factors=8, n_epochs=5, lr=0.1, batch_size=256, seed=1,
+            mesh=mesh, overlap_psum=True).fit(X)
+    save_model(m, tmp_path / "dp_bpr")
+    m2 = load_model(tmp_path / "dp_bpr")  # used to raise ValueError
+    assert m2.mesh is None and m2.overlap_psum is False
+    np.testing.assert_array_equal(m2.item_features, m.item_features)
+
+
 def test_fit_resumable_bpr(tmp_path):
     from matrix_factorization_tpu.models import BPR
 
