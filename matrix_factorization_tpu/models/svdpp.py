@@ -161,19 +161,23 @@ class SVDpp(RecommenderBase):
                 jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
                 cfg, self.global_mean, init_sd=self.init_sd,
             )
-            up, ip, rp, wp, bs = svdpp_ops.pack_pairs(u, i, r,
-                                                      self.batch_size)
+            # user-primary pack: P/S/A share one tile one-hot per batch,
+            # Q deltas ride the secondary tiles (ops/svdpp.py batched
+            # trainer — the row-op-bound flat path stays for dp/refit)
+            data = sgd.pack_ratings(
+                u.astype(np.int32), i.astype(np.int32),
+                r.astype(np.float32), self.batch_size,
+                shuffle_seed=self.seed, order="user",
+                row_width=cfg.padded_factors,
+            )
             wvec = svdpp_ops._neighbor_weights(
                 u, self.n_users, params.user_features.shape[0])
             deg = np.zeros(params.item_features.shape[0], np.float32)
             deg[: self.n_items] = np.bincount(i, minlength=self.n_items)
-            fn = svdpp_ops.jit_svdpp_train(
-                cfg, self.n_epochs, lr_y, reg_y, bs, len(u), len(up),
-            )
-            params, hist = fn(
-                params, jnp.asarray(up), jnp.asarray(ip), jnp.asarray(rp),
-                jnp.asarray(wp), jnp.asarray(wvec), jnp.asarray(deg), k_fit,
-            )
+            fn = svdpp_ops.jit_svdpp_train_batched(
+                cfg, self.n_epochs, lr_y, reg_y)
+            params, hist = fn(params, data, jnp.asarray(wvec),
+                              jnp.asarray(deg), k_fit)
         self._params = params
         self._serving_cache = None
         self.train_rmse = np.asarray(hist).tolist()

@@ -277,6 +277,194 @@ def svdpp_train(
                            user_implicit_sums=S), hist
 
 
+# ---------------------------------------------------------------------------
+# Tile-aggregated trainer (the roadmap's "route p/q through the
+# segment_sgd tile machinery" lever)
+# ---------------------------------------------------------------------------
+
+
+def _batch_xs(data: sgd.RatingBatches, include_sec: bool = True):
+    """Per-batch leaf dict + static tile shapes for a user-primary pack."""
+    if data.primary != "user":
+        raise ValueError("svdpp batched trainer needs pack_ratings("
+                         "order='user') data")
+    xs = {"u": data.user_ids, "i": data.item_ids,
+          "r": data.ratings, "w": data.weights}
+    agg_prim = (0, 0)
+    if data.agg_prim[1]:
+        xs["pb"] = data.prim_tile_base
+        agg_prim = data.agg_prim
+    agg_sec = (0, 0)
+    if include_sec and data.agg_sec[1]:
+        xs["ss"] = data.sec_ids_sorted
+        xs["sp"] = data.sec_perm
+        xs["sb"] = data.sec_tile_base
+        agg_sec = data.agg_sec
+    return xs, agg_prim, agg_sec
+
+
+def _prim_onehot(b: dict, agg_prim):
+    return (sgd._tile_onehot(b["u"], b["pb"], *agg_prim)
+            if agg_prim[1] else None)
+
+
+def _prim_gather(table, b, oh, agg_prim, expand):
+    if oh is not None and expand:
+        return sgd._tile_gather(table, oh, b["pb"], *agg_prim)
+    return table.at[b["u"]].get(mode="promise_in_bounds")
+
+
+def _prim_scatter(table, rows, b, oh, agg_prim):
+    if oh is not None:
+        return sgd._tile_scatter_add(table, rows, oh, b["pb"], *agg_prim)
+    return table.at[b["u"]].add(rows, mode="promise_in_bounds")
+
+
+def _sec_scatter(table, rows, b, agg_sec):
+    if agg_sec[1]:
+        oh = sgd._tile_onehot(b["ss"], b["sb"], *agg_sec)
+        return sgd._tile_scatter_add(table, rows[b["sp"]], oh, b["sb"],
+                                     *agg_sec)
+    return table.at[b["i"]].add(rows, mode="promise_in_bounds")
+
+
+def implicit_sum_batched(Y: jax.Array, data: sgd.RatingBatches,
+                         wvec: jax.Array) -> jax.Array:
+    """S = wvec * scatter_u(Y[i]) over user-primary batches: the S
+    scatter rides the primary tile machinery (C/S-fold fewer row ops);
+    the Y gather stays per-row (item side is unsorted in storage
+    order — see segment_sgd.RatingBatches on why un-permuting an expand
+    buys nothing)."""
+    xs, agg_prim, _ = _batch_xs(data, include_sec=False)
+    S0 = jnp.zeros((wvec.shape[0], Y.shape[1]), Y.dtype)
+
+    def body(S, b):
+        rows = Y.at[b["i"]].get(mode="promise_in_bounds") * b["w"][:, None]
+        return _prim_scatter(S, rows, b, _prim_onehot(b, agg_prim),
+                             agg_prim), None
+
+    S, _ = jax.lax.scan(body, S0, xs)
+    return S * wvec[:, None]
+
+
+def _pair_grads_batched(A: jax.Array, Y_like: jax.Array,
+                        data: sgd.RatingBatches, wvec: jax.Array,
+                        expand_prim: bool) -> jax.Array:
+    """gY[j] = sum over observed pairs (u, j) of wvec_u * A_u, batched:
+    A is pre-scaled by wvec ONCE at table level (no per-row scalar
+    gathers), its rows ride the primary gather-expand, and the gY
+    scatter rides the secondary (item-sorted) tiles."""
+    xs, agg_prim, agg_sec = _batch_xs(data)
+    Aw = A * wvec[:, None]
+    gY0 = jnp.zeros_like(Y_like)
+
+    def body(gY, b):
+        rows = _prim_gather(Aw, b, _prim_onehot(b, agg_prim), agg_prim,
+                            expand_prim) * b["w"][:, None]
+        return _sec_scatter(gY, rows, b, agg_sec), None
+
+    gY, _ = jax.lax.scan(body, gY0, xs)
+    return gY
+
+
+def svdpp_train_batched(
+    params: SVDppParams,
+    data: sgd.RatingBatches,
+    wvec: jax.Array,       # (Ucap,) |N(u)|^-1/2
+    item_deg: jax.Array,   # (Icap,) pair count per item (y ridge)
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr_y: float,
+    reg_y: float,
+) -> Tuple[SVDppParams, jax.Array]:
+    """Tile-aggregated SVD++ under the epoch-cached schedule.
+
+    Same objective/schedule as :func:`svdpp_train` (module docstring),
+    different data layout: ``pack_ratings(order='user')`` batches, so
+    the THREE user-side table ops per rating (P gather, P scatter,
+    A scatter — plus the S gather) all ride ONE shared one-hot per batch
+    on the MXU, and the Q-delta scatter rides the secondary tiles.  The
+    per-epoch O(nnz) passes (S build, y gradient) reuse the same batch
+    metadata.  Remaining per-row ops: the Q and Y gathers (2/rating).
+
+    Epoch order: batch-order shuffle (the framework's standard layout-
+    preserving shuffle, ``SGDConfig.shuffle='batch'``); with a single
+    batch the trajectory is identical to the flat trainer's.
+    """
+    xs_all, agg_prim, agg_sec = _batch_xs(data)
+    nb = data.user_ids.shape[0]
+    expand = data.expand_prim
+    umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+    imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+    kp = params.user_features.shape[1]
+    fmask = jnp.asarray((np.arange(kp) < cfg.n_factors).astype(np.float32))
+    mu = params.global_mean
+    n_real = data.n_real
+
+    def batch_step(carry, b):
+        P, Q, S, A, sse = carry
+        oh = _prim_onehot(b, agg_prim)
+        pu = _prim_gather(P, b, oh, agg_prim, expand)
+        su = _prim_gather(S, b, oh, agg_prim, expand)
+        qi = Q.at[b["i"]].get(mode="promise_in_bounds")
+        eff = pu + su
+        e = (b["r"] - (mu + jnp.einsum("nk,nk->n", eff, qi))) * b["w"]
+        sse = sse + jnp.sum(e * e)
+        reg_w = (cfg.reg * b["w"])[:, None]
+        gp = (e[:, None] * qi - reg_w * pu) * umask[None, :]
+        gq = (e[:, None] * eff - reg_w * qi) * imask[None, :]
+        A = _prim_scatter(A, e[:, None] * qi * fmask[None, :], b, oh,
+                          agg_prim)
+        P = _prim_scatter(P, cfg.lr * gp, b, oh, agg_prim)
+        Q = _sec_scatter(Q, cfg.lr * gq, b, agg_sec)
+        return (P, Q, S, A, sse), None
+
+    def epoch(carry, k):
+        P, Q, Y = carry
+        S = implicit_sum_batched(Y, data, wvec)
+        bperm = jax.random.permutation(k, nb)
+        xs = {kk: v[bperm] for kk, v in xs_all.items()}
+        A0 = jnp.zeros_like(P)
+        (P, Q, _, A, sse), _ = jax.lax.scan(
+            batch_step, (P, Q, S, A0, jnp.float32(0.0)), xs)
+        gY = _pair_grads_batched(A, Y, data, wvec, expand)
+        Y = Y + lr_y * (gY - reg_y * item_deg[:, None] * Y) * fmask[None, :]
+        rmse = jnp.sqrt(sse / max(n_real, 1))
+        return (P, Q, Y), rmse
+
+    keys = jax.random.split(key, n_epochs)
+    (P, Q, Y), hist = jax.lax.scan(
+        epoch,
+        (params.user_features, params.item_features,
+         params.implicit_features),
+        keys,
+    )
+    S = implicit_sum_batched(Y, data, wvec)
+    return params._replace(user_features=P, item_features=Q,
+                           implicit_features=Y,
+                           user_implicit_sums=S), hist
+
+
+_batched_cache: dict = {}
+
+
+def jit_svdpp_train_batched(cfg: SGDConfig, n_epochs: int, lr_y: float,
+                            reg_y: float):
+    """Cached jit of the tile-aggregated trainer; RatingBatches' static
+    fields (tile shapes, primary side) key further retraces."""
+    key = (cfg, n_epochs, lr_y, reg_y)
+    fn = _batched_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, d, wv, deg, k: svdpp_train_batched(
+                p, d, wv, deg, k, cfg, n_epochs, lr_y, reg_y,
+            )
+        )
+        _batched_cache[key] = fn
+    return fn
+
+
 _train_cache: dict = {}
 
 

@@ -6,6 +6,7 @@ import pandas as pd
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from matrix_factorization_tpu.core.config import SGDConfig
 from matrix_factorization_tpu.data.synthetic import lowrank_ratings
@@ -93,6 +94,89 @@ def test_svdpp_oracle_parity():
                                jnp.asarray(wvec))
     np.testing.assert_allclose(np.asarray(out.user_implicit_sums),
                                np.asarray(S), atol=1e-6)
+
+
+def test_svdpp_batched_oracle_parity():
+    """The tile-aggregated trainer (svdpp_train_batched) reproduces the
+    same single-batch trajectory as the float64 oracle — one batch makes
+    the schedule order-free, so the pack's in-batch user sort and the
+    tile einsums must only change float summation order."""
+    rng = np.random.default_rng(1)
+    # id spaces must exceed the minimum tile span C=32 or the cost model
+    # (correctly) refuses to tile
+    n_users, n_items, n = 40, 35, 400
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="linear", n_factors=6, lr=0.05, reg=0.02,
+                    min_rating=1.0, max_rating=5.0)
+    mu = float(r.mean())
+    params = svdpp_ops.init_params(jax.random.PRNGKey(0), n_users, n_items,
+                                   cfg, mu, init_sd=0.1)
+    data = sgd.pack_ratings(u, i, r, batch_size=4096, shuffle_seed=0,
+                            order="user", agg_min_gain=-10.0,
+                            row_width=cfg.padded_factors)
+    assert data.user_ids.shape[0] == 1  # single batch -> order-free
+    assert data.agg_prim[1] > 0  # tiles forced on even at toy scale
+    wvec = svdpp_ops._neighbor_weights(u, n_users,
+                                       params.user_features.shape[0])
+    deg = np.zeros(params.item_features.shape[0], np.float32)
+    deg[:n_items] = np.bincount(i, minlength=n_items)
+    fn = svdpp_ops.jit_svdpp_train_batched(cfg, 6, 0.05, 0.02)
+    out, hist = fn(params, data, jnp.asarray(wvec), jnp.asarray(deg),
+                   jax.random.PRNGKey(7))
+    oP, oQ, oY, ohist = _oracle_train(
+        np.asarray(params.user_features), np.asarray(params.item_features),
+        np.asarray(params.implicit_features), mu, u, i,
+        r.astype(np.float64), cfg, 6, 0.05, 0.05, 0.02, 0.02,
+        n_users, n_items)
+    np.testing.assert_allclose(np.asarray(out.user_features), oP, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.item_features), oQ, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.implicit_features), oY,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hist), ohist, atol=1e-4)
+    S = svdpp_ops.implicit_sum_batched(out.implicit_features, data,
+                                       jnp.asarray(wvec))
+    np.testing.assert_allclose(np.asarray(out.user_implicit_sums),
+                               np.asarray(S), atol=1e-6)
+
+
+def test_svdpp_batched_tile_vs_scatter_equivalence():
+    """Forced-on tile aggregation == plain per-row scatter on the SAME
+    multi-batch pack (identical batch membership; updates are summed, so
+    only float summation order may differ)."""
+    rng = np.random.default_rng(2)
+    n_users, n_items, n = 40, 30, 600
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="linear", n_factors=6, lr=0.05, reg=0.02,
+                    min_rating=1.0, max_rating=5.0)
+    mu = float(r.mean())
+    params = svdpp_ops.init_params(jax.random.PRNGKey(3), n_users, n_items,
+                                   cfg, mu, init_sd=0.1)
+    wvec = jnp.asarray(svdpp_ops._neighbor_weights(
+        u, n_users, params.user_features.shape[0]))
+    deg = np.zeros(params.item_features.shape[0], np.float32)
+    deg[:n_items] = np.bincount(i, minlength=n_items)
+    deg = jnp.asarray(deg)
+    outs = []
+    for kwargs in ({"agg_min_gain": -10.0}, {"aggregate": False}):
+        data = sgd.pack_ratings(u, i, r, batch_size=128, shuffle_seed=0,
+                                order="user", row_width=cfg.padded_factors,
+                                **kwargs)
+        assert data.user_ids.shape[0] > 1
+        fn = svdpp_ops.jit_svdpp_train_batched(cfg, 4, 0.05, 0.02)
+        outs.append(fn(params, data, wvec, deg, jax.random.PRNGKey(9)))
+    (a, ha), (b, hb) = outs
+    assert outs[0][0].user_features is not None
+    np.testing.assert_allclose(np.asarray(a.user_features),
+                               np.asarray(b.user_features), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.item_features),
+                               np.asarray(b.item_features), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.implicit_features),
+                               np.asarray(b.implicit_features), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), atol=1e-5)
 
 
 def test_svdpp_learns_and_serves():
