@@ -25,6 +25,50 @@ from matrix_factorization_tpu.ops import segment_sgd as sgd
 from matrix_factorization_tpu.ops import svdpp as svdpp_ops
 
 
+def _host_data(n_users: int, n_items: int, n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = (0.5 * rng.integers(1, 11, n)).astype(np.float32)
+    return u, i, r
+
+
+def run_tile_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
+                   epochs: int, seed: int = 0) -> dict:
+    """Tile-aggregated trainer (ops/svdpp.py::svdpp_train_batched):
+    user-primary pack so P/S/A share one tile one-hot per batch and the
+    Q deltas ride the secondary tiles.  Data is packed on host (the
+    production path) and shipped once before the timed window."""
+    cfg = SGDConfig(kernel="linear", n_factors=k, lr=0.005, reg=0.02,
+                    min_rating=0.5, max_rating=5.0, shuffle="batch")
+    u, i, r = _host_data(n_users, n_items, n, seed)
+    data = sgd.pack_ratings(u, i, r, bs, shuffle_seed=seed, order="user",
+                            row_width=cfg.padded_factors)
+    params = svdpp_ops.init_params(jax.random.PRNGKey(seed), n_users,
+                                   n_items, cfg, float(r.mean()),
+                                   init_sd=0.05)
+    wvec = svdpp_ops._neighbor_weights(u, n_users,
+                                       params.user_features.shape[0])
+    deg = np.zeros(params.item_features.shape[0], np.float32)
+    deg[:n_items] = np.bincount(i, minlength=n_items)
+    fn = svdpp_ops.jit_svdpp_train_batched(cfg, epochs, cfg.lr, cfg.reg)
+    wvec_d, deg_d = jnp.asarray(wvec), jnp.asarray(deg)
+    out, hist = fn(params, data, wvec_d, deg_d, jax.random.PRNGKey(1))
+    float(np.asarray(hist[-1]))  # compile + warm barrier (+ data transfer)
+    t0 = time.perf_counter()
+    out, hist = fn(params, data, wvec_d, deg_d, jax.random.PRNGKey(2))
+    got = float(np.asarray(hist[-1]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got)
+    return {
+        "metric": "svdpp_tile_rating_updates_per_sec_per_chip",
+        "value": round(n * epochs / dt, 1),
+        "unit": "updates/s",
+        "n_ratings": n, "n_factors": k, "batch_size": bs,
+        "epochs_timed": epochs, "seconds": round(dt, 3),
+    }
+
+
 def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
               epochs: int, seed: int = 0) -> dict:
     cfg = SGDConfig(kernel="linear", n_factors=k, lr=0.005, reg=0.02,
@@ -74,11 +118,18 @@ def main() -> None:
     p.add_argument("--factors", type=int, nargs="+", default=[64])
     p.add_argument("--bs", type=int, nargs="+", default=[1 << 20])
     p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--trainer", choices=["flat", "tile", "both"],
+                   default="flat")
     args = p.parse_args()
     for k in args.factors:
         for bs in args.bs:
-            print(json.dumps(run_combo(args.users, args.items, args.n, k,
-                                       bs, args.epochs)), flush=True)
+            if args.trainer in ("flat", "both"):
+                print(json.dumps(run_combo(args.users, args.items, args.n,
+                                           k, bs, args.epochs)), flush=True)
+            if args.trainer in ("tile", "both"):
+                print(json.dumps(run_tile_combo(args.users, args.items,
+                                                args.n, k, bs, args.epochs)),
+                      flush=True)
 
 
 if __name__ == "__main__":
