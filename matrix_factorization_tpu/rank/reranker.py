@@ -367,7 +367,9 @@ class JaxMLPReranker:
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
         z = self.decision_function(X)
-        prob = 1.0 / (1.0 + np.exp(-z))
+        # stable sigmoid: exp of a non-positive argument only
+        e = np.exp(-np.abs(z))
+        prob = np.where(z >= 0.0, 1.0 / (1.0 + e), e / (1.0 + e))
         return np.stack([1 - prob, prob], axis=1)
 
     def predict(self, X: np.ndarray) -> np.ndarray:
