@@ -60,6 +60,39 @@ def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
     }
 
 
+def run_combo_tiled(n_users: int, n_items: int, n: int, k: int, bs: int,
+                    epochs: int, seed: int = 0) -> dict:
+    """Tile-aggregated trainer (fit's single-device default): the pack
+    is host-side and ships over the tunnel, but only the training
+    program is inside the timed window (same protocol as run_combo)."""
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.002,
+                    min_rating=0.0, max_rating=1.0)
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    data = sgd.pack_ratings(u, i, np.ones(n, np.float32), bs,
+                            shuffle_seed=seed, order="user")
+    params = sgd.init_params(jax.random.PRNGKey(seed), n_users, n_items,
+                             cfg, 0.0, init_sd=0.05)
+    fn = bpr_ops.jit_bpr_train_tiled(cfg, epochs, 0.05, n_items)
+    out = fn(params, data, jax.random.PRNGKey(1))
+    float(np.asarray(out[1][-1]))
+    t0 = time.perf_counter()
+    out = fn(params, data, jax.random.PRNGKey(2))
+    got = float(np.asarray(out[0].user_features[0, 0]) +
+                np.asarray(out[1][-1]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got)
+    return {
+        "metric": "bpr_tiled_triplet_updates_per_sec_per_chip",
+        "value": round(n * epochs / dt, 1),
+        "unit": "triplets/s",
+        "n_positives": n, "n_factors": k, "batch_size": bs,
+        "epochs_timed": epochs, "seconds": round(dt, 3),
+        "tiles_prim": list(data.agg_prim), "tiles_sec": list(data.agg_sec),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--users", type=int, default=162_541)   # ML-25M shape
@@ -68,11 +101,18 @@ def main() -> None:
     p.add_argument("--factors", type=int, nargs="+", default=[64])
     p.add_argument("--bs", type=int, nargs="+", default=[1 << 20])
     p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--mode", choices=["flat", "tiled", "both"],
+                   default="both")
     args = p.parse_args()
     for k in args.factors:
         for bs in args.bs:
-            print(json.dumps(run_combo(args.users, args.items, args.n, k,
-                                       bs, args.epochs)), flush=True)
+            if args.mode in ("flat", "both"):
+                print(json.dumps(run_combo(args.users, args.items, args.n,
+                                           k, bs, args.epochs)), flush=True)
+            if args.mode in ("tiled", "both"):
+                print(json.dumps(run_combo_tiled(args.users, args.items,
+                                                 args.n, k, bs,
+                                                 args.epochs)), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+"""Per-chip throughput of the data-parallel trainers on the real chip.
+
+The round-2 multi-chip story proved CORRECTNESS on the virtual mesh but
+the dp trainers used plain per-row scatters — so the projected N-chip
+rate was (flat per-chip rate) x N, far below the single-chip
+tile-aggregated headline.  This bench runs BOTH dp layouts on a
+1-device mesh at the headline shape: the psum degenerates to a copy, so
+the number isolates the per-chip compute rate each layout would carry
+into a real multi-chip mesh (collective costs are modeled separately —
+benchmarks/comm_volume.py).  Pack + host->device shipping happen
+OUTSIDE the timed window (bench.py protocol: the shared tunnel's
+bandwidth is not the chip's problem); the timed window is ``--epochs``
+full epochs of the jitted train program ending in a scalar fetch.
+
+    python benchmarks/dp_tiled_bench.py --n 25000000 --factors 100 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops import segment_sgd as sgd
+from matrix_factorization_tpu.parallel import distributed as dist
+from matrix_factorization_tpu.parallel.mesh import data_axes_of, make_mesh
+
+
+def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
+              epochs: int, layout: str, order: str, seed: int = 0) -> dict:
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.005, lr=0.002,
+                    min_rating=1.0, max_rating=5.0, batch_size=bs)
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1.0, 5.0, n).astype(np.float32)
+    mesh = make_mesh(n_data=1)
+    ucap = sgd.round_up(n_users, 8)
+    params = sgd.init_params(jax.random.PRNGKey(seed), n_users, n_items,
+                             cfg, float(r.mean()), 0.0, 0.1,
+                             user_capacity=ucap)
+    params = dist.place_params(params, mesh)
+    shard = NamedSharding(mesh, P(data_axes_of(mesh)))
+    extra: dict = {}
+    if layout == "tiled":
+        data = sgd.pack_ratings(u, i, r, bs, shuffle_seed=seed, order=order,
+                                row_width=cfg.padded_factors, n_dev=1,
+                                users_per_dev=ucap)
+        data = jax.tree.map(lambda a: jax.device_put(a, shard), data)
+        train = jax.jit(lambda p, d, kk: dist.dp_sgd_train_tiled(
+            p, d, kk, cfg, epochs, cfg.lr, mesh))
+        extra = {"tiles_prim": list(data.agg_prim),
+                 "tiles_sec": list(data.agg_sec)}
+    else:
+        su, si, sr, sw, _ = dist.shard_ratings_by_user(u, i, r, ucap, 1, bs)
+        data = dist.ShardedRatings(
+            jax.device_put(su, shard), jax.device_put(si, shard),
+            jax.device_put(sr, shard), jax.device_put(sw, shard))
+        train = jax.jit(lambda p, d, kk: dist.dp_sgd_train(
+            p, d, kk, cfg, epochs, cfg.lr, mesh, n))
+
+    out = train(params, data, jax.random.PRNGKey(1))  # compile + warm
+    float(np.asarray(out[0].user_features[0, 0]))
+    t0 = time.perf_counter()
+    out = train(params, data, jax.random.PRNGKey(2))
+    got = float(np.asarray(out[0].user_features[0, 0]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got)
+    return {
+        "metric": f"dp_{layout}_updates_per_sec_per_chip",
+        "value": round(n * epochs / dt, 1),
+        "unit": "updates/s",
+        "n_ratings": n, "n_factors": k, "batch_size": bs,
+        "epochs_timed": epochs, "seconds": round(dt, 3),
+        "pack_order": order, **extra,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--users", type=int, default=162_541)   # ML-25M shape
+    p.add_argument("--items", type=int, default=59_047)
+    p.add_argument("--n", type=int, default=25_000_000)
+    p.add_argument("--factors", type=int, nargs="+", default=[100])
+    p.add_argument("--bs", type=int, default=1 << 20)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--order", default="item")
+    p.add_argument("--layouts", nargs="+", default=["flat", "tiled"])
+    args = p.parse_args()
+    for k in args.factors:
+        for layout in args.layouts:
+            print(json.dumps(run_combo(args.users, args.items, args.n, k,
+                                       args.bs, args.epochs, layout,
+                                       args.order)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

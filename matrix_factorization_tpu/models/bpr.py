@@ -179,11 +179,20 @@ class BPR(RecommenderBase):
                     self.n_items, cfg, global_mean=0.0,
                     init_sd=self.init_sd,
                 )
-            up, ip, wp, bs = bpr_ops.pack_positives(u, i, self.batch_size)
-            fn = bpr_ops.jit_bpr_train(cfg, n_epochs, self.lr,
-                                       self.n_items, bs, len(u))
-            params, hist = fn(params, jnp.asarray(up), jnp.asarray(ip),
-                              jnp.asarray(wp), k_fit)
+            # single-device default: the tile-aggregated trainer — the
+            # P gather/scatter and positive-Q scatter ride the MXU tile
+            # machinery (ops/bpr.py::bpr_train_tiled); the flat trainer
+            # remains the dp-mesh path (negatives/epoch order semantics
+            # documented there)
+            bs = min(self.batch_size, max(1, len(u)))
+            data = sgd.pack_ratings(
+                u.astype(np.int32), i.astype(np.int32),
+                np.ones(len(u), np.float32), bs,
+                shuffle_seed=self.seed, order="user",
+            )
+            fn = bpr_ops.jit_bpr_train_tiled(cfg, n_epochs, self.lr,
+                                             self.n_items)
+            params, hist = fn(params, data, k_fit)
         self._params = params
         self.global_mean = 0.0
         done = len(self.train_loss)
@@ -257,13 +266,17 @@ class BPR(RecommenderBase):
             self._params = self._params._replace(
                 user_features=self._params.user_features.at[idx].set(fresh)
             )
-        up, ip, wp, bs = bpr_ops.pack_positives(u, i, self.batch_size)
-        fn = bpr_ops.jit_bpr_train(
-            cfg, n_epochs or self.n_epochs, lr or self.lr, self.n_items,
-            bs, len(u), update_item_params=False,
+        bs = min(self.batch_size, max(1, len(u)))
+        data = sgd.pack_ratings(
+            u.astype(np.int32), i.astype(np.int32),
+            np.ones(len(u), np.float32), bs,
+            shuffle_seed=self.seed, order="user",
         )
-        params, hist = fn(self._params, jnp.asarray(up), jnp.asarray(ip),
-                          jnp.asarray(wp),
+        fn = bpr_ops.jit_bpr_train_tiled(
+            cfg, n_epochs or self.n_epochs, lr or self.lr, self.n_items,
+            update_item_params=False,
+        )
+        params, hist = fn(self._params, data,
                           jax.random.fold_in(jax.random.PRNGKey(self.seed), 2))
         self._params = params
         self._serving_cache = None

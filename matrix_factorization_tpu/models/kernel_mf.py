@@ -62,6 +62,7 @@ class KernelMF(RecommenderBase):
         als_warm_start: int = 0,
         als_warm_reg: Optional[float] = None,
         serving_dtype: str = "float32",
+        dp_layout: str = "auto",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
@@ -125,6 +126,16 @@ class KernelMF(RecommenderBase):
         verified in tests/test_kernel_mf.py and PARITY.md), or 'auto'
         (sorts whichever id space is larger).
 
+        ``dp_layout`` (mesh SGD fits via ``dp_fit`` only): 'auto'
+        (default — the tile-aggregated data-parallel trainer,
+        ``parallel.distributed.dp_sgd_train_tiled``, unless the shuffle
+        mode forbids layout reuse), 'tiled', or 'flat' (plain per-row
+        scatters, the pre-round-3 dp path).  The tiled trainer carries
+        the single-chip MXU aggregation machinery into the mesh path so
+        per-chip throughput does not regress when a mesh is attached;
+        the epoch visit order matches ``epoch_order`` semantics per
+        device shard.
+
         ``serving_dtype``: 'float32' (default) or 'bfloat16' — keep an
         extra bf16 copy of the factor tables resident on device and
         route the catalog scorers (``recommend`` / ``recommend_batch`` /
@@ -179,6 +190,8 @@ class KernelMF(RecommenderBase):
             )
         if serving_dtype not in ("float32", "bfloat16"):
             raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
+        if dp_layout not in ("auto", "tiled", "flat"):
+            raise ValueError("dp_layout must be 'auto', 'tiled' or 'flat'")
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
         self.n_factors = n_factors
         self.n_epochs = n_epochs
@@ -198,6 +211,7 @@ class KernelMF(RecommenderBase):
         self.epoch_order = epoch_order
         self.keep_sharded = keep_sharded
         self.overlap_psum = overlap_psum
+        self.dp_layout = dp_layout
         self.serving_dtype = serving_dtype
         self._params: Optional[sgd.MFParams] = None
         self._topk_catalog = None
@@ -296,16 +310,18 @@ class KernelMF(RecommenderBase):
                 )
             else:
                 # model axis > 1: shard the item table too (2D training)
-                fit_fn = (
-                    dist.dp_tp_fit
-                    if self.mesh.shape.get(MODEL_AXIS, 1) > 1
-                    else dist.dp_fit
-                )
+                kw = {}
+                if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+                    fit_fn = dist.dp_tp_fit
+                else:
+                    fit_fn = dist.dp_fit
+                    kw = {"layout": self.dp_layout,
+                          "pack_order": self.epoch_order}
                 params, rmse_hist = fit_fn(
                     u, i, r, self.n_users, self.n_items, cfg, n_epochs,
                     self.lr, self.mesh, seed=self.seed,
                     init_mean=self.init_mean, init_sd=self.init_sd,
-                    overlap_psum=self.overlap_psum,
+                    overlap_psum=self.overlap_psum, **kw,
                 )
             if self.keep_sharded:
                 # tables stay resident in their training shardings;

@@ -129,6 +129,98 @@ def bpr_train(
     return params._replace(user_features=P, item_features=Q), hist
 
 
+def bpr_train_tiled(
+    params: sgd.MFParams,
+    data: sgd.RatingBatches,
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr: float,
+    n_items: int,
+    update_item_params: bool = True,
+) -> Tuple[sgd.MFParams, jax.Array]:
+    """Tile-aggregated BPR (the roadmap's "route the P side through the
+    segment_sgd tile machinery" lever).
+
+    Positives are packed user-primary (``pack_ratings(order='user')``),
+    so of the six row ops per triplet three ride the MXU tile machinery:
+    the P gather and P scatter share one one-hot per batch, and the
+    positive-item delta scatter rides the secondary (item-sorted) tiles.
+    The remaining three stay per-row: the ``Q[i]``/``Q[j]`` gathers and
+    the negative-item scatter — negatives CANNOT be batch-sorted
+    (order-statistic pairing against user-sorted positives biases the
+    sample), so they are drawn iid per epoch exactly as in
+    :func:`bpr_train`.
+
+    Epoch order is the framework's standard layout-preserving deviation:
+    batch composition is fixed at pack time and only the batch ORDER is
+    permuted per epoch (``segment_sgd.RatingBatches`` docstring); the
+    flat trainer re-permutes triplets across batch boundaries instead.
+    Both are valid SGD on the same objective; with a single batch the
+    trajectories coincide.
+    """
+    xs_all, agg_prim, agg_sec = sgd.tile_batch_xs(data, with_ratings=False)
+    nb, bs = data.user_ids.shape
+    expand = data.expand_prim
+    umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+    imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+    n_real = data.n_real
+
+    def batch_step(carry, b):
+        P, Q, loss_acc = carry
+        oh = sgd.tile_prim_onehot(b, agg_prim)
+        pu = sgd.tile_prim_gather(P, b, oh, agg_prim, expand)
+        qi = Q.at[b["i"]].get(mode="promise_in_bounds")
+        qj = Q.at[b["j"]].get(mode="promise_in_bounds")
+        x = jnp.einsum("nk,nk->n", pu, qi - qj)
+        s = jax.nn.sigmoid(-x) * b["w"]
+        loss_acc = loss_acc + jnp.sum(jax.nn.softplus(-x) * b["w"])
+        reg_w = (cfg.reg * b["w"])[:, None]
+        gP = (s[:, None] * (qi - qj) - reg_w * pu) * umask[None, :]
+        P = sgd.tile_prim_scatter(P, lr * gP, b, oh, agg_prim)
+        if update_item_params:
+            gQi = (s[:, None] * pu - reg_w * qi) * imask[None, :]
+            gQj = (-s[:, None] * pu - reg_w * qj) * imask[None, :]
+            Q = sgd.tile_sec_scatter(Q, lr * gQi, b, agg_sec)
+            Q = Q.at[b["j"]].add(lr * gQj, mode="promise_in_bounds")
+        return (P, Q, loss_acc), None
+
+    def epoch(carry, k):
+        P, Q = carry
+        kp, kn = jax.random.split(k)
+        bperm = jax.random.permutation(kp, nb)
+        xs = {kk: v[bperm] for kk, v in xs_all.items()}
+        xs["j"] = jax.random.randint(kn, (nb, bs), 0, n_items, jnp.int32)
+        (P, Q, loss), _ = jax.lax.scan(
+            batch_step, (P, Q, jnp.float32(0.0)), xs)
+        return (P, Q), loss / max(n_real, 1)
+
+    (P, Q), hist = jax.lax.scan(
+        epoch, (params.user_features, params.item_features),
+        jax.random.split(key, n_epochs),
+    )
+    return params._replace(user_features=P, item_features=Q), hist
+
+
+_tiled_cache: dict = {}
+
+
+def jit_bpr_train_tiled(cfg: SGDConfig, n_epochs: int, lr: float,
+                        n_items: int, update_item_params: bool = True):
+    """Cached jit of :func:`bpr_train_tiled`; RatingBatches' static
+    fields (tile shapes, primary side, n_real) key further retraces."""
+    key = (cfg, n_epochs, lr, n_items, update_item_params)
+    fn = _tiled_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, d, k: bpr_train_tiled(
+                p, d, k, cfg, n_epochs, lr, n_items, update_item_params,
+            )
+        )
+        _tiled_cache[key] = fn
+    return fn
+
+
 def jit_bpr_train(cfg: SGDConfig, n_epochs: int, lr: float, n_items: int,
                   batch_size: int, n_real: int,
                   update_item_params: bool = True):
@@ -255,22 +347,6 @@ def dp_bpr_train(
     P_new, Q_new, hist = fn(params.user_features, params.item_features,
                             u_all, i_all, w_all, keys)
     return params._replace(user_features=P_new, item_features=Q_new), hist
-
-
-def pack_positives(u: np.ndarray, i: np.ndarray, batch_size: int
-                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """Pad the positive stream to whole batches; returns
-    (u_pad, i_pad, w_pad, batch_size_clamped)."""
-    n = len(u)
-    bs = min(batch_size, max(1, n))
-    n_pad = sgd.round_up(max(n, 1), bs)
-    up = np.zeros(n_pad, np.int32)
-    ip = np.zeros(n_pad, np.int32)
-    wp = np.zeros(n_pad, np.float32)
-    up[:n] = u
-    ip[:n] = i
-    wp[:n] = 1.0
-    return up, ip, wp, bs
 
 
 def auc_sampled(params: sgd.MFParams, u: np.ndarray, i: np.ndarray,

@@ -244,6 +244,31 @@ def _expand_wins(S: int, C: int, row_width: int) -> bool:
     return expand < g
 
 
+def sort_stream_by_key(key: np.ndarray, u: np.ndarray, i: np.ndarray,
+                       r: np.ndarray, n_keys: int
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(u, i, r) stably sorted by a dense key — the native counting sort
+    (O(n + n_keys), byte-identical to argsort(kind='stable')) when
+    available, numpy otherwise."""
+    from matrix_factorization_tpu.data.loader import get_native_lib
+
+    lib = get_native_lib()
+    n = len(key)
+    if lib is not None and n:
+        u_s = np.empty(n, np.int32)
+        i_s = np.empty(n, np.int32)
+        r_s = np.empty(n, np.float32)
+        lib.mf_sort_triple_by_key(
+            np.ascontiguousarray(key, np.int32),
+            np.ascontiguousarray(u, np.int32),
+            np.ascontiguousarray(i, np.int32),
+            np.ascontiguousarray(r, np.float32),
+            n, int(n_keys), u_s, i_s, r_s)
+        return u_s, i_s, r_s
+    order = np.argsort(key, kind="stable")
+    return u[order], i[order], r[order]
+
+
 def _native_threads() -> int:
     import os
 
@@ -366,8 +391,20 @@ def pack_ratings(
     agg_min_gain: float = 0.2,
     item_sort_chunks: int = 8,
     row_width: int = 128,
+    n_dev: int = 1,
+    users_per_dev: Optional[int] = None,
 ) -> RatingBatches:
     """Host-side packing into (nb, bs) blocks, pre-shuffled once.
+
+    ``n_dev > 1`` packs DEVICE-MAJOR for the data-parallel trainer:
+    device d owns users ``[d*users_per_dev, (d+1)*users_per_dev)``, the
+    returned user ids are LOCAL to their device, every device is padded
+    to a common whole number of batches (leading dim ``n_dev * nb_local``
+    ready to shard on a mesh's data axes), and — because the tile
+    metadata below is computed over ALL batches at once — the (S, C)
+    tile shapes are uniform across devices, so one ``shard_map`` program
+    serves every shard.  Shuffling and chunk-sorting stay within each
+    device's segment.
 
     ``order='item'`` splits the (shuffled) stream into
     ``item_sort_chunks`` chunks and sorts each by item id, so batches
@@ -391,64 +428,110 @@ def pack_ratings(
     """
     n = int(len(ratings))
     if order == "auto" and n > 0:
-        order = "user" if int(user_ids.max()) > int(item_ids.max()) else "item"
+        max_u = (users_per_dev - 1 if n_dev > 1 and users_per_dev
+                 else int(user_ids.max()))
+        order = "user" if max_u > int(item_ids.max()) else "item"
     elif order == "auto":
         order = "item"
     if order not in ("shuffle", "item", "user"):
         raise ValueError(f"unknown pack order {order!r}")
-    n_pad = max(batch_size, round_up(n, batch_size))
-    pad = n_pad - n
-    nb = n_pad // batch_size
-    u = np.empty(n_pad, np.int32)
-    i = np.empty(n_pad, np.int32)
-    r = np.empty(n_pad, np.float32)
-    lib = None
-    if shuffle_seed is not None and n > 1:
-        from matrix_factorization_tpu.data.loader import get_native_lib
-
-        lib = get_native_lib()
-    if lib is not None:
-        # apply the epoch permutation in one native gather pass, writing
-        # straight into the padded buffers (the numpy path below costs
-        # three fancy-index copies + three astype/concatenate copies)
-        perm = np.random.default_rng(shuffle_seed).permutation(n)
-        lib.mf_gather_rows(
-            np.ascontiguousarray(user_ids, np.int32),
-            np.ascontiguousarray(item_ids, np.int32),
-            np.ascontiguousarray(ratings, np.float32),
-            perm, n, u[:n], i[:n], r[:n], _native_threads())
+    if n_dev > 1:
+        if not users_per_dev:
+            raise ValueError("n_dev > 1 needs users_per_dev")
+        dev = (user_ids.astype(np.int64) // users_per_dev).astype(np.int32)
+        us, is_, rs = sort_stream_by_key(
+            dev, user_ids.astype(np.int32), item_ids.astype(np.int32),
+            ratings.astype(np.float32), n_dev)
+        counts = np.bincount(dev, minlength=n_dev)
+        n_pad_local = max(batch_size,
+                          round_up(max(int(counts.max()), 1), batch_size))
+        n_pad = n_dev * n_pad_local
+        nb = n_pad // batch_size
+        u = np.zeros(n_pad, np.int32)
+        i = np.zeros(n_pad, np.int32)
+        r = np.zeros(n_pad, np.float32)
+        w = np.zeros(n_pad, np.float32)
+        start = 0
+        for d in range(n_dev):
+            c = int(counts[d])
+            sl = slice(start, start + c)
+            lu = us[sl] - d * users_per_dev
+            li, lr_ = is_[sl], rs[sl]
+            if shuffle_seed is not None and c > 1:
+                perm = np.random.default_rng((shuffle_seed, d)).permutation(c)
+                lu, li, lr_ = lu[perm], li[perm], lr_[perm]
+            off = d * n_pad_local
+            u[off:off + c] = lu
+            i[off:off + c] = li
+            r[off:off + c] = lr_
+            w[off:off + c] = 1.0
+            padl = n_pad_local - c
+            if padl and c:  # tail-resample pads (weight 0), per device
+                tail = min(c, padl)
+                u[off + c:off + n_pad_local] = np.resize(
+                    u[off + c - tail:off + c], padl)
+                i[off + c:off + n_pad_local] = np.resize(
+                    i[off + c - tail:off + c], padl)
+            start += c
     else:
+        n_pad = max(batch_size, round_up(n, batch_size))
+        pad = n_pad - n
+        nb = n_pad // batch_size
+        u = np.empty(n_pad, np.int32)
+        i = np.empty(n_pad, np.int32)
+        r = np.empty(n_pad, np.float32)
+        lib = None
         if shuffle_seed is not None and n > 1:
+            from matrix_factorization_tpu.data.loader import get_native_lib
+
+            lib = get_native_lib()
+        if lib is not None:
+            # apply the epoch permutation in one native gather pass, writing
+            # straight into the padded buffers (the numpy path below costs
+            # three fancy-index copies + three astype/concatenate copies)
             perm = np.random.default_rng(shuffle_seed).permutation(n)
-            user_ids, item_ids, ratings = (
-                user_ids[perm], item_ids[perm], ratings[perm],
-            )
-        u[:n] = user_ids
-        i[:n] = item_ids
-        r[:n] = ratings
-    # pads resample the TAIL of the real stream cyclically (weight 0 makes
-    # them no-ops): they follow the local id distribution of the chunk
-    # they land in, so the pad-heavy last batch keeps the same sorted-tile
-    # spans as full batches instead of leaving its few real ids spread
-    # thin (which would blow up the C bound)
-    if pad:
-        tail = min(n, max(pad, 1))
-        u[n:] = np.resize(u[n - tail:n], pad) if n else 0
-        i[n:] = np.resize(i[n - tail:n], pad) if n else 0
-        r[n:] = 0.0
-    w = np.empty(n_pad, np.float32)
-    w[:n] = 1.0
-    w[n:] = 0.0
+            lib.mf_gather_rows(
+                np.ascontiguousarray(user_ids, np.int32),
+                np.ascontiguousarray(item_ids, np.int32),
+                np.ascontiguousarray(ratings, np.float32),
+                perm, n, u[:n], i[:n], r[:n], _native_threads())
+        else:
+            if shuffle_seed is not None and n > 1:
+                perm = np.random.default_rng(shuffle_seed).permutation(n)
+                user_ids, item_ids, ratings = (
+                    user_ids[perm], item_ids[perm], ratings[perm],
+                )
+            u[:n] = user_ids
+            i[:n] = item_ids
+            r[:n] = ratings
+        # pads resample the TAIL of the real stream cyclically (weight 0
+        # makes them no-ops): they follow the local id distribution of the
+        # chunk they land in, so the pad-heavy last batch keeps the same
+        # sorted-tile spans as full batches instead of leaving its few
+        # real ids spread thin (which would blow up the C bound)
+        if pad:
+            tail = min(n, max(pad, 1))
+            u[n:] = np.resize(u[n - tail:n], pad) if n else 0
+            i[n:] = np.resize(i[n - tail:n], pad) if n else 0
+            r[n:] = 0.0
+        w = np.empty(n_pad, np.float32)
+        w[:n] = 1.0
+        w[n:] = 0.0
     if order in ("item", "user") and n > 1:
         # sort whole-batch chunks by the chosen id: chunk bounds are batch
         # boundaries, so no aggregation tile ever straddles two chunks
         # (a mixed tile would span the whole id space and disable the
-        # tile path); pads carry weight 0, sorting them in is harmless
+        # tile path); pads carry weight 0, sorting them in is harmless.
+        # Chunks never cross a device segment (n_dev > 1).
         sort_key = i if order == "item" else u
-        chunks = max(1, min(item_sort_chunks, nb))
-        step = -(-nb // chunks) * batch_size
-        starts = np.arange(0, nb * batch_size, step, dtype=np.int64)
-        ends = np.minimum(starts + step, n_pad)
+        nb_local = nb // n_dev
+        chunks = max(1, min(item_sort_chunks, nb_local))
+        step = -(-nb_local // chunks) * batch_size
+        seg = nb_local * batch_size
+        rel = np.arange(0, seg, step, dtype=np.int64)
+        offs = np.arange(n_dev, dtype=np.int64)[:, None] * seg
+        starts = (offs + rel[None, :]).reshape(-1)
+        ends = (offs + np.minimum(rel + step, seg)[None, :]).reshape(-1)
         if not _native_sort_ranges(u, i, r, w, starts, ends,
                                    order == "item",
                                    int(sort_key.max()) + 1):
@@ -674,6 +757,63 @@ def _tile_gather(
     return out.reshape(T * S, kp)
 
 
+# -- shared batch-leaf helpers for trainers that ride the tile machinery
+# (SVD++, BPR): a user-primary pack's P-side ops share one one-hot per
+# batch, the item-side delta scatter rides the secondary tiles, and each
+# helper degrades to the plain per-row op when tile metadata is absent.
+
+
+def tile_batch_xs(data: "RatingBatches", include_sec: bool = True,
+                  with_ratings: bool = True, primary: str = "user"):
+    """Per-batch scan-leaf dict + static (S, C) tile shapes.
+
+    Returns ``(xs, agg_prim, agg_sec)``; ``xs`` leaves all have leading
+    dim ``nb`` so a batch-order permutation can be applied uniformly."""
+    if data.primary != primary:
+        raise ValueError(
+            f"trainer needs pack_ratings(order={primary!r}) data, "
+            f"got primary={data.primary!r}")
+    xs = {"u": data.user_ids, "i": data.item_ids, "w": data.weights}
+    if with_ratings:
+        xs["r"] = data.ratings
+    agg_prim = (0, 0)
+    if data.agg_prim[1]:
+        xs["pb"] = data.prim_tile_base
+        agg_prim = data.agg_prim
+    agg_sec = (0, 0)
+    if include_sec and data.agg_sec[1]:
+        xs["ss"] = data.sec_ids_sorted
+        xs["sp"] = data.sec_perm
+        xs["sb"] = data.sec_tile_base
+        agg_sec = data.agg_sec
+    return xs, agg_prim, agg_sec
+
+
+def tile_prim_onehot(b: dict, agg_prim):
+    return (_tile_onehot(b["u"], b["pb"], *agg_prim)
+            if agg_prim[1] else None)
+
+
+def tile_prim_gather(table, b, oh, agg_prim, expand):
+    if oh is not None and expand:
+        return _tile_gather(table, oh, b["pb"], *agg_prim)
+    return table.at[b["u"]].get(mode="promise_in_bounds")
+
+
+def tile_prim_scatter(table, rows, b, oh, agg_prim):
+    if oh is not None:
+        return _tile_scatter_add(table, rows, oh, b["pb"], *agg_prim)
+    return table.at[b["u"]].add(rows, mode="promise_in_bounds")
+
+
+def tile_sec_scatter(table, rows, b, agg_sec):
+    if agg_sec[1]:
+        oh = _tile_onehot(b["ss"], b["sb"], *agg_sec)
+        return _tile_scatter_add(table, rows[b["sp"]], oh, b["sb"],
+                                 *agg_sec)
+    return table.at[b["i"]].add(rows, mode="promise_in_bounds")
+
+
 def _minibatch_update(
     params: MFParams,
     b: dict,
@@ -757,9 +897,11 @@ def _minibatch_update(
 # ---------------------------------------------------------------------------
 
 
-def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
-           cfg: SGDConfig, lr, reg=None):
-    nb = data.user_ids.shape[0]
+def epoch_xs(data: RatingBatches, cfg: SGDConfig):
+    """Scan-leaf dict + static tile shapes honoring the
+    ``cfg.shuffle``/``cfg.aggregate`` gates — shared by the single-device
+    epoch and the data-parallel tiled trainer
+    (``parallel/distributed.py``)."""
     xs = {
         "u": data.user_ids, "i": data.item_ids,
         "r": data.ratings, "w": data.weights,
@@ -782,19 +924,31 @@ def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
             xs["sp"] = data.sec_perm
             xs["sb"] = data.sec_tile_base
             agg_sec = data.agg_sec
+    return xs, agg_prim, agg_sec, expand_prim
 
+
+def shuffle_xs(xs: dict, key: jax.Array, cfg: SGDConfig, nb: int) -> dict:
+    """Apply the per-epoch visit-order shuffle to the scan leaves."""
     if cfg.shuffle == "full":
         n_pad = nb * cfg.batch_size
         perm = jax.random.permutation(key, n_pad)
-        xs = {
+        return {
             k: v.reshape(-1)[perm].reshape(nb, cfg.batch_size)
             for k, v in xs.items()
         }
-    elif cfg.shuffle == "batch":
+    if cfg.shuffle == "batch":
         bperm = jax.random.permutation(key, nb)
-        xs = {k: v[bperm] for k, v in xs.items()}
-    elif cfg.shuffle != "none":
+        return {k: v[bperm] for k, v in xs.items()}
+    if cfg.shuffle != "none":
         raise ValueError(f"unknown shuffle {cfg.shuffle!r}")
+    return xs
+
+
+def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
+           cfg: SGDConfig, lr, reg=None):
+    nb = data.user_ids.shape[0]
+    xs, agg_prim, agg_sec, expand_prim = epoch_xs(data, cfg)
+    xs = shuffle_xs(xs, key, cfg, nb)
 
     def body(p, batch):
         return _minibatch_update(p, batch, cfg, lr, agg_prim, agg_sec,
@@ -804,10 +958,13 @@ def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
     return params
 
 
-def masked_sse(params: MFParams, data: RatingBatches, cfg: SGDConfig) -> jax.Array:
+def masked_sse(params: MFParams, data: RatingBatches, cfg: SGDConfig,
+               init=None) -> jax.Array:
     """Sum of squared errors over the (padded) rating stream, batched to
     bound the gather working set. Mirrors the reference's per-epoch full
-    train pass (``kernel_matrix_factorization.py:428-440``)."""
+    train pass (``kernel_matrix_factorization.py:428-440``).
+    ``init`` overrides the zero accumulator — shard_map callers pass a
+    ``pcast(..., to='varying')`` zero so the scan carry types match."""
     xs = (data.user_ids, data.item_ids, data.ratings, data.weights)
 
     def body(acc, batch):
@@ -820,7 +977,8 @@ def masked_sse(params: MFParams, data: RatingBatches, cfg: SGDConfig) -> jax.Arr
         e = (pred - r) * w
         return acc + jnp.sum(e * e), None
 
-    sse, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+    sse, _ = jax.lax.scan(
+        body, jnp.float32(0.0) if init is None else init, xs)
     return sse
 
 

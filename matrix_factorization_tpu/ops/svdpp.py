@@ -283,49 +283,12 @@ def svdpp_train(
 # ---------------------------------------------------------------------------
 
 
-def _batch_xs(data: sgd.RatingBatches, include_sec: bool = True):
-    """Per-batch leaf dict + static tile shapes for a user-primary pack."""
-    if data.primary != "user":
-        raise ValueError("svdpp batched trainer needs pack_ratings("
-                         "order='user') data")
-    xs = {"u": data.user_ids, "i": data.item_ids,
-          "r": data.ratings, "w": data.weights}
-    agg_prim = (0, 0)
-    if data.agg_prim[1]:
-        xs["pb"] = data.prim_tile_base
-        agg_prim = data.agg_prim
-    agg_sec = (0, 0)
-    if include_sec and data.agg_sec[1]:
-        xs["ss"] = data.sec_ids_sorted
-        xs["sp"] = data.sec_perm
-        xs["sb"] = data.sec_tile_base
-        agg_sec = data.agg_sec
-    return xs, agg_prim, agg_sec
-
-
-def _prim_onehot(b: dict, agg_prim):
-    return (sgd._tile_onehot(b["u"], b["pb"], *agg_prim)
-            if agg_prim[1] else None)
-
-
-def _prim_gather(table, b, oh, agg_prim, expand):
-    if oh is not None and expand:
-        return sgd._tile_gather(table, oh, b["pb"], *agg_prim)
-    return table.at[b["u"]].get(mode="promise_in_bounds")
-
-
-def _prim_scatter(table, rows, b, oh, agg_prim):
-    if oh is not None:
-        return sgd._tile_scatter_add(table, rows, oh, b["pb"], *agg_prim)
-    return table.at[b["u"]].add(rows, mode="promise_in_bounds")
-
-
-def _sec_scatter(table, rows, b, agg_sec):
-    if agg_sec[1]:
-        oh = sgd._tile_onehot(b["ss"], b["sb"], *agg_sec)
-        return sgd._tile_scatter_add(table, rows[b["sp"]], oh, b["sb"],
-                                     *agg_sec)
-    return table.at[b["i"]].add(rows, mode="promise_in_bounds")
+# shared with ops/bpr.py — see segment_sgd's tile_batch_* helpers
+_batch_xs = sgd.tile_batch_xs
+_prim_onehot = sgd.tile_prim_onehot
+_prim_gather = sgd.tile_prim_gather
+_prim_scatter = sgd.tile_prim_scatter
+_sec_scatter = sgd.tile_sec_scatter
 
 
 def implicit_sum_batched(Y: jax.Array, data: sgd.RatingBatches,

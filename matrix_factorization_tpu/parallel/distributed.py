@@ -53,29 +53,8 @@ class ShardedRatings(NamedTuple):
         return self.user_ids.shape[0]
 
 
-def _sort_stream_by_key(key: np.ndarray, u: np.ndarray, i: np.ndarray,
-                        r: np.ndarray, n_keys: int
-                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(u, i, r) stably sorted by a dense key — the native counting sort
-    (O(n + n_keys), byte-identical to argsort(kind='stable')) when
-    available, numpy otherwise."""
-    from matrix_factorization_tpu.data.loader import get_native_lib
-
-    lib = get_native_lib()
-    n = len(key)
-    if lib is not None and n:
-        u_s = np.empty(n, np.int32)
-        i_s = np.empty(n, np.int32)
-        r_s = np.empty(n, np.float32)
-        lib.mf_sort_triple_by_key(
-            np.ascontiguousarray(key, np.int32),
-            np.ascontiguousarray(u, np.int32),
-            np.ascontiguousarray(i, np.int32),
-            np.ascontiguousarray(r, np.float32),
-            n, int(n_keys), u_s, i_s, r_s)
-        return u_s, i_s, r_s
-    order = np.argsort(key, kind="stable")
-    return u[order], i[order], r[order]
+# shared with the host packers in ops/segment_sgd.py
+_sort_stream_by_key = sgd.sort_stream_by_key
 
 
 def shard_ratings_by_user(
@@ -284,6 +263,158 @@ def dp_sgd_train(
         data.ratings,
         data.weights,
         keys,
+    )
+    return MFParams(P_new, Q_new, params.global_mean), hist
+
+
+def _local_tile_step(carry, b, cfg: SGDConfig, lr, data_axes,
+                     agg_prim, agg_sec, primary: str, expand_prim: bool,
+                     overlap: bool):
+    """One dp mini-batch step riding the MXU tile machinery.
+
+    The single-device counterpart is ``segment_sgd._minibatch_update``;
+    here the USER side applies directly to the local P shard (its rows
+    are device-local by the user-range partition) while the ITEM side
+    accumulates into a zeros delta table that is ``psum``'d (or deferred
+    one step when ``overlap`` — same semantics/flush contract as
+    ``_local_minibatch_step_overlap``).  Whichever side the pack stored
+    sorted (``primary``) gets the shared-one-hot gather+scatter; the
+    other side's delta rides the secondary tiles when present.
+    """
+    P_l, Q, mu, dQ_pend = carry
+    if overlap:
+        Q_next = Q + jax.lax.psum(dQ_pend, data_axes)
+    prim_is_user = primary == "user"
+    prim_ids = b["u"] if prim_is_user else b["i"]
+    sec_ids = b["i"] if prim_is_user else b["u"]
+
+    oh_prim = None
+    if "pb" in b:
+        oh_prim = sgd._tile_onehot(prim_ids, b["pb"], *agg_prim)
+    prim_tbl = P_l if prim_is_user else Q
+    if oh_prim is not None and expand_prim:
+        prim_rows = sgd._tile_gather(prim_tbl, oh_prim, b["pb"], *agg_prim)
+    else:
+        prim_rows = prim_tbl.at[prim_ids].get(mode="promise_in_bounds")
+    sec_tbl = Q if prim_is_user else P_l
+    sec_rows = sec_tbl.at[sec_ids].get(mode="promise_in_bounds")
+    pu, qi = ((prim_rows, sec_rows) if prim_is_user
+              else (sec_rows, prim_rows))
+
+    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
+    err = (pred - b["r"]) * b["w"]
+
+    def side_delta(rows, d_rows, side):
+        mask = jnp.asarray(sgd.update_mask(cfg, side))
+        g = (err[:, None] * d_rows
+             + (cfg.reg * b["w"])[:, None] * rows) * mask[None, :]
+        return -lr * g
+
+    def apply_prim(table, delta):
+        if oh_prim is not None:
+            return sgd._tile_scatter_add(table, delta, oh_prim, b["pb"],
+                                         *agg_prim)
+        return table.at[prim_ids].add(delta, mode="promise_in_bounds")
+
+    def apply_sec(table, delta):
+        if "sb" in b:
+            oh = sgd._tile_onehot(b["ss"], b["sb"], *agg_sec)
+            return sgd._tile_scatter_add(table, delta[b["sp"]], oh,
+                                         b["sb"], *agg_sec)
+        return table.at[sec_ids].add(delta, mode="promise_in_bounds")
+
+    if cfg.update_user_params:
+        delta = side_delta(pu, d_pu, "user")
+        apply = apply_prim if prim_is_user else apply_sec
+        P_l = apply(P_l, delta)
+    if cfg.update_item_params:
+        delta = side_delta(qi, d_qi, "item")
+        apply = apply_sec if prim_is_user else apply_prim
+        dQ = apply(jnp.zeros_like(Q), delta)
+        if not overlap:
+            Q = Q + jax.lax.psum(dQ, data_axes)
+    else:
+        dQ = jnp.zeros_like(Q)
+    if overlap:
+        return (P_l, Q_next, mu, dQ), None
+    return (P_l, Q, mu, dQ_pend), None
+
+
+def dp_sgd_train_tiled(
+    params: MFParams,
+    data: sgd.RatingBatches,
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr: float,
+    mesh: Mesh,
+    overlap_psum: bool = False,
+) -> Tuple[MFParams, jax.Array]:
+    """Data-parallel training over a device-major tile-aggregated pack
+    (``segment_sgd.pack_ratings(n_dev=..., users_per_dev=...)``).
+
+    Same layout contract as :func:`dp_sgd_train` (P row-sharded over the
+    data axes with LOCAL user ids, Q replicated, one item-delta psum per
+    step) but each local step is the tile-aggregated
+    :func:`_local_tile_step` — the same MXU one-hot machinery that
+    carries the single-chip headline, so per-chip throughput no longer
+    regresses to the per-row-scatter rate when a mesh is attached.
+    Epoch order: ``cfg.shuffle`` applied per device (fold of the epoch
+    key with the device index).
+    """
+    data_axes = data_axes_of(mesh)
+    n_dev = 1
+    for a in data_axes:
+        n_dev *= mesh.shape[a]
+    nb_local = data.user_ids.shape[0] // n_dev
+    n_real = data.n_real
+
+    def local_train(P_l, Q, mu, ldata, keys):
+        dev = jnp.int32(0)
+        for a in data_axes:
+            dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
+        xs_all, agg_prim, agg_sec, expand_prim = sgd.epoch_xs(ldata, cfg)
+
+        def epoch(carry, k):
+            k = jax.random.fold_in(k, dev)
+            xs = sgd.shuffle_xs(xs_all, k, cfg, nb_local)
+            dq0 = jax.lax.pcast(
+                jnp.zeros_like(carry[1]), data_axes, to="varying")
+            (p, q, m, dq), _ = jax.lax.scan(
+                lambda c, b: _local_tile_step(
+                    c, b, cfg, lr, data_axes, agg_prim, agg_sec,
+                    ldata.primary, expand_prim, overlap_psum),
+                (*carry, dq0), xs,
+            )
+            if overlap_psum and cfg.update_item_params:
+                q = q + jax.lax.psum(dq, data_axes)
+            carry = (p, q, m)
+            if cfg.compute_epoch_rmse:
+                sse = sgd.masked_sse(
+                    MFParams(p, q, m), ldata, cfg,
+                    init=jax.lax.pcast(jnp.float32(0.0), data_axes,
+                                       to="varying"))
+                rmse = jnp.sqrt(jax.lax.psum(sse, data_axes)
+                                / max(n_real, 1))
+            else:
+                rmse = jnp.float32(0.0)
+            return carry, rmse
+
+        (P_l, Q, mu), hist = jax.lax.scan(epoch, (P_l, Q, mu), keys)
+        return P_l, Q, hist
+
+    shard = P(data_axes)
+    rep = P()
+    fn = jax.shard_map(
+        local_train,
+        mesh=mesh,
+        in_specs=(shard, rep, rep, shard, rep),
+        out_specs=(shard, rep, rep),
+    )
+    keys = jax.random.split(key, n_epochs)
+    P_new, Q_new, hist = fn(
+        params.user_features, params.item_features, params.global_mean,
+        data, keys,
     )
     return MFParams(P_new, Q_new, params.global_mean), hist
 
@@ -602,8 +733,20 @@ def dp_fit(
     init_mean: float = 0.0,
     init_sd: float = 0.1,
     overlap_psum: bool = False,
+    layout: str = "flat",
+    pack_order: str = "shuffle",
 ) -> Tuple[MFParams, np.ndarray]:
-    """End-to-end sharded fit: init, shard, train, return device params."""
+    """End-to-end sharded fit: init, shard, train, return device params.
+
+    ``layout='tiled'`` (or ``'auto'``: tiled unless ``cfg.shuffle`` is
+    ``'full'``) packs the shards with the MXU tile metadata
+    (``pack_ratings(n_dev=...)``) and trains via
+    :func:`dp_sgd_train_tiled` — the per-chip fast path; ``'flat'`` keeps
+    the plain-scatter trainer (and exact multislice/overlap equivalence
+    contracts of the original layout).  ``pack_order`` is the tiled
+    pack's chunk-sort order ('shuffle' = reference visit semantics,
+    'item'/'user'/'auto' = the layout-preserving deviation, see
+    ``pack_ratings``)."""
     data_axes = data_axes_of(mesh)
     n_dev = 1
     for a in data_axes:
@@ -616,11 +759,30 @@ def dp_fit(
         init_mean, init_sd, user_capacity=ucap,
     )
     params = place_params(params, mesh)
+    if layout == "auto":
+        layout = "flat" if cfg.shuffle == "full" else "tiled"
+    if layout not in ("flat", "tiled"):
+        raise ValueError(f"unknown dp layout {layout!r}")
+    shard = NamedSharding(mesh, P(data_axes))
+    if layout == "tiled":
+        data = sgd.pack_ratings(
+            u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
+            cfg.batch_size, shuffle_seed=seed, order=pack_order,
+            row_width=cfg.padded_factors, n_dev=n_dev,
+            users_per_dev=ucap // n_dev,
+        )
+        data = jax.tree.map(lambda a: jax.device_put(a, shard), data)
+        train = jax.jit(
+            lambda p, d, k: dp_sgd_train_tiled(
+                p, d, k, cfg, n_epochs, lr, mesh,
+                overlap_psum=overlap_psum)
+        )
+        params, hist = train(params, data, k_train)
+        return params, np.asarray(hist)
     su, si, sr, sw, _ = shard_ratings_by_user(
         u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
         ucap, n_dev, cfg.batch_size,
     )
-    shard = NamedSharding(mesh, P(data_axes))
     data = ShardedRatings(
         jax.device_put(su, shard),
         jax.device_put(si, shard),

@@ -84,6 +84,37 @@ def test_bpr_step_matches_numpy_oracle():
         P0[:, sgd.bias_col(cfg, "user")])
 
 
+def test_bpr_tiled_trainer_matches_direct_scatter_semantics():
+    """The tile-aggregated trainer (fit's single-device default) must be
+    the SAME update as per-row scatters on the same pack — tiles may only
+    change float summation order.  aggregate=False packs carry identical
+    batch layout (the chunk sort already leaves batches user-sorted) but
+    no tile metadata, so every op degrades to the per-row path."""
+    X = _blocky_interactions(n_users=300, n_items=80, per_user=10)
+    u = X["user_id"].to_numpy(np.int32)
+    i = X["item_id"].to_numpy(np.int32)
+    r = np.ones(len(u), np.float32)
+    cfg = SGDConfig(kernel="linear", n_factors=16, reg=0.01,
+                    min_rating=0.0, max_rating=1.0)
+    params = sgd.init_params(jax.random.PRNGKey(0), 300, 80, cfg,
+                             global_mean=0.0, init_sd=0.1)
+    packs = [sgd.pack_ratings(u, i, r, 512, shuffle_seed=7, order="user",
+                              aggregate=agg, agg_min_gain=-1.0)
+             for agg in (True, False)]
+    assert packs[0].agg_prim[1] > 0, "tile metadata missing: test is vacuous"
+    outs = []
+    for data in packs:
+        p2, hist = jax.jit(
+            lambda p, d, k: bpr_ops.bpr_train_tiled(
+                p, d, k, cfg, 4, 0.05, 80)
+        )(params, data, jax.random.PRNGKey(5))
+        outs.append((np.asarray(p2.user_features),
+                     np.asarray(p2.item_features), np.asarray(hist)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=2e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-5)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5)
+
+
 def test_bpr_learns_ranking_and_is_deterministic():
     X = _blocky_interactions()
     m = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=256,

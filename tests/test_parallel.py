@@ -94,6 +94,122 @@ def test_dp_fit_converges(ratings):
     assert hist[-1] < hist[0]
 
 
+def _tiled_pack_and_place(u, i, r, cfg, ucap, n_dev, mesh, order="user",
+                          seed=0):
+    data = sgd.pack_ratings(
+        u, i, r, cfg.batch_size, shuffle_seed=seed, order=order,
+        n_dev=n_dev, users_per_dev=ucap // n_dev, agg_min_gain=-1.0,
+    )
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+    shard = NamedSharding(mesh, P(data_axes_of(mesh)))
+    return jax.tree.map(lambda a: jax.device_put(a, shard), data)
+
+
+def test_dp_tiled_one_device_matches_single_device():
+    """dp_sgd_train_tiled on a 1-device mesh over the SAME pack must be
+    the single-device tiled trainer up to float summation order (the
+    delta-table + psum changes the add order on the item side)."""
+    rng = np.random.default_rng(3)
+    n_users, n_items, n = 96, 64, 2000
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="sigmoid", n_factors=8, lr=0.02, reg=0.01,
+                    batch_size=128, shuffle="none",
+                    compute_epoch_rmse=True)
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                             float(r.mean()), 0.0, 0.1)
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size, shuffle_seed=0,
+                            order="user", agg_min_gain=-1.0)
+    assert data.agg_prim[1] > 0
+    p_ref, h_ref = jax.jit(lambda p, d, k: sgd.sgd_train(
+        p, d, k, cfg, 3, cfg.lr))(params, data, jax.random.PRNGKey(1))
+
+    mesh1 = make_mesh(n_data=1)
+    d1 = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh1, P(DATA_AXIS))),
+        data)
+    p_dp, h_dp = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, cfg, 3, cfg.lr, mesh1))(
+            dist.place_params(params, mesh1), d1, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(h_ref), np.asarray(h_dp),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_ref.user_features),
+                               np.asarray(p_dp.user_features), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_ref.item_features),
+                               np.asarray(p_dp.item_features), atol=1e-6)
+
+
+def test_dp_tiled_converges_and_multislice_matches_flat_mesh():
+    """The tiled dp layout trains on the 8-device mesh (tiles engaged),
+    tracks the flat dp trainer's convergence, and — like the flat
+    trainer — a (2 slice x 4 data) DCN-major mesh runs the EXACT same
+    math as a flat 8-device data mesh (the pack depends only on the
+    total data-axis size)."""
+    from matrix_factorization_tpu.parallel.mesh import make_multislice_mesh
+
+    rng = np.random.default_rng(5)
+    n_users, n_items, n = 512, 64, 8000
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.01, reg=0.01,
+                    batch_size=128, compute_epoch_rmse=True)
+    mesh = make_mesh(n_data=8, n_model=1)
+    n_dev = 8
+    ucap = sgd.round_up(n_users, 8 * n_dev)
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                             float(r.mean()), 0.0, 0.1, user_capacity=ucap)
+    data = _tiled_pack_and_place(u, i, r, cfg, ucap, n_dev, mesh)
+    assert data.agg_prim[1] > 0 or data.agg_sec[1] > 0
+    p8, h8 = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, cfg, 12, 0.03, mesh))(
+            dist.place_params(params, mesh), data, jax.random.PRNGKey(1))
+    h8 = np.asarray(h8)
+    assert h8[-1] < h8[0]
+
+    _, h_flat = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=12,
+                            lr=0.03, mesh=mesh, layout="flat")
+    assert abs(h8[-1] - np.asarray(h_flat)[-1]) < 0.15
+
+    # end-to-end entry + multislice equivalence
+    p_t, h_t = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=5,
+                           lr=0.03, mesh=mesh, layout="tiled",
+                           pack_order="user")
+    ms = make_multislice_mesh(n_slices=2, n_data=4, n_model=1)
+    p_m, h_m = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=5,
+                           lr=0.03, mesh=ms, layout="tiled",
+                           pack_order="user")
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_m), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_t.item_features),
+                               np.asarray(p_m.item_features), atol=1e-5)
+
+    # overlap variant: converges; bit-identical when each per-device
+    # epoch is a single batch (pending deltas flush before any read)
+    big = SGDConfig(kernel="linear", n_factors=8, lr=0.01, reg=0.01,
+                    batch_size=2048, shuffle="none",
+                    compute_epoch_rmse=True)
+    d_big = _tiled_pack_and_place(u, i, r, big, ucap, n_dev, mesh)
+    pb = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, big,
+                         float(r.mean()), 0.0, 0.1, user_capacity=ucap)
+    pb = dist.place_params(pb, mesh)
+    a, ha = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, big, 4, 0.03, mesh))(pb, d_big, jax.random.PRNGKey(1))
+    b, hb = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, big, 4, 0.03, mesh, overlap_psum=True))(
+            pb, d_big, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))
+    np.testing.assert_array_equal(np.asarray(a.item_features),
+                                  np.asarray(b.item_features))
+    np.testing.assert_array_equal(np.asarray(a.user_features),
+                                  np.asarray(b.user_features))
+
+    with pytest.raises(ValueError, match="layout"):
+        dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=1, lr=0.03,
+                    mesh=mesh, layout="bogus")
+
+
 def test_2d_one_step_matches_single_device(ratings):
     """One global synchronous step on a 2x2 (data x model) mesh with BOTH
     tables sharded must equal the single-device step over the whole batch."""
