@@ -190,6 +190,65 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
         preds = np.asarray(self.predict(df, bound_ratings=bound_ratings))
         return preds, np.asarray(self.predictions_possible, dtype=bool)
 
+    # -- shared top-k plumbing (device and sharded catalogs) ------------------
+
+    def _cached_serving_params(self, mf_view_fn=None):
+        """Identity-keyed cache of the serving-path parameter view: the
+        live ``_params`` (optionally projected through ``mf_view_fn``,
+        e.g. SVD++'s effective P+S table), cast to bf16 when
+        ``serving_dtype='bfloat16'``.  Rebuilt whenever ``_params`` is
+        replaced — every fit / update_users / capacity growth swaps the
+        object, so identity is the staleness check."""
+        import jax.numpy as jnp
+
+        p = self._params
+        if mf_view_fn is None and self.serving_dtype == "float32":
+            return p
+        c = getattr(self, "_serving_cache", None)
+        if c is None or c[0] is not p:
+            mf = mf_view_fn() if mf_view_fn is not None else p
+            if self.serving_dtype == "bfloat16":
+                mf = mf._replace(
+                    user_features=mf.user_features.astype(jnp.bfloat16),
+                    item_features=mf.item_features.astype(jnp.bfloat16),
+                )
+            self._serving_cache = c = (p, mf)
+        return c[1]
+
+    def _encode_known_set(self, items) -> set:
+        """Dense-id set for an iterable of raw item ids (unknown dropped)."""
+        if not items:
+            return set()
+        kd = self.item_vocab.encode(np.asarray(list(items), dtype=object))
+        return set(kd[kd >= 0].tolist())
+
+    def _topk_fetch(self):
+        """The (u_dense, k) -> (vals, idx) top-k fetcher, or None.
+
+        Sharded catalogs (``_topk_catalog``, Q never gathered) take
+        precedence; single-device models expose ``_catalog_topk``
+        (score + ``lax.top_k`` in one dispatch).  Either way only
+        (B, k) values+indices cross the host link."""
+        topk_cat = getattr(self, "_topk_catalog", None)
+        if topk_cat is not None:
+            return lambda ud, k: topk_cat.topk(self._topk_user_rows(ud), k)
+        return getattr(self, "_catalog_topk", None)
+
+    def _topk_row_frame(self, user, vals_row, idx_row, excluded, amount,
+                        bound_ratings, raw_items) -> pd.DataFrame:
+        """One user's (vals, idx) top-k row -> recommend DataFrame:
+        exclusion filter, cut to ``amount``, optional clip."""
+        keep = [j for j, g in enumerate(idx_row) if g not in excluded]
+        keep = keep[:amount]
+        preds = vals_row[keep]
+        if bound_ratings:
+            preds = np.clip(preds, self.min_rating, self.max_rating)
+        return pd.DataFrame({
+            "user_id": [user] * len(keep),
+            "item_id": [raw_items[x] for x in idx_row[keep]],
+            "rating_pred": preds,
+        })
+
     def recommend(
         self,
         user: Any,
@@ -212,59 +271,17 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
             item_ids = item_ids[keep]
 
         u_dense = self.user_vocab.encode(np.asarray([user], dtype=object))[0]
-        topk_cat = getattr(self, "_topk_catalog", None)
-        catalog_topk = getattr(self, "_catalog_topk", None)
+        fetch = self._topk_fetch()
         catalog = getattr(self, "_catalog_scores", None)
-        if topk_cat is None and catalog_topk is not None and u_dense >= 0:
+        if fetch is not None and u_dense >= 0:
             # device-side top-k: over-fetch by the exclusion count,
             # filter on host, cut — only k values+indices are fetched
-            excluded = set()
-            if items_known is not None:
-                kd = self.item_vocab.encode(
-                    np.asarray(list(items_known), dtype=object))
-                excluded = set(kd[kd >= 0].tolist())
+            excluded = self._encode_known_set(items_known)
             k = min(self.n_items, amount + len(excluded))
-            vals, idx = catalog_topk(np.asarray([u_dense], np.int32), k)
-            keep = [j for j, g in enumerate(idx[0]) if g not in excluded]
-            keep = keep[:amount]
-            top_items = idx[0][keep]
-            top_preds = vals[0][keep]
-            self.predictions_possible = [True] * len(top_items)
-            if bound_ratings:
-                top_preds = np.clip(top_preds, self.min_rating, self.max_rating)
-            out = pd.DataFrame(
-                {
-                    "user_id": [user] * len(top_items),
-                    "item_id": [raw_items[x] for x in top_items],
-                    "rating_pred": top_preds,
-                }
-            )
-            return out if include_user else out.drop(columns=["user_id"])
-        if topk_cat is not None and u_dense >= 0:
-            # sharded catalog: distributed top-k, Q never gathered.
-            # over-fetch by the exclusion count, filter, then cut.
-            excluded = set()
-            if items_known is not None:
-                kd = self.item_vocab.encode(
-                    np.asarray(list(items_known), dtype=object))
-                excluded = set(kd[kd >= 0].tolist())
-            k = min(self.n_items, amount + len(excluded))
-            pu = self._topk_user_rows(np.asarray([u_dense], np.int32))
-            vals, idx = topk_cat.topk(pu, k)
-            keep = [j for j, g in enumerate(idx[0]) if g not in excluded]
-            keep = keep[:amount]
-            top_items = idx[0][keep]
-            top_preds = vals[0][keep]
-            self.predictions_possible = [True] * len(top_items)
-            if bound_ratings:
-                top_preds = np.clip(top_preds, self.min_rating, self.max_rating)
-            out = pd.DataFrame(
-                {
-                    "user_id": [user] * len(top_items),
-                    "item_id": [raw_items[x] for x in top_items],
-                    "rating_pred": top_preds,
-                }
-            )
+            vals, idx = fetch(np.asarray([u_dense], np.int32), k)
+            out = self._topk_row_frame(user, vals[0], idx[0], excluded,
+                                       amount, bound_ratings, raw_items)
+            self.predictions_possible = [True] * len(out)
             return out if include_user else out.drop(columns=["user_id"])
         if catalog is not None and u_dense >= 0:
             # full-catalog scoring as one MXU matmul (models that support it)
@@ -310,63 +327,25 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
         self._require_fitted()
         items_known_map = items_known_map or {}
         batch_fn = getattr(self, "_catalog_scores_batch", None)
-        topk_cat = getattr(self, "_topk_catalog", None)
-        catalog_topk = getattr(self, "_catalog_topk", None)
+        fetch = self._topk_fetch()
         u_dense = self.user_vocab.encode(np.asarray(users, dtype=object))
         frames = []
-        if topk_cat is None and catalog_topk is not None and (u_dense >= 0).all():
-            # one device-side top-k for the whole cohort: (B, k)
-            # values+indices fetched instead of (B, n_items) scores
+        if fetch is not None and (u_dense >= 0).all():
+            # one device top-k for the whole cohort: (B, k) values+indices
+            # fetched instead of (B, n_items) scores; over-fetched by the
+            # largest exclusion set so filtering never truncates < amount
             raw_items = self.item_vocab.raw_ids
-            known_dense = {}
-            for user in users:
-                known = items_known_map.get(user)
-                if known:
-                    kd = self.item_vocab.encode(
-                        np.asarray(list(known), dtype=object))
-                    known_dense[user] = set(kd[kd >= 0].tolist())
+            known_dense = {
+                user: self._encode_known_set(items_known_map.get(user))
+                for user in users if items_known_map.get(user)
+            }
             extra = max((len(v) for v in known_dense.values()), default=0)
             k = min(self.n_items, amount + extra)
-            vals, idx = catalog_topk(u_dense.astype(np.int32), k)
+            vals, idx = fetch(u_dense.astype(np.int32), k)
             for row, user in enumerate(users):
-                kd = known_dense.get(user, ())
-                keep = [j for j, g in enumerate(idx[row]) if g not in kd]
-                keep = keep[:amount]
-                preds = vals[row][keep]
-                if bound_ratings:
-                    preds = np.clip(preds, self.min_rating, self.max_rating)
-                frames.append(pd.DataFrame({
-                    "user_id": [user] * len(keep),
-                    "item_id": [raw_items[x] for x in idx[row][keep]],
-                    "rating_pred": preds,
-                }))
-            return pd.concat(frames, ignore_index=True)
-        if topk_cat is not None and (u_dense >= 0).all():
-            # sharded catalog: one distributed top-k for the whole cohort
-            raw_items = self.item_vocab.raw_ids
-            known_dense = {}
-            for user in users:
-                known = items_known_map.get(user)
-                if known:
-                    kd = self.item_vocab.encode(
-                        np.asarray(list(known), dtype=object))
-                    known_dense[user] = set(kd[kd >= 0].tolist())
-            extra = max((len(v) for v in known_dense.values()), default=0)
-            k = min(self.n_items, amount + extra)
-            pu = self._topk_user_rows(u_dense.astype(np.int32))
-            vals, idx = topk_cat.topk(pu, k)
-            for row, user in enumerate(users):
-                kd = known_dense.get(user, ())
-                keep = [j for j, g in enumerate(idx[row]) if g not in kd]
-                keep = keep[:amount]
-                preds = vals[row][keep]
-                if bound_ratings:
-                    preds = np.clip(preds, self.min_rating, self.max_rating)
-                frames.append(pd.DataFrame({
-                    "user_id": [user] * len(keep),
-                    "item_id": [raw_items[x] for x in idx[row][keep]],
-                    "rating_pred": preds,
-                }))
+                frames.append(self._topk_row_frame(
+                    user, vals[row], idx[row], known_dense.get(user, ()),
+                    amount, bound_ratings, raw_items))
             return pd.concat(frames, ignore_index=True)
         if batch_fn is not None and (u_dense >= 0).all():
             scores = np.asarray(batch_fn(u_dense))  # (B, n_items)

@@ -136,29 +136,21 @@ class BPR(RecommenderBase):
 
             mesh_data = data_size_of(self.mesh)
         if mesh_data > 1 and not warm_start:
-            from jax.sharding import NamedSharding, PartitionSpec as P
             from matrix_factorization_tpu.parallel import distributed as dist
-            from matrix_factorization_tpu.parallel.mesh import data_axes_of
 
-            ucap = sgd.round_up(self.n_users, 8 * mesh_data)
+            ucap, bs, (su, si, _, sw), shard, _rep = dist.dp_fit_plumbing(
+                u, i, np.ones(len(u), np.float32), self.n_users, self.mesh,
+                self.batch_size,
+            )
             params = sgd.init_params(
                 jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
                 cfg, global_mean=0.0, init_sd=self.init_sd,
                 user_capacity=ucap,
             )
             params = dist.place_params(params, self.mesh)
-            bs = min(self.batch_size, max(1, len(u)))
-            su, si, _, sw, _ = dist.shard_ratings_by_user(
-                u.astype(np.int32), i.astype(np.int32),
-                np.ones(len(u), np.float32), ucap, mesh_data, bs,
-            )
-            shard = NamedSharding(self.mesh, P(data_axes_of(self.mesh)))
-            train = jax.jit(
-                lambda p, uu, ii, ww, k: bpr_ops.dp_bpr_train(
-                    p, uu, ii, ww, k, cfg, n_epochs, self.lr,
-                    self.n_items, bs, len(u), self.mesh,
-                    overlap_psum=self.overlap_psum,
-                )
+            train = bpr_ops.jit_dp_bpr_train(
+                cfg, n_epochs, self.lr, self.n_items, bs, len(u),
+                self.mesh, overlap_psum=self.overlap_psum,
             )
             params, hist = train(
                 params, jax.device_put(su, shard), jax.device_put(si, shard),
@@ -257,15 +249,22 @@ class BPR(RecommenderBase):
         if len(u) == 0:
             return self
         if known_users:
-            idx = jnp.asarray(
+            # re-init ONLY known users that still have positive pairs
+            # after the r>0 filter: a known user whose update rows are
+            # all non-positive gets zero training pairs, so a fresh
+            # random row would silently destroy their trained factors
+            enc = np.asarray(
                 self.user_vocab.encode(np.asarray(known_users, dtype=object)))
-            fresh = sgd.fresh_user_rows(
-                jax.random.PRNGKey(self.seed + 2), len(known_users), cfg,
-                0.0, self.init_sd,
-            )
-            self._params = self._params._replace(
-                user_features=self._params.user_features.at[idx].set(fresh)
-            )
+            enc = enc[np.isin(enc, np.unique(np.asarray(u)))]
+            if enc.size:
+                fresh = sgd.fresh_user_rows(
+                    jax.random.PRNGKey(self.seed + 2), int(enc.size), cfg,
+                    0.0, self.init_sd,
+                )
+                self._params = self._params._replace(
+                    user_features=self._params.user_features.at[
+                        jnp.asarray(enc)].set(fresh)
+                )
         bs = min(self.batch_size, max(1, len(u)))
         data = sgd.pack_ratings(
             u.astype(np.int32), i.astype(np.int32),
@@ -287,17 +286,7 @@ class BPR(RecommenderBase):
 
     # -- serving --------------------------------------------------------------
     def _serving_params(self) -> sgd.MFParams:
-        if self.serving_dtype == "float32":
-            return self._params
-        c = self._serving_cache
-        if c is None or c[0] is not self._params:
-            p = self._params
-            bf = p._replace(
-                user_features=p.user_features.astype(jnp.bfloat16),
-                item_features=p.item_features.astype(jnp.bfloat16),
-            )
-            self._serving_cache = c = (p, bf)
-        return c[1]
+        return self._cached_serving_params()
 
     def _catalog_topk(self, u_dense: np.ndarray, k: int):
         from matrix_factorization_tpu.ops.scoring import catalog_topk

@@ -163,19 +163,9 @@ class ImplicitALS(RecommenderBase):
         return self
 
     def _serving_params(self) -> sgd.MFParams:
-        """Serving-path parameter view (identity-keyed bf16 cache when
-        ``serving_dtype='bfloat16'`` — see ``KernelMF._serving_params``)."""
-        if self.serving_dtype == "float32":
-            return self._params
-        c = self._serving_cache
-        if c is None or c[0] is not self._params:
-            p = self._params
-            bf = p._replace(
-                user_features=p.user_features.astype(jnp.bfloat16),
-                item_features=p.item_features.astype(jnp.bfloat16),
-            )
-            self._serving_cache = c = (p, bf)
-        return c[1]
+        """Serving-path parameter view (identity-keyed bf16 cache — see
+        ``RecommenderBase._cached_serving_params``)."""
+        return self._cached_serving_params()
 
     def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
         from matrix_factorization_tpu.ops.scoring import score_catalog

@@ -515,21 +515,9 @@ class KernelMF(RecommenderBase):
 
     def _serving_params(self) -> sgd.MFParams:
         """The parameter view the catalog scorers read: ``_params``
-        itself, or a device-resident bf16 copy (``serving_dtype``),
-        rebuilt whenever ``_params`` is replaced (every fit /
-        update_users / capacity growth swaps the object, so identity
-        is the staleness check)."""
-        if self.serving_dtype == "float32":
-            return self._params
-        c = self._serving_cache
-        if c is None or c[0] is not self._params:
-            p = self._params
-            bf = p._replace(
-                user_features=p.user_features.astype(jnp.bfloat16),
-                item_features=p.item_features.astype(jnp.bfloat16),
-            )
-            self._serving_cache = c = (p, bf)
-        return c[1]
+        itself, or a device-resident bf16 copy (``serving_dtype``) —
+        identity-keyed cache, see ``RecommenderBase._cached_serving_params``."""
+        return self._cached_serving_params()
 
     def _topk_user_rows(self, u_dense: np.ndarray) -> np.ndarray:
         """(B, Kp) extended user rows for the sharded top-k path (a

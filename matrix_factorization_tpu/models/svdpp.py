@@ -111,26 +111,18 @@ class SVDpp(RecommenderBase):
 
             mesh_data = data_size_of(self.mesh)
         if mesh_data > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
             from matrix_factorization_tpu.parallel import distributed as dist
-            from matrix_factorization_tpu.parallel.mesh import data_axes_of
 
-            ucap = sgd.round_up(self.n_users, 8 * mesh_data)
+            ucap, bs, (su, si, sr, sw), shard, rep = dist.dp_fit_plumbing(
+                u, i, r, self.n_users, self.mesh, self.batch_size)
             params = svdpp_ops.init_params(
                 jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
                 cfg, self.global_mean, init_sd=self.init_sd,
                 user_capacity=ucap,
             )
-            bs = min(self.batch_size, max(1, len(u)))
-            su, si, sr, sw, _ = dist.shard_ratings_by_user(
-                u.astype(np.int32), i.astype(np.int32),
-                r.astype(np.float32), ucap, mesh_data, bs,
-            )
             wvec = svdpp_ops._neighbor_weights(u, self.n_users, ucap)
             deg = np.zeros(params.item_features.shape[0], np.float32)
             deg[: self.n_items] = np.bincount(i, minlength=self.n_items)
-            shard = NamedSharding(self.mesh, P(data_axes_of(self.mesh)))
-            rep = NamedSharding(self.mesh, P())
             params = svdpp_ops.SVDppParams(
                 user_features=jax.device_put(params.user_features, shard),
                 item_features=jax.device_put(params.item_features, rep),
@@ -140,12 +132,9 @@ class SVDpp(RecommenderBase):
                                                   shard),
                 global_mean=jax.device_put(params.global_mean, rep),
             )
-            train = jax.jit(
-                lambda p, uu, ii, rr, ww, wv, dg, k: svdpp_ops.dp_svdpp_train(
-                    p, uu, ii, rr, ww, wv, dg, k, cfg, self.n_epochs,
-                    lr_y, reg_y, bs, len(u), self.mesh,
-                    overlap_psum=self.overlap_psum,
-                )
+            train = svdpp_ops.jit_dp_svdpp_train(
+                cfg, self.n_epochs, lr_y, reg_y, bs, len(u), self.mesh,
+                overlap_psum=self.overlap_psum,
             )
             params, hist = train(
                 params, jax.device_put(su, shard), jax.device_put(si, shard),
@@ -270,17 +259,8 @@ class SVDpp(RecommenderBase):
     # -- serving --------------------------------------------------------------
     def _serving_params(self) -> sgd.MFParams:
         """Effective-table view P + S (identity-keyed cache; optional
-        bf16 residency as on ``KernelMF``)."""
-        c = self._serving_cache
-        if c is None or c[0] is not self._params:
-            mf = self._mf_view()
-            if self.serving_dtype == "bfloat16":
-                mf = mf._replace(
-                    user_features=mf.user_features.astype(jnp.bfloat16),
-                    item_features=mf.item_features.astype(jnp.bfloat16),
-                )
-            self._serving_cache = c = (self._params, mf)
-        return c[1]
+        bf16 residency — see ``RecommenderBase._cached_serving_params``)."""
+        return self._cached_serving_params(self._mf_view)
 
     def _catalog_topk(self, u_dense: np.ndarray, k: int):
         from matrix_factorization_tpu.ops.scoring import catalog_topk

@@ -272,6 +272,26 @@ def _dp_bpr_step(carry, batch, cfg: SGDConfig, lr: float, data_axes,
     return (P_l, Q, dQ_pend, loss_acc), None
 
 
+def jit_dp_bpr_train(cfg: SGDConfig, n_epochs: int, lr: float,
+                     n_items: int, batch_size: int, n_real: int,
+                     mesh, overlap_psum: bool = False):
+    """Cached jit of :func:`dp_bpr_train` (Mesh objects hash, so the
+    mesh joins the static key; repeated mesh fits of one shape reuse
+    the trace instead of rebuilding an inline lambda per fit)."""
+    key = ("dp", cfg, n_epochs, lr, n_items, batch_size, n_real, mesh,
+           overlap_psum)
+    fn = _train_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, u, i, w, k: dp_bpr_train(
+                p, u, i, w, k, cfg, n_epochs, lr, n_items, batch_size,
+                n_real, mesh, overlap_psum=overlap_psum,
+            )
+        )
+        _train_cache[key] = fn
+    return fn
+
+
 def dp_bpr_train(
     params: sgd.MFParams,
     u_all: jax.Array,  # device-major LOCAL user ids (shard_ratings_by_user)
@@ -363,14 +383,18 @@ def auc_sampled(params: sgd.MFParams, u: np.ndarray, i: np.ndarray,
     rng = np.random.default_rng(seed)
     j = rng.integers(0, n_items, (len(u), n_neg)).astype(np.int32)
     if observed is not None:
-        pos = set(zip(observed[0].tolist(), observed[1].tolist()))
+        # vectorized rejection: (user, item) pairs as int64 keys; after
+        # the first pass only the still-colliding slots are resampled
+        pos_keys = np.unique(
+            observed[0].astype(np.int64) * n_items + observed[1].astype(np.int64))
+        jf = j.reshape(-1)
+        uf = np.repeat(u.astype(np.int64), n_neg)
+        bad = np.flatnonzero(np.isin(uf * n_items + jf, pos_keys))
         for _ in range(8):
-            bad = np.array(
-                [[(int(uu), int(jj)) in pos for jj in row]
-                 for uu, row in zip(u, j)], bool)
-            if not bad.any():
+            if bad.size == 0:
                 break
-            j[bad] = rng.integers(0, n_items, int(bad.sum()), dtype=np.int32)
+            jf[bad] = rng.integers(0, n_items, bad.size, dtype=np.int32)
+            bad = bad[np.isin(uf[bad] * n_items + jf[bad], pos_keys)]
 
     @jax.jit
     def run(P, Q, uu, ii, jj):

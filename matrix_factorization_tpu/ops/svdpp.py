@@ -95,7 +95,8 @@ def init_params(key: jax.Array, n_users: int, n_items: int, cfg: SGDConfig,
 def pack_pairs(u: np.ndarray, i: np.ndarray, r: np.ndarray,
                batch_size: int) -> Tuple[np.ndarray, ...]:
     """Pad the rating stream to whole batches; returns
-    (u, i, r, w) each (n_pad,) plus the real count."""
+    (u, i, r, w) each (n_pad,) plus the CLAMPED batch size
+    (``min(batch_size, n)``) — not the real rating count."""
     n = len(u)
     bs = min(batch_size, max(1, n))
     n_pad = sgd.round_up(n, bs)
@@ -498,6 +499,25 @@ def user_refit(
         w_all, mode="promise_in_bounds")
     S_new = jnp.where(touched[:, None] > 0, S, params.user_implicit_sums)
     return params._replace(user_features=P, user_implicit_sums=S_new)
+
+
+def jit_dp_svdpp_train(cfg: SGDConfig, n_epochs: int, lr_y: float,
+                       reg_y: float, batch_size: int, n_real: int,
+                       mesh, overlap_psum: bool = False):
+    """Cached jit of :func:`dp_svdpp_train` (mesh in the static key —
+    repeated mesh fits of one shape reuse the trace)."""
+    key = ("dp", cfg, n_epochs, lr_y, reg_y, batch_size, n_real, mesh,
+           overlap_psum)
+    fn = _train_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, uu, ii, rr, ww, wv, dg, k: dp_svdpp_train(
+                p, uu, ii, rr, ww, wv, dg, k, cfg, n_epochs, lr_y, reg_y,
+                batch_size, n_real, mesh, overlap_psum=overlap_psum,
+            )
+        )
+        _train_cache[key] = fn
+    return fn
 
 
 def dp_svdpp_train(

@@ -57,6 +57,28 @@ class ShardedRatings(NamedTuple):
 _sort_stream_by_key = sgd.sort_stream_by_key
 
 
+def dp_fit_plumbing(u: np.ndarray, i: np.ndarray, r: np.ndarray,
+                    n_users: int, mesh: Mesh, batch_size: int):
+    """Shared host plumbing for every dp model fit (KernelMF, BPR,
+    SVD++): capacity rounding, device-major user-range sharding, and
+    the (data-sharded, replicated) NamedShardings the trainers expect.
+
+    Returns ``(ucap, bs, (su, si, sr, sw), shard, rep)``.
+    """
+    from matrix_factorization_tpu.parallel.mesh import data_size_of
+
+    mesh_data = data_size_of(mesh)
+    ucap = round_up(n_users, 8 * mesh_data)
+    bs = min(batch_size, max(1, len(u)))
+    su, si, sr, sw, _ = shard_ratings_by_user(
+        u.astype(np.int32), i.astype(np.int32), r.astype(np.float32),
+        ucap, mesh_data, bs,
+    )
+    shard = NamedSharding(mesh, P(data_axes_of(mesh)))
+    rep = NamedSharding(mesh, P())
+    return ucap, bs, (su, si, sr, sw), shard, rep
+
+
 def shard_ratings_by_user(
     u: np.ndarray,
     i: np.ndarray,
@@ -159,9 +181,25 @@ def _local_minibatch_step_overlap(carry, batch, cfg: SGDConfig, lr,
 
 
 def _local_sse(P_l, Q, mu, u, i, r, w, cfg: SGDConfig):
-    pred = sgd.ext_forward(cfg, mu, P_l[u], Q[i])
-    e = (pred - r) * w
-    return jnp.sum(e * e)
+    """Local-shard SSE, batched to bound the gather working set: a flat
+    gather over the whole local stream materializes (n_pad_local, Kp)
+    rows — 2 x 12GB at ML-25M scale, an instant HBM OOM."""
+    n = u.shape[0]
+    nb = n // cfg.batch_size if n % cfg.batch_size == 0 and n >= cfg.batch_size else 1
+    xs = tuple(x.reshape(nb, -1) for x in (u, i, r, w))
+
+    def body(_, b):
+        ub, ib, rb, wb = b
+        pred = sgd.ext_forward(
+            cfg, mu,
+            P_l.at[ub].get(mode="promise_in_bounds"),
+            Q.at[ib].get(mode="promise_in_bounds"),
+        )
+        e = (pred - rb) * wb
+        return None, jnp.sum(e * e)
+
+    _, sses = jax.lax.scan(body, None, xs)
+    return jnp.sum(sses)
 
 
 def dp_sgd_train(

@@ -298,11 +298,6 @@ class JaxMLPReranker:
         # proxy for ranking quality)
         n_val = int(round(n * self.val_frac))
         track_best = 0 < n_val < n
-        if track_best:
-            perm = np.random.default_rng(self.seed).permutation(n)
-            vi, ti = perm[:n_val], perm[n_val:]
-        else:
-            vi = ti = np.arange(n)
 
         k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
         h = self.hidden
@@ -312,8 +307,16 @@ class JaxMLPReranker:
             "w2": jax.random.normal(k2, (h,), jnp.float32) * (1.0 / h) ** 0.5,
             "b2": jnp.float32(0.0),
         }
-        Xj, yj, wj = jnp.asarray(Xs[ti]), jnp.asarray(y[ti]), jnp.asarray(w[ti])
-        Xv, yv, wv = jnp.asarray(Xs[vi]), jnp.asarray(y[vi]), jnp.asarray(w[vi])
+        if track_best:
+            perm = np.random.default_rng(self.seed).permutation(n)
+            vi, ti = perm[:n_val], perm[n_val:]
+            Xj, yj, wj = jnp.asarray(Xs[ti]), jnp.asarray(y[ti]), jnp.asarray(w[ti])
+            Xv, yv, wv = jnp.asarray(Xs[vi]), jnp.asarray(y[vi]), jnp.asarray(w[vi])
+        else:
+            # default path: no split — no index copies and no second
+            # device transfer of the full training set
+            Xj, yj, wj = jnp.asarray(Xs), jnp.asarray(y), jnp.asarray(w)
+            Xv = yv = wv = None
         opt = optax.adam(self.lr)
 
         def logits(p, x):
@@ -348,7 +351,8 @@ class JaxMLPReranker:
                     best_l = jnp.minimum(vl, best_l)
                 return (p, s, best_p, best_l), None
 
-            init = (params, state, params, val_loss(params))
+            init = (params, state, params,
+                    val_loss(params) if track_best else jnp.float32(jnp.inf))
             (last_p, _, best_p, _), _ = jax.lax.scan(
                 step, init, None, length=self.max_iter
             )

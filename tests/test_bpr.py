@@ -220,6 +220,30 @@ def test_bpr_update_users_empty_positive_set_grows_table():
     assert m._params.user_features.shape[0] >= m.n_users
 
 
+def test_bpr_update_users_keeps_factors_of_users_without_positives():
+    """Regression: a KNOWN user whose update rows are all non-positive
+    gets zero training pairs, so their trained row must NOT be
+    re-initialized to random noise (they'd serve random scores)."""
+    X = _blocky_interactions()
+    m = BPR(n_factors=8, n_epochs=5, lr=0.1, batch_size=256, seed=0).fit(X)
+    known = X.user_id.iloc[0]
+    other = X.user_id.iloc[-1]
+    row_before = np.asarray(
+        m._params.user_features[m.user_vocab.encode(
+            np.asarray([known], dtype=object))[0]]).copy()
+    upd = pd.DataFrame({
+        "user_id": [known, other, other],
+        "item_id": [int(X.item_id.iloc[0]), int(X.item_id.iloc[1]),
+                    int(X.item_id.iloc[2])],
+    })
+    # known's interaction is non-positive; other has real positives
+    m.update_users(upd, y=pd.Series(np.array([0.0, 1.0, 1.0], np.float32)))
+    row_after = np.asarray(
+        m._params.user_features[m.user_vocab.encode(
+            np.asarray([known], dtype=object))[0]])
+    np.testing.assert_array_equal(row_after, row_before)
+
+
 def test_bpr_warm_start_auc_rejects_all_training_positives():
     """Regression: warm segments on different interactions must extend
     (not replace) the AUC negative-rejection pair set."""
