@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from matrix_factorization_tpu.core.config import SGDConfig
+from matrix_factorization_tpu.ops.spd import solve_spd
 from matrix_factorization_tpu.ops.segment_sgd import (
     MFParams,
     RatingBatches,
@@ -197,8 +198,7 @@ def ials_train(
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
         # A is SPD (gram + reg*I): batched Cholesky beats generic LU
-        chol = jax.lax.linalg.cholesky(A)
-        sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+        sol = solve_spd(A, b)
         has_data = grouped.mask.sum(axis=1) > 0
         own_b = bias_col(cfg, own_side)
         E = grouped.other_ids.shape[0]
@@ -512,8 +512,7 @@ def _jit_bucket_sweep(cfg: SGDConfig, own_side: str, gram_dtype: str = "f32",
         A = A + _reg_diag(cfg.reg, mask, d, reg_scale)
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
-        chol = jax.lax.linalg.cholesky(A)
-        sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+        sol = solve_spd(A, b)
         own_b = bias_col(cfg, own_side)
         new_rows = own.at[entity_ids].get(mode="promise_in_bounds")
         new_rows = new_rows.at[:, :k].set(sol[:, :k])
@@ -637,8 +636,7 @@ def _jit_dp_bucket_sweep(cfg: SGDConfig, own_side: str, mesh,
         A = A + _reg_diag(cfg.reg, mask, d, reg_scale)
         b = jnp.einsum("eld,el->ed", Xm, y,
                        preferred_element_type=jnp.float32)
-        chol = jax.lax.linalg.cholesky(A)
-        sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+        sol = solve_spd(A, b)
         # gather every device's solutions; apply identically (replicated)
         sol_g = jax.lax.all_gather(sol, axes, axis=0, tiled=True)
         eids_g = jax.lax.all_gather(entity_ids, axes, axis=0, tiled=True)
@@ -755,8 +753,7 @@ def implicit_sweep(
     A = A + cfg.reg * jnp.eye(k, dtype=jnp.float32)[None]
     b = jnp.einsum("elk,el->ek", rows, (1.0 + cm1) * grouped.mask,
                    preferred_element_type=jnp.float32)
-    chol = jax.lax.linalg.cholesky(A)
-    sol = jax.scipy.linalg.cho_solve((chol, True), b[..., None])[..., 0]
+    sol = solve_spd(A, b)
     E = grouped.other_ids.shape[0]
     return own.at[:E, :k].set(sol)
 
