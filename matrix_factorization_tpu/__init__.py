@@ -32,6 +32,7 @@ from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUser
 from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
 from matrix_factorization_tpu.models.svdpp import SVDpp
+from matrix_factorization_tpu.models.nmf import NMF
 from matrix_factorization_tpu.models.grid_search import grid_search_kernel_mf
 from matrix_factorization_tpu.utils.splits import train_update_test_split
 
@@ -50,5 +51,6 @@ __all__ = [
     "BPR",
     "ImplicitALS",
     "SVDpp",
+    "NMF",
     "grid_search_kernel_mf",
 ]

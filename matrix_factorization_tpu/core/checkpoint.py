@@ -78,6 +78,7 @@ def _model_classes() -> dict:
     from matrix_factorization_tpu.models.bpr import BPR
     from matrix_factorization_tpu.models.implicit import ImplicitALS
     from matrix_factorization_tpu.models.kernel_mf import KernelMF
+    from matrix_factorization_tpu.models.nmf import NMF
     from matrix_factorization_tpu.models.svdpp import SVDpp
 
     return {
@@ -86,6 +87,7 @@ def _model_classes() -> dict:
         "BPR": BPR,
         "ImplicitALS": ImplicitALS,
         "SVDpp": SVDpp,
+        "NMF": NMF,
     }
 
 

@@ -9,6 +9,7 @@ from matrix_factorization_tpu.models.cf_topk import TopKItemItemCF, TopKUserUser
 from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
 from matrix_factorization_tpu.models.svdpp import SVDpp
+from matrix_factorization_tpu.models.nmf import NMF
 
 __all__ = [
     "RecommenderBase",
@@ -22,4 +23,5 @@ __all__ = [
     "BPR",
     "ImplicitALS",
     "SVDpp",
+    "NMF",
 ]

@@ -129,8 +129,8 @@ def gj_inverse(A: jax.Array, interpret: bool = False) -> jax.Array:
     out = pl.pallas_call(
         functools.partial(_gj_kernel, d=d, dp=dp),
         grid=(Ep // _LANES,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((dp, dp, Ep), A.dtype),
         interpret=interpret,
     )(At)

@@ -21,6 +21,7 @@ from matrix_factorization_tpu import (
     ImplicitALS,
     ItemItemCF,
     KernelMF,
+    NMF,
     SVDpp,
     UserUserCF,
 )
@@ -50,6 +51,9 @@ def build_model(name: str, args) -> object:
     if name == "svdpp":
         return SVDpp(n_factors=args.factors, n_epochs=args.epochs,
                      lr=args.lr, reg=args.reg, batch_size=args.batch_size)
+    if name == "nmf":
+        return NMF(n_factors=args.factors, n_epochs=args.epochs,
+                   reg=args.reg, batch_size=args.batch_size)
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -65,7 +69,8 @@ def main() -> None:
     add_paths_arg(p)
     p.add_argument("--model", default="kernel_mf",
                    choices=["baseline", "kernel_mf", "item_cf", "user_cf",
-                            "content_based", "implicit", "bpr", "svdpp"])
+                            "content_based", "implicit", "bpr", "svdpp",
+                            "nmf"])
     p.add_argument("--kernel", default="linear")
     p.add_argument("--method", default="als")
     p.add_argument("--factors", type=int, default=100)
