@@ -4,9 +4,10 @@ No reference counterpart (SHEEPididoo/matrix-factorization has five
 explicit models, none non-negative); included because NMF is a standard
 member of the rating-factorization family the reference builds
 (`surprise.NMF` is its best-known implementation) and its multiplicative
-updates are a natural TPU fit — one read-only segment-sum pass per epoch,
-zero sequential dependencies (see :mod:`matrix_factorization_tpu.ops.nmf`
-for the algorithm and the hardware mapping).
+updates are a natural TPU fit — two read-only segment-sum passes per
+epoch (alternating sides), zero sequential dependencies (see
+:mod:`matrix_factorization_tpu.ops.nmf` for the algorithm and the
+hardware mapping).
 
 Lifecycle and defaults follow the family conventions here
 (``RecommenderBase``: fit / predict / recommend / update_users) with
@@ -54,6 +55,7 @@ class NMF(RecommenderBase):
         batch_size: int = 131_072,
         seed: int = 0,
         serving_dtype: str = "float32",
+        mesh=None,
     ):
         if serving_dtype not in ("float32", "bfloat16"):
             raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
@@ -73,6 +75,10 @@ class NMF(RecommenderBase):
         self.batch_size = batch_size
         self.seed = seed
         self.serving_dtype = serving_dtype
+        # optional jax.sharding.Mesh: >1 data-axis devices routes fit
+        # through ops.nmf.dp_nmf_train (P sharded, Q replicated, one
+        # item-accumulator psum per epoch)
+        self.mesh = mesh
         self._params: Optional[sgd.MFParams] = None
         self._serving_cache = None
         self.train_rmse: list = []
@@ -125,16 +131,56 @@ class NMF(RecommenderBase):
         self.global_mean = float(np.mean(r)) if len(r) else 0.0
         n_epochs = n_epochs or self.n_epochs
         cfg = self._cfg()
-        params = nmf_ops.init_nmf_params(
-            jax.random.PRNGKey(self.seed), self.n_users, self.n_items, cfg,
-            self.init_low, self.init_high)
-        data = sgd.pack_ratings(u, i, r, cfg.batch_size)
-        cnt_u = self._counts(u, params.user_features.shape[0])
-        cnt_i = self._counts(i, params.item_features.shape[0])
         reg_pu, reg_qi = self._regs()
-        fn = nmf_ops.jit_nmf_train(cfg, n_epochs, reg_pu, reg_qi)
-        params, rmse_hist = fn(params, data, cnt_u, cnt_i)
+        mesh_data = 1
+        if self.mesh is not None:
+            from matrix_factorization_tpu.parallel.mesh import data_size_of
+
+            mesh_data = data_size_of(self.mesh)
+        if mesh_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            from matrix_factorization_tpu.parallel import distributed as dist
+            from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+            ucap = sgd.round_up(self.n_users, 8 * mesh_data)
+            params = nmf_ops.init_nmf_params(
+                jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
+                cfg, self.init_low, self.init_high, user_capacity=ucap)
+            params = dist.place_params(params, self.mesh)
+            shard = NamedSharding(self.mesh, Pspec(data_axes_of(self.mesh)))
+            rep = NamedSharding(self.mesh, Pspec())
+            data = sgd.pack_ratings(
+                u, i, r, cfg.batch_size, order="auto",
+                row_width=cfg.padded_factors, n_dev=mesh_data,
+                users_per_dev=ucap // mesh_data)
+            data = jax.tree.map(lambda a: jax.device_put(a, shard), data)
+            cnt_u = jax.device_put(self._counts(u, ucap), shard)
+            cnt_i = jax.device_put(
+                self._counts(i, params.item_features.shape[0]), rep)
+            fn = nmf_ops.jit_dp_nmf_train(cfg, n_epochs, reg_pu, reg_qi,
+                                          self.mesh)
+            params, rmse_hist = fn(params, data, cnt_u, cnt_i)
+            # gather for the single-device serving paths (the family
+            # convention — SVDpp.fit does the same after its dp branch)
+            params = sgd.MFParams(
+                jnp.asarray(np.asarray(params.user_features)),
+                jnp.asarray(np.asarray(params.item_features)),
+                jnp.asarray(np.asarray(params.global_mean)),
+            )
+        else:
+            params = nmf_ops.init_nmf_params(
+                jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
+                cfg, self.init_low, self.init_high)
+            # visit order is semantics-free for the full-batch passes,
+            # so always chunk-sort for the tightest aggregation tiles
+            data = sgd.pack_ratings(u, i, r, cfg.batch_size, order="auto")
+            cnt_u = self._counts(u, params.user_features.shape[0])
+            cnt_i = self._counts(i, params.item_features.shape[0])
+            fn = nmf_ops.jit_nmf_train(cfg, n_epochs, reg_pu, reg_qi)
+            params, rmse_hist = fn(params, data, cnt_u, cnt_i)
         self._params = params
+        self._serving_cache = None
         self.train_rmse = np.asarray(rmse_hist).tolist()
         if self.verbose:
             for e, v in enumerate(self.train_rmse):
@@ -201,7 +247,9 @@ class NMF(RecommenderBase):
 
         pack_bs = min(self.batch_size, max(1, len(r)))
         cfg = self._cfg(batch_size=pack_bs)
-        data = sgd.pack_ratings(u, i, r, pack_bs)
+        # user-primary: the one live (user) accumulator rides the
+        # perm-free primary tiles
+        data = sgd.pack_ratings(u, i, r, pack_bs, order="user")
         cnt_u = self._counts(u, self._params.user_features.shape[0])
         cnt_i = jnp.zeros((self._params.item_features.shape[0],), jnp.float32)
         reg_pu, reg_qi = self._regs()

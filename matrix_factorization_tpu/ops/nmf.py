@@ -14,19 +14,24 @@ Per-factor update (user side; item side symmetric)::
     p_uf <- p_uf * (sum_{i in I_u} q_if * r_ui)
                   / (sum_{i in I_u} q_if * est_ui  +  reg * |I_u| * p_uf)
 
-with ``est = p_u . q_i`` read from the PRE-epoch tables for every rating
-(a Jacobi schedule: both numerator/denominator sums for BOTH sides are
-accumulated in one pass, then both tables update simultaneously).
+with an ALTERNATING (Gauss–Seidel) schedule: the user pass accumulates
+its sums against the pre-epoch ``Q`` and updates ``P``; the item pass
+then accumulates against the FRESH ``P``.  Alternation is what carries
+Lee–Seung's monotone-descent guarantee — a simultaneous (Jacobi) update
+of both sides has no such guarantee and measurably zigzags (train RMSE
+oscillating above the rating range on ML-100K shapes), while the
+alternating run descends monotonically and reaches the same loss in
+fewer epochs despite costing two passes.
 
 TPU design (vs the per-rating loops such updates are usually written as):
 
-* **One pass per epoch, zero sequential dependencies.**  The epoch is a
-  ``lax.scan`` over the packed rating batches that only ACCUMULATES —
-  per batch, gather ``p_u``/``q_i`` rows, form ``est``, and scatter-add
-  the per-side ``[q*r ‖ q*est]`` contributions into ``(cap, 2k)``
-  accumulators.  The multiplicative update itself is one elementwise op
-  per table.  Because the schedule is full-batch Jacobi, the math is
-  batch-size invariant (batches only tile the segment sums) — no
+* **Two read-only passes per epoch, zero sequential dependencies.**
+  Each pass is a ``lax.scan`` over the packed rating batches that only
+  ACCUMULATES — per batch, gather ``p_u``/``q_i`` rows, form ``est``,
+  and scatter-add one side's ``[q*r ‖ q*est]`` contributions into a
+  ``(cap, 2k)`` accumulator.  The multiplicative update itself is one
+  elementwise op per table.  Because each pass is full-batch, the math
+  is batch-size invariant (batches only tile the segment sums) — no
   batching-parity question arises, unlike SGD.
 * **Static entity counts.**  ``|I_u|`` / ``|U_i|`` never change within a
   fit, so they are host ``bincount``s shipped once, not recomputed.
@@ -97,34 +102,90 @@ def fresh_nmf_user_rows(key: jax.Array, n: int, cfg: SGDConfig,
     return f.at[:, sgd.const_col(cfg, "user")].set(1.0)
 
 
-def _epoch_accumulate(P, Q, data: sgd.RatingBatches, k: int,
-                      update_user: bool, update_item: bool):
-    """One read-only pass over the rating stream: per-side (cap, 2k)
-    ``[sum q*r ‖ sum q*est]`` accumulators via scatter-add."""
-    acc_u = jnp.zeros((P.shape[0], 2 * k), jnp.float32)
-    acc_i = jnp.zeros((Q.shape[0], 2 * k), jnp.float32)
-    xs = (data.user_ids, data.item_ids, data.ratings, data.weights)
+def _accumulate_xs(data: sgd.RatingBatches, side: str):
+    """Scan-leaf dict + static tile shapes for one accumulate pass.
 
-    def body(acc, batch):
-        au, ai = acc
-        u, i, r, w = batch
-        pu = P.at[u].get(mode="promise_in_bounds")[:, :k]
-        qi = Q.at[i].get(mode="promise_in_bounds")[:, :k]
+    Like ``segment_sgd.epoch_xs`` but for a single live side: the
+    secondary sort/perm leaves ship only when ``side`` is the pack's
+    secondary; the primary tile bases always ship when present (they
+    also serve the gather when ``expand_prim``)."""
+    xs = {
+        "u": data.user_ids, "i": data.item_ids,
+        "r": data.ratings, "w": data.weights,
+    }
+    agg_prim = agg_sec = (0, 0)
+    if data.agg_prim[1]:
+        xs["pb"] = data.prim_tile_base
+        agg_prim = data.agg_prim
+    if data.agg_sec[1] and side != data.primary:
+        xs["ss"] = data.sec_ids_sorted
+        xs["sp"] = data.sec_perm
+        xs["sb"] = data.sec_tile_base
+        agg_sec = data.agg_sec
+    return xs, agg_prim, agg_sec
+
+
+def _accumulate_side(P, Q, data: sgd.RatingBatches, k: int, side: str,
+                     acc_init: Optional[jax.Array] = None):
+    """One read-only pass over the rating stream: the (cap, 2k)
+    ``[sum other*r ‖ sum other*est]`` accumulator for ``side``.
+
+    ``acc_init`` overrides the zeros carry — the dp trainer passes a
+    device-varying zeros block so the scan carry type-checks under
+    ``shard_map``.
+
+    The scatter rides the pack's tile metadata when present (the MXU
+    one-hot einsum path of ``segment_sgd._tile_scatter_add`` — raw
+    per-row XLA scatter is the row-op bottleneck the SGD trainer already
+    measured and engineered around); when ``side`` is the pack's primary
+    its one-hot is shared with the gather, otherwise the contributions
+    are permuted to sorted order for the secondary tiles.  Falls back to
+    plain scatter-add when the pack carries no tiles."""
+    cap = (P if side == "user" else Q).shape[0]
+    xs, agg_prim, agg_sec = _accumulate_xs(data, side)
+    prim_is_user = data.primary == "user"
+    side_is_prim = side == data.primary
+
+    def body(acc, b):
+        prim_ids = b["u"] if prim_is_user else b["i"]
+        sec_ids = b["i"] if prim_is_user else b["u"]
+        oh_prim = (sgd._tile_onehot(prim_ids, b["pb"], *agg_prim)
+                   if "pb" in b else None)
+        prim_tbl = P if prim_is_user else Q
+        if oh_prim is not None and data.expand_prim:
+            prim_rows = sgd._tile_gather(prim_tbl, oh_prim, b["pb"],
+                                         *agg_prim)
+        else:
+            prim_rows = prim_tbl.at[prim_ids].get(mode="promise_in_bounds")
+        sec_tbl = Q if prim_is_user else P
+        sec_rows = sec_tbl.at[sec_ids].get(mode="promise_in_bounds")
+        pu, qi = ((prim_rows, sec_rows) if prim_is_user
+                  else (sec_rows, prim_rows))
+        pu, qi = pu[:, :k], qi[:, :k]
         est = jnp.einsum("nk,nk->n", pu, qi)
-        rw = (r * w)[:, None]
-        ew = (est * w)[:, None]
-        if update_user:
-            au = au.at[u].add(
-                jnp.concatenate([qi * rw, qi * ew], axis=1),
-                mode="promise_in_bounds")
-        if update_item:
-            ai = ai.at[i].add(
-                jnp.concatenate([pu * rw, pu * ew], axis=1),
-                mode="promise_in_bounds")
-        return (au, ai), None
+        rw = (b["r"] * b["w"])[:, None]
+        ew = (est * b["w"])[:, None]
+        other = qi if side == "user" else pu
+        rows = jnp.concatenate([other * rw, other * ew], axis=1)
+        if side_is_prim:
+            if oh_prim is not None:
+                acc = sgd._tile_scatter_add(acc, rows, oh_prim,
+                                            b["pb"], *agg_prim)
+            else:
+                acc = acc.at[prim_ids].add(rows, mode="promise_in_bounds")
+        else:
+            if "sb" in b:
+                oh = sgd._tile_onehot(b["ss"], b["sb"], *agg_sec)
+                acc = sgd._tile_scatter_add(acc, rows[b["sp"]], oh,
+                                            b["sb"], *agg_sec)
+            else:
+                acc = acc.at[sec_ids].add(rows, mode="promise_in_bounds")
+        return acc, None
 
-    (acc_u, acc_i), _ = jax.lax.scan(body, (acc_u, acc_i), xs)
-    return acc_u, acc_i
+    acc0 = (jnp.zeros((cap, 2 * k), jnp.float32)
+            if acc_init is None else acc_init)
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc
 
 
 def _apply_mult_update(table, acc, cnt, k: int, reg: float, eps: float):
@@ -151,19 +212,19 @@ def nmf_train(
     update_item_params: bool = True,
     eps: float = 1e-8,
 ) -> Tuple[sgd.MFParams, jax.Array]:
-    """Multi-epoch multiplicative-update NMF; returns
+    """Multi-epoch multiplicative-update NMF (alternating schedule: the
+    item pass sees the epoch's fresh user factors); returns
     ``(params, per-epoch train RMSE)`` — one traced program, no host
     round-trips (same contract as ``segment_sgd.sgd_train``)."""
     k = cfg.n_factors
 
     def epoch(p: sgd.MFParams, _):
-        acc_u, acc_i = _epoch_accumulate(
-            p.user_features, p.item_features, data,
-            k, update_user_params, update_item_params)
         P, Q = p.user_features, p.item_features
         if update_user_params:
+            acc_u = _accumulate_side(P, Q, data, k, "user")
             P = _apply_mult_update(P, acc_u, cnt_u, k, reg_pu, eps)
         if update_item_params:
+            acc_i = _accumulate_side(P, Q, data, k, "item")
             Q = _apply_mult_update(Q, acc_i, cnt_i, k, reg_qi, eps)
         p = p._replace(user_features=P, item_features=Q)
         if cfg.compute_epoch_rmse:
@@ -174,6 +235,99 @@ def nmf_train(
         return p, rmse
 
     return jax.lax.scan(epoch, params, None, length=n_epochs)
+
+
+def dp_nmf_train(
+    params: sgd.MFParams,
+    data: sgd.RatingBatches,
+    cnt_u: jax.Array,  # (Ucap,) f32, row-sharded like P
+    cnt_i: jax.Array,  # (Icap,) f32, replicated (GLOBAL counts)
+    cfg: SGDConfig,
+    n_epochs: int,
+    reg_pu: float,
+    reg_qi: float,
+    mesh,
+    eps: float = 1e-8,
+) -> Tuple[sgd.MFParams, jax.Array]:
+    """Data-parallel alternating NMF under ``shard_map``.
+
+    Layout contract of :func:`parallel.distributed.dp_fit` (tiled):
+    P row-sharded over the mesh's data axes with LOCAL user ids in the
+    device-major pack (``pack_ratings(n_dev=...)``), Q replicated.  The
+    user pass is communication-free (each user's ratings live on its
+    owning device, so the user accumulator is exactly the local rows);
+    the item pass psums ONE (Icap, 2k) accumulator per epoch — the
+    multiplicative update then replays identically on every device, so Q
+    replicas stay bit-identical.  Because each pass is a full-batch
+    segment sum, the dp schedule is EQUAL to the single-device schedule
+    up to float reassociation (equivalence-tested) — unlike SGD there is
+    no global-batch semantics change.
+    """
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+    from jax.sharding import PartitionSpec as Pspec
+
+    data_axes = data_axes_of(mesh)
+    k = cfg.n_factors
+    n_real = data.n_real
+
+    def local_train(P_l, Q, mu, ldata, cu_l, ci):
+        def vzeros(cap):
+            return jax.lax.pcast(jnp.zeros((cap, 2 * k), jnp.float32),
+                                 data_axes, to="varying")
+
+        def epoch(carry, _):
+            P_l, Q = carry
+            acc_u = _accumulate_side(P_l, Q, ldata, k, "user",
+                                     acc_init=vzeros(P_l.shape[0]))
+            P_l = _apply_mult_update(P_l, acc_u, cu_l, k, reg_pu, eps)
+            acc_i = _accumulate_side(P_l, Q, ldata, k, "item",
+                                     acc_init=vzeros(Q.shape[0]))
+            acc_i = jax.lax.psum(acc_i, data_axes)
+            Q = _apply_mult_update(Q, acc_i, ci, k, reg_qi, eps)
+            if cfg.compute_epoch_rmse:
+                sse = sgd.masked_sse(
+                    sgd.MFParams(P_l, Q, mu), ldata, cfg,
+                    init=jax.lax.pcast(jnp.float32(0.0), data_axes,
+                                       to="varying"))
+                rmse = jnp.sqrt(jax.lax.psum(sse, data_axes)
+                                / max(n_real, 1))
+            else:
+                rmse = jnp.float32(0.0)
+            return (P_l, Q), rmse
+
+        (P_l, Q), hist = jax.lax.scan(epoch, (P_l, Q), None,
+                                      length=n_epochs)
+        return P_l, Q, hist
+
+    shard = Pspec(data_axes)
+    rep = Pspec()
+    fn = jax.shard_map(
+        local_train,
+        mesh=mesh,
+        in_specs=(shard, rep, rep, shard, shard, rep),
+        out_specs=(shard, rep, rep),
+    )
+    P_new, Q_new, hist = fn(
+        params.user_features, params.item_features, params.global_mean,
+        data, cnt_u, cnt_i,
+    )
+    return sgd.MFParams(P_new, Q_new, params.global_mean), hist
+
+
+def jit_dp_nmf_train(cfg: SGDConfig, n_epochs: int, reg_pu: float,
+                     reg_qi: float, mesh, eps: float = 1e-8):
+    """Cached jit of :func:`dp_nmf_train` (mesh in the static key)."""
+    key = ("dp", cfg, n_epochs, reg_pu, reg_qi, mesh, eps)
+    fn = _train_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, d, cu, ci: dp_nmf_train(
+                p, d, cu, ci, cfg, n_epochs, reg_pu, reg_qi, mesh, eps,
+            ),
+            donate_argnums=(0,),
+        )
+        _train_cache[key] = fn
+    return fn
 
 
 def jit_nmf_train(cfg: SGDConfig, n_epochs: int, reg_pu: float,

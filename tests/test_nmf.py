@@ -1,5 +1,5 @@
 """NMF (models/nmf.py, ops/nmf.py): float64 oracle parity for the
-Jacobi multiplicative-update schedule, batch-size invariance,
+alternating multiplicative-update schedule, batch-size invariance,
 non-negativity, lifecycle, checkpointing."""
 
 import numpy as np
@@ -18,9 +18,10 @@ from matrix_factorization_tpu.ops import segment_sgd as sgd
 
 
 def _oracle_nmf(P, Q, u, i, r, k, n_epochs, reg_pu, reg_qi, eps=1e-8):
-    """Float64 numpy oracle of the same schedule: one Jacobi pass per
-    epoch (both sides' num/den accumulated from the pre-epoch tables,
-    then both tables update), count-scaled L2, zero-count rows frozen."""
+    """Float64 numpy oracle of the same schedule: per epoch, a user pass
+    against the pre-epoch item table updates P, then an item pass against
+    the FRESH P updates Q (alternating Lee–Seung), count-scaled L2,
+    zero-count rows frozen."""
     P = P.astype(np.float64).copy()
     Q = Q.astype(np.float64).copy()
     cnt_u = np.bincount(u, minlength=P.shape[0]).astype(np.float64)
@@ -32,16 +33,19 @@ def _oracle_nmf(P, Q, u, i, r, k, n_epochs, reg_pu, reg_qi, eps=1e-8):
         den_u = np.zeros_like(num_u)
         np.add.at(num_u, u, Q[i, :k] * r[:, None])
         np.add.at(den_u, u, Q[i, :k] * est[:, None])
+        fu = P[:, :k]
+        new_u = fu * num_u / (den_u + reg_pu * cnt_u[:, None] * fu + eps)
+        P[:, :k] = np.where(cnt_u[:, None] > 0, new_u, fu)
+
+        est = np.einsum("nk,nk->n", P[u, :k], Q[i, :k])
         num_i = np.zeros((Q.shape[0], k))
         den_i = np.zeros_like(num_i)
         np.add.at(num_i, i, P[u, :k] * r[:, None])
         np.add.at(den_i, i, P[u, :k] * est[:, None])
-        fu = P[:, :k]
-        new_u = fu * num_u / (den_u + reg_pu * cnt_u[:, None] * fu + eps)
         fi = Q[:, :k]
         new_i = fi * num_i / (den_i + reg_qi * cnt_i[:, None] * fi + eps)
-        P[:, :k] = np.where(cnt_u[:, None] > 0, new_u, fu)
         Q[:, :k] = np.where(cnt_i[:, None] > 0, new_i, fi)
+
         e = r - np.einsum("nk,nk->n", P[u, :k], Q[i, :k])
         hist.append(np.sqrt(np.mean(e * e)))
     return P, Q, hist
@@ -85,7 +89,7 @@ def test_nmf_oracle_parity():
 
 
 def test_nmf_batch_size_invariant():
-    """The Jacobi schedule is full-batch math: batches only tile the
+    """Each alternating pass is full-batch math: batches only tile the
     segment sums, so results match across batch sizes."""
     n_users, n_items = 14, 11
     u, i, r = _toy(seed=3)
@@ -116,6 +120,9 @@ def test_nmf_learns_and_stays_nonnegative():
     m.fit(X, y)
     assert m.train_rmse[-1] < 0.6 * m.train_rmse[0]
     assert m.train_rmse[-1] < 0.45
+    # alternating MU descends the regularized objective; train RMSE
+    # should be near-monotone (no Jacobi-style zigzag)
+    assert (np.diff(m.train_rmse) <= 1e-3).all()
     assert (m.user_features >= 0).all() and (m.item_features >= 0).all()
     preds = np.asarray(m.predict(X))
     assert np.isfinite(preds).all()
@@ -155,6 +162,30 @@ def test_nmf_lifecycle_and_cold_start():
     got = m.predict(Xn)
     assert np.mean(np.abs(np.asarray(got) - yn.to_numpy())) < 1.5
     assert m.contains_user("brand_new")
+
+
+def test_nmf_dp_matches_single_device():
+    """The dp trainer is the SAME full-batch math (segment sums split
+    over devices + one item psum per epoch), so an 8-device mesh fit
+    must match the single-device fit up to float reassociation."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=50, n_items=35, density=0.5,
+                           min_rating=0.5, max_rating=5.0, seed=11)
+    kw = dict(n_factors=6, n_epochs=12, reg=0.05, batch_size=256,
+              min_rating=0.5, max_rating=5.0, seed=3)
+    m1 = NMF(**kw).fit(X, y)
+    mesh = make_mesh(n_data=8, n_model=1)
+    m8 = NMF(**kw, mesh=mesh).fit(X, y)
+    np.testing.assert_allclose(m8.train_rmse, m1.train_rmse,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(m8.item_features, m1.item_features,
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(m8.user_features, m1.user_features,
+                               rtol=2e-3, atol=2e-4)
+    p1 = np.asarray(m1.predict(X))
+    p8 = np.asarray(m8.predict(X))
+    np.testing.assert_allclose(p8, p1, rtol=1e-3, atol=1e-3)
 
 
 def test_nmf_rejects_negative_ratings():
