@@ -38,11 +38,11 @@ def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
     u = rng.integers(0, n_users, n).astype(np.int32)
     i = rng.integers(0, n_items, n).astype(np.int32)
     r = rng.uniform(0.5, 5.0, n).astype(np.float32)
-    params = nmf_ops.init_nmf_params(jax.random.PRNGKey(seed), n_users,
-                                     n_items, cfg)
-    data = sgd.pack_ratings(u, i, r, bs, order="auto")
-    cnt_u = np.bincount(u, minlength=params.user_features.shape[0])
-    cnt_i = np.bincount(i, minlength=params.item_features.shape[0])
+    data = sgd.pack_ratings(u, i, r, bs, order="auto",
+                            row_width=2 * cfg.n_factors)
+    # table row capacities (init_nmf_params' rounding), no device work
+    cnt_u = np.bincount(u, minlength=sgd.round_up(n_users, 8))
+    cnt_i = np.bincount(i, minlength=sgd.round_up(n_items, 8))
     import jax.numpy as jnp
     cnt_u = jnp.asarray(cnt_u.astype(np.float32))
     cnt_i = jnp.asarray(cnt_i.astype(np.float32))

@@ -31,8 +31,6 @@ from matrix_factorization_tpu.models.base import RecommenderBase, bucketed_predi
 from matrix_factorization_tpu.ops import ials
 from matrix_factorization_tpu.ops import segment_sgd as sgd
 
-_catalog_jit_cache: dict = {}
-
 
 class ImplicitALS(RecommenderBase):
     def __init__(
@@ -168,19 +166,10 @@ class ImplicitALS(RecommenderBase):
         return self._cached_serving_params()
 
     def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
-        from matrix_factorization_tpu.ops.scoring import score_catalog
+        from matrix_factorization_tpu.ops.scoring import catalog_scores
 
-        cfg = self._cfg()
-        key = (cfg, "batch")
-        fn = _catalog_jit_cache.get(key)
-        if fn is None:
-            fn = jax.jit(lambda mu, pu, Q: score_catalog(cfg, mu, pu, Q))
-            _catalog_jit_cache[key] = fn
-        sp = self._serving_params()
-        pu = sp.user_features[jnp.asarray(u_dense, jnp.int32)]
-        return np.asarray(
-            fn(sp.global_mean, pu, sp.item_features[: self.n_items])
-        )
+        return catalog_scores(self._cfg(), self._serving_params(),
+                              self.n_items, u_dense)
 
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
         return self._catalog_scores_batch(np.asarray([u_dense]))[0]

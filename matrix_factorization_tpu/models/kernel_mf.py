@@ -25,8 +25,6 @@ from matrix_factorization_tpu.core.config import SGDConfig
 from matrix_factorization_tpu.models.base import RecommenderBase, bucketed_predict
 from matrix_factorization_tpu.ops import segment_sgd as sgd
 
-_catalog_jit_cache: dict = {}
-
 
 def _als_needs_buckets(u, i, n_users: int, n_items: int,
                        budget_rows: int = 30_000_000) -> bool:
@@ -528,57 +526,17 @@ class KernelMF(RecommenderBase):
 
     def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
         """(B, n_items) unbounded scores — one MXU matmul for a whole
-        user cohort (eval harnesses, batch serving).
+        user cohort (``ops.scoring.catalog_scores``; gather + slice
+        traced in, see the RTT rationale there)."""
+        from matrix_factorization_tpu.ops.scoring import catalog_scores
 
-        The user-row gather and the catalog slice live INSIDE the jit:
-        on a remote-dispatch backend every eager device op costs a
-        round-trip, and the eager-slice version paid 3-4 RTTs per call
-        (~600ms p50 through the image's tunnel) for microseconds of
-        compute."""
-        from matrix_factorization_tpu.ops.scoring import score_catalog
-
-        cfg = self._cfg()
-        key = (cfg, self.n_items, "batch")
-        fn = _catalog_jit_cache.get(key)
-        if fn is None:
-            n_items = self.n_items
-
-            def run(mu, P, Q, u):
-                pu = P.at[u].get(mode="promise_in_bounds")
-                return score_catalog(cfg, mu, pu, Q[:n_items])
-
-            fn = jax.jit(run)
-            _catalog_jit_cache[key] = fn
-        sp = self._serving_params()
-        return np.asarray(
-            fn(sp.global_mean, sp.user_features,
-               sp.item_features, jnp.asarray(u_dense, jnp.int32))
-        )
+        return catalog_scores(self._cfg(), self._serving_params(),
+                              self.n_items, u_dense)
 
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
         """Unbounded scores of every known item for one user — the
-        ``recommend`` hot path as ONE device dispatch (single MXU matmul
-        with fused epilogue, gather + slice traced in; see the RTT note
-        on ``_catalog_scores_batch``)."""
-        from matrix_factorization_tpu.ops.scoring import score_catalog
-
-        cfg = self._cfg()
-        key = (cfg, self.n_items, "one")
-        fn = _catalog_jit_cache.get(key)
-        if fn is None:
-            n_items = self.n_items
-
-            def run(mu, P, Q, u):
-                pu = P.at[u].get(mode="promise_in_bounds")[None, :]
-                return score_catalog(cfg, mu, pu, Q[:n_items])[0]
-
-            fn = jax.jit(run)
-            _catalog_jit_cache[key] = fn
-        sp = self._serving_params()
-        return np.asarray(
-            fn(sp.global_mean, sp.user_features,
-               sp.item_features, jnp.int32(u_dense))
-        )
+        full-catalog ``recommend`` path as ONE device dispatch."""
+        return self._catalog_scores_batch(np.asarray([u_dense], np.int32))[0]
 
     def _catalog_topk(self, u_dense: np.ndarray, k: int):
         """Top-``k`` catalog scores per user, fetching only (B, k)

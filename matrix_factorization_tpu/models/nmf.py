@@ -150,9 +150,11 @@ class NMF(RecommenderBase):
             params = dist.place_params(params, self.mesh)
             shard = NamedSharding(self.mesh, Pspec(data_axes_of(self.mesh)))
             rep = NamedSharding(self.mesh, Pspec())
+            # the accumulate scatter writes (cap, 2k) rows, so the tile
+            # cost model prices that width, not the factor-table width
             data = sgd.pack_ratings(
                 u, i, r, cfg.batch_size, order="auto",
-                row_width=cfg.padded_factors, n_dev=mesh_data,
+                row_width=2 * cfg.n_factors, n_dev=mesh_data,
                 users_per_dev=ucap // mesh_data)
             data = jax.tree.map(lambda a: jax.device_put(a, shard), data)
             cnt_u = jax.device_put(self._counts(u, ucap), shard)
@@ -173,8 +175,11 @@ class NMF(RecommenderBase):
                 jax.random.PRNGKey(self.seed), self.n_users, self.n_items,
                 cfg, self.init_low, self.init_high)
             # visit order is semantics-free for the full-batch passes,
-            # so always chunk-sort for the tightest aggregation tiles
-            data = sgd.pack_ratings(u, i, r, cfg.batch_size, order="auto")
+            # so always chunk-sort for the tightest aggregation tiles;
+            # the scatter target is the (cap, 2k) accumulator, so the
+            # tile cost model prices that row width
+            data = sgd.pack_ratings(u, i, r, cfg.batch_size, order="auto",
+                                    row_width=2 * cfg.n_factors)
             cnt_u = self._counts(u, params.user_features.shape[0])
             cnt_i = self._counts(i, params.item_features.shape[0])
             fn = nmf_ops.jit_nmf_train(cfg, n_epochs, reg_pu, reg_qi)
@@ -249,7 +254,8 @@ class NMF(RecommenderBase):
         cfg = self._cfg(batch_size=pack_bs)
         # user-primary: the one live (user) accumulator rides the
         # perm-free primary tiles
-        data = sgd.pack_ratings(u, i, r, pack_bs, order="user")
+        data = sgd.pack_ratings(u, i, r, pack_bs, order="user",
+                                row_width=2 * cfg.n_factors)
         cnt_u = self._counts(u, self._params.user_features.shape[0])
         cnt_i = jnp.zeros((self._params.item_features.shape[0],), jnp.float32)
         reg_pu, reg_qi = self._regs()
@@ -268,26 +274,10 @@ class NMF(RecommenderBase):
         return self._cached_serving_params()
 
     def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
-        from matrix_factorization_tpu.models.kernel_mf import _catalog_jit_cache
-        from matrix_factorization_tpu.ops.scoring import score_catalog
+        from matrix_factorization_tpu.ops.scoring import catalog_scores
 
-        cfg = self._cfg()
-        key = (cfg, self.n_items, "batch")
-        fn = _catalog_jit_cache.get(key)
-        if fn is None:
-            n_items = self.n_items
-
-            def run(mu, P, Q, u):
-                pu = P.at[u].get(mode="promise_in_bounds")
-                return score_catalog(cfg, mu, pu, Q[:n_items])
-
-            fn = jax.jit(run)
-            _catalog_jit_cache[key] = fn
-        sp = self._serving_params()
-        return np.asarray(
-            fn(sp.global_mean, sp.user_features,
-               sp.item_features, jnp.asarray(u_dense, jnp.int32))
-        )
+        return catalog_scores(self._cfg(), self._serving_params(),
+                              self.n_items, u_dense)
 
     def _catalog_scores(self, u_dense: int) -> np.ndarray:
         return self._catalog_scores_batch(np.asarray([u_dense], np.int32))[0]

@@ -102,29 +102,6 @@ def fresh_nmf_user_rows(key: jax.Array, n: int, cfg: SGDConfig,
     return f.at[:, sgd.const_col(cfg, "user")].set(1.0)
 
 
-def _accumulate_xs(data: sgd.RatingBatches, side: str):
-    """Scan-leaf dict + static tile shapes for one accumulate pass.
-
-    Like ``segment_sgd.epoch_xs`` but for a single live side: the
-    secondary sort/perm leaves ship only when ``side`` is the pack's
-    secondary; the primary tile bases always ship when present (they
-    also serve the gather when ``expand_prim``)."""
-    xs = {
-        "u": data.user_ids, "i": data.item_ids,
-        "r": data.ratings, "w": data.weights,
-    }
-    agg_prim = agg_sec = (0, 0)
-    if data.agg_prim[1]:
-        xs["pb"] = data.prim_tile_base
-        agg_prim = data.agg_prim
-    if data.agg_sec[1] and side != data.primary:
-        xs["ss"] = data.sec_ids_sorted
-        xs["sp"] = data.sec_perm
-        xs["sb"] = data.sec_tile_base
-        agg_sec = data.agg_sec
-    return xs, agg_prim, agg_sec
-
-
 def _accumulate_side(P, Q, data: sgd.RatingBatches, k: int, side: str,
                      acc_init: Optional[jax.Array] = None):
     """One read-only pass over the rating stream: the (cap, 2k)
@@ -134,31 +111,27 @@ def _accumulate_side(P, Q, data: sgd.RatingBatches, k: int, side: str,
     device-varying zeros block so the scan carry type-checks under
     ``shard_map``.
 
-    The scatter rides the pack's tile metadata when present (the MXU
-    one-hot einsum path of ``segment_sgd._tile_scatter_add`` — raw
-    per-row XLA scatter is the row-op bottleneck the SGD trainer already
-    measured and engineered around); when ``side`` is the pack's primary
-    its one-hot is shared with the gather, otherwise the contributions
-    are permuted to sorted order for the secondary tiles.  Falls back to
-    plain scatter-add when the pack carries no tiles."""
+    Rides the shared tile helpers (``segment_sgd.tile_*`` — the MXU
+    one-hot einsum path; raw per-row XLA scatter is the row-op
+    bottleneck the SGD trainer already measured and engineered around),
+    with the pack accepted in EITHER orientation: when ``side`` is the
+    pack's primary its one-hot is shared between gather and scatter,
+    otherwise the contributions are permuted to sorted order for the
+    secondary tiles.  Each helper degrades to the plain per-row op when
+    the pack carries no tiles."""
     cap = (P if side == "user" else Q).shape[0]
-    xs, agg_prim, agg_sec = _accumulate_xs(data, side)
     prim_is_user = data.primary == "user"
     side_is_prim = side == data.primary
+    prim_key, sec_key = ("u", "i") if prim_is_user else ("i", "u")
+    prim_tbl, sec_tbl = (P, Q) if prim_is_user else (Q, P)
+    xs, agg_prim, agg_sec = sgd.tile_batch_xs(
+        data, include_sec=not side_is_prim, primary=None)
 
     def body(acc, b):
-        prim_ids = b["u"] if prim_is_user else b["i"]
-        sec_ids = b["i"] if prim_is_user else b["u"]
-        oh_prim = (sgd._tile_onehot(prim_ids, b["pb"], *agg_prim)
-                   if "pb" in b else None)
-        prim_tbl = P if prim_is_user else Q
-        if oh_prim is not None and data.expand_prim:
-            prim_rows = sgd._tile_gather(prim_tbl, oh_prim, b["pb"],
-                                         *agg_prim)
-        else:
-            prim_rows = prim_tbl.at[prim_ids].get(mode="promise_in_bounds")
-        sec_tbl = Q if prim_is_user else P
-        sec_rows = sec_tbl.at[sec_ids].get(mode="promise_in_bounds")
+        oh_prim = sgd.tile_prim_onehot(b, agg_prim, key=prim_key)
+        prim_rows = sgd.tile_prim_gather(prim_tbl, b, oh_prim, agg_prim,
+                                         data.expand_prim, key=prim_key)
+        sec_rows = sec_tbl.at[b[sec_key]].get(mode="promise_in_bounds")
         pu, qi = ((prim_rows, sec_rows) if prim_is_user
                   else (sec_rows, prim_rows))
         pu, qi = pu[:, :k], qi[:, :k]
@@ -168,18 +141,11 @@ def _accumulate_side(P, Q, data: sgd.RatingBatches, k: int, side: str,
         other = qi if side == "user" else pu
         rows = jnp.concatenate([other * rw, other * ew], axis=1)
         if side_is_prim:
-            if oh_prim is not None:
-                acc = sgd._tile_scatter_add(acc, rows, oh_prim,
-                                            b["pb"], *agg_prim)
-            else:
-                acc = acc.at[prim_ids].add(rows, mode="promise_in_bounds")
+            acc = sgd.tile_prim_scatter(acc, rows, b, oh_prim, agg_prim,
+                                        key=prim_key)
         else:
-            if "sb" in b:
-                oh = sgd._tile_onehot(b["ss"], b["sb"], *agg_sec)
-                acc = sgd._tile_scatter_add(acc, rows[b["sp"]], oh,
-                                            b["sb"], *agg_sec)
-            else:
-                acc = acc.at[sec_ids].add(rows, mode="promise_in_bounds")
+            acc = sgd.tile_sec_scatter(acc, rows, b, agg_sec,
+                                       key=sec_key)
         return acc, None
 
     acc0 = (jnp.zeros((cap, 2 * k), jnp.float32)

@@ -52,6 +52,35 @@ def score_catalog(
 
 
 _topk_jit_cache: dict = {}
+_catalog_scores_jit_cache: dict = {}
+
+
+def catalog_scores(cfg: SGDConfig, params, n_items: int, u_dense):
+    """(B, n_items) unbounded scores for a user cohort — one MXU matmul
+    (eval harnesses, batch serving; shared by every model that serves
+    through extended-row ``MFParams``: KernelMF, ImplicitALS, NMF, ...).
+
+    The user-row gather and the catalog slice live INSIDE the jit: on a
+    remote-dispatch backend every eager device op costs a round-trip,
+    and the eager-slice version paid 3-4 RTTs per call (~600ms p50
+    through the image's tunnel) for microseconds of compute.  Returns a
+    host (B, n_items) array."""
+    import numpy as np
+
+    key = (cfg, n_items)
+    fn = _catalog_scores_jit_cache.get(key)
+    if fn is None:
+
+        def run(mu, P, Q, u):
+            pu = P.at[u].get(mode="promise_in_bounds")
+            return score_catalog(cfg, mu, pu, Q[:n_items])
+
+        fn = jax.jit(run)
+        _catalog_scores_jit_cache[key] = fn
+    return np.asarray(
+        fn(params.global_mean, params.user_features, params.item_features,
+           jnp.asarray(u_dense, jnp.int32))
+    )
 
 
 def _pallas_serving_wins(cfg: SGDConfig, b_padded: int, kp: int) -> bool:

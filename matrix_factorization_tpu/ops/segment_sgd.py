@@ -758,18 +758,24 @@ def _tile_gather(
 
 
 # -- shared batch-leaf helpers for trainers that ride the tile machinery
-# (SVD++, BPR): a user-primary pack's P-side ops share one one-hot per
-# batch, the item-side delta scatter rides the secondary tiles, and each
-# helper degrades to the plain per-row op when tile metadata is absent.
+# (SVD++, BPR, NMF): the primary side's ops share one one-hot per batch,
+# the other side's scatter rides the secondary tiles, and each helper
+# degrades to the plain per-row op when tile metadata is absent.  The
+# ``key`` arg names the id leaf the op indexes by — "u"/"i"; it defaults
+# to the user-primary layout SVD++/BPR require, while either-primary
+# trainers (NMF) pass the pack's actual orientation.
 
 
 def tile_batch_xs(data: "RatingBatches", include_sec: bool = True,
-                  with_ratings: bool = True, primary: str = "user"):
+                  with_ratings: bool = True,
+                  primary: Optional[str] = "user"):
     """Per-batch scan-leaf dict + static (S, C) tile shapes.
 
     Returns ``(xs, agg_prim, agg_sec)``; ``xs`` leaves all have leading
-    dim ``nb`` so a batch-order permutation can be applied uniformly."""
-    if data.primary != primary:
+    dim ``nb`` so a batch-order permutation can be applied uniformly.
+    ``primary`` asserts the pack orientation a trainer's math needs;
+    pass ``None`` to accept either orientation."""
+    if primary is not None and data.primary != primary:
         raise ValueError(
             f"trainer needs pack_ratings(order={primary!r}) data, "
             f"got primary={data.primary!r}")
@@ -789,29 +795,29 @@ def tile_batch_xs(data: "RatingBatches", include_sec: bool = True,
     return xs, agg_prim, agg_sec
 
 
-def tile_prim_onehot(b: dict, agg_prim):
-    return (_tile_onehot(b["u"], b["pb"], *agg_prim)
+def tile_prim_onehot(b: dict, agg_prim, key: str = "u"):
+    return (_tile_onehot(b[key], b["pb"], *agg_prim)
             if agg_prim[1] else None)
 
 
-def tile_prim_gather(table, b, oh, agg_prim, expand):
+def tile_prim_gather(table, b, oh, agg_prim, expand, key: str = "u"):
     if oh is not None and expand:
         return _tile_gather(table, oh, b["pb"], *agg_prim)
-    return table.at[b["u"]].get(mode="promise_in_bounds")
+    return table.at[b[key]].get(mode="promise_in_bounds")
 
 
-def tile_prim_scatter(table, rows, b, oh, agg_prim):
+def tile_prim_scatter(table, rows, b, oh, agg_prim, key: str = "u"):
     if oh is not None:
         return _tile_scatter_add(table, rows, oh, b["pb"], *agg_prim)
-    return table.at[b["u"]].add(rows, mode="promise_in_bounds")
+    return table.at[b[key]].add(rows, mode="promise_in_bounds")
 
 
-def tile_sec_scatter(table, rows, b, agg_sec):
+def tile_sec_scatter(table, rows, b, agg_sec, key: str = "i"):
     if agg_sec[1]:
         oh = _tile_onehot(b["ss"], b["sb"], *agg_sec)
         return _tile_scatter_add(table, rows[b["sp"]], oh, b["sb"],
                                  *agg_sec)
-    return table.at[b["i"]].add(rows, mode="promise_in_bounds")
+    return table.at[b[key]].add(rows, mode="promise_in_bounds")
 
 
 def _minibatch_update(
