@@ -33,6 +33,7 @@ from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
 from matrix_factorization_tpu.models.svdpp import SVDpp
 from matrix_factorization_tpu.models.nmf import NMF
+from matrix_factorization_tpu.models.ease import EASE
 from matrix_factorization_tpu.models.grid_search import grid_search_kernel_mf
 from matrix_factorization_tpu.utils.splits import train_update_test_split
 
@@ -52,5 +53,6 @@ __all__ = [
     "ImplicitALS",
     "SVDpp",
     "NMF",
+    "EASE",
     "grid_search_kernel_mf",
 ]

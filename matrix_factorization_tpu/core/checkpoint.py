@@ -42,12 +42,16 @@ def _aux_arrays(model) -> Dict[str, np.ndarray]:
     """Model state outside the params tuple, keyed with an ``aux_``
     prefix so it never collides with a params field.  Today: BPR's
     ``_train_pairs`` (the positives its sampled-AUC eval rejects as
-    negatives)."""
+    negatives) and EASE's user-history CSR (its serving-side state)."""
     aux: Dict[str, np.ndarray] = {}
     tp = getattr(model, "_train_pairs", None)
     if tp is not None:
         aux["aux_train_pairs_u"] = np.asarray(tp[0])
         aux["aux_train_pairs_i"] = np.asarray(tp[1])
+    if getattr(model, "_indptr", None) is not None:
+        aux["aux_hist_indptr"] = np.asarray(model._indptr)
+        aux["aux_hist_i"] = np.asarray(model._hist_i)
+        aux["aux_hist_w"] = np.asarray(model._hist_w)
     return aux
 
 
@@ -57,6 +61,10 @@ def _restore_aux(model, arrays) -> None:
             np.asarray(arrays["aux_train_pairs_u"]),
             np.asarray(arrays["aux_train_pairs_i"]),
         )
+    if "aux_hist_indptr" in arrays:
+        model._indptr = np.asarray(arrays["aux_hist_indptr"])
+        model._hist_i = np.asarray(arrays["aux_hist_i"])
+        model._hist_w = np.asarray(arrays["aux_hist_w"])
 
 
 def _strip_runtime_config(config: dict) -> dict:
@@ -76,6 +84,7 @@ def _strip_runtime_config(config: dict) -> dict:
 def _model_classes() -> dict:
     from matrix_factorization_tpu.models.baseline import BaselineModel
     from matrix_factorization_tpu.models.bpr import BPR
+    from matrix_factorization_tpu.models.ease import EASE
     from matrix_factorization_tpu.models.implicit import ImplicitALS
     from matrix_factorization_tpu.models.kernel_mf import KernelMF
     from matrix_factorization_tpu.models.nmf import NMF
@@ -88,11 +97,13 @@ def _model_classes() -> dict:
         "ImplicitALS": ImplicitALS,
         "SVDpp": SVDpp,
         "NMF": NMF,
+        "EASE": EASE,
     }
 
 
 def _params_classes() -> dict:
     from matrix_factorization_tpu.ops.als import BiasParams
+    from matrix_factorization_tpu.ops.ease import EASEParams
     from matrix_factorization_tpu.ops.segment_sgd import MFParams
     from matrix_factorization_tpu.ops.svdpp import SVDppParams
 
@@ -100,6 +111,7 @@ def _params_classes() -> dict:
         "MFParams": MFParams,
         "BiasParams": BiasParams,
         "SVDppParams": SVDppParams,
+        "EASEParams": EASEParams,
     }
 
 

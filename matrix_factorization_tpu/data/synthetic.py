@@ -83,3 +83,41 @@ def movielens_shaped(
     r = np.clip(np.round(2 * (base + 0.5 * rng.standard_normal(n_ratings))) / 2, 0.5, 5.0)
     X = pd.DataFrame({"user_id": u, "item_id": i})
     return X, pd.Series(r, name="rating")
+
+
+def clustered_interactions(
+    n_users: int = 500,
+    n_items: int = 400,
+    n_clusters: int = 8,
+    per_user: int = 20,
+    in_cluster: float = 0.85,
+    seed: int = 0,
+) -> Tuple[pd.DataFrame, pd.Series]:
+    """Implicit interactions with genuine item-item co-occurrence: users
+    and items belong to latent clusters and each user draws ``per_user``
+    distinct items, ``in_cluster`` of them from their own cluster.
+
+    ``movielens_shaped`` samples user and item marginals INDEPENDENTLY,
+    so raw popularity is its Bayes-optimal ranker — useless for judging
+    neighborhood/co-occurrence models (EASE, item CF).  This fixture is
+    the complement: popularity carries almost nothing, co-occurrence
+    carries everything.  Returns (X, y) with y = 1.0 weights.
+    """
+    rng = np.random.default_rng(seed)
+    item_cluster = rng.integers(0, n_clusters, n_items)
+    cluster_items = [np.flatnonzero(item_cluster == c) for c in range(n_clusters)]
+    user_cluster = rng.integers(0, n_clusters, n_users)
+    us, its = [], []
+    for u in range(n_users):
+        own = cluster_items[user_cluster[u]]
+        n_in = min(int(round(per_user * in_cluster)), len(own))
+        picks = set(rng.choice(own, size=n_in, replace=False).tolist())
+        while len(picks) < per_user:
+            picks.add(int(rng.integers(n_items)))
+        its.extend(sorted(picks))
+        us.extend([u] * len(picks))
+    X = pd.DataFrame({
+        "user_id": np.asarray(us, np.int64),
+        "item_id": np.asarray(its, np.int64),
+    })
+    return X, pd.Series(np.ones(len(X), np.float32), name="rating")

@@ -1,0 +1,212 @@
+"""EASE recommender — closed-form item-item linear model (Steck 2019).
+
+No reference counterpart (extension family, like ImplicitALS/BPR): EASE
+is the standard strong baseline for implicit top-N recommendation and a
+natural TPU fit — training is ONE regularized SPD inverse of the item
+gram (see :mod:`matrix_factorization_tpu.ops.ease` for the math and the
+hardware mapping), so ``fit`` has no epochs, no learning rate, and no
+stochasticity at all.
+
+Lifecycle follows the family conventions (``RecommenderBase``:
+fit / predict / recommend / update_users).  Like ``ImplicitALS``,
+predictions are preference scores (~[0, 1] for binary histories), not
+ratings; ``update_users`` is O(1) bookkeeping — the item-item matrix is
+user-independent, so new/updated users only need their history rows
+recorded (a genuinely instant online update no MF model can match).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+from matrix_factorization_tpu.models.base import RecommenderBase
+from matrix_factorization_tpu.ops import ease as ease_ops
+
+
+class EASE(RecommenderBase):
+    """``s_u = x_u B`` with ``B = I - (G + lam I)^{-1} / diag``.
+
+    ``reg`` (lam) is the only training hyperparameter (the EASE paper
+    uses 100-1000 at MovieLens scale).  ``binarize=True`` (the standard
+    formulation) scores histories as 0/1 interactions; ``False`` keeps
+    the provided ``y`` values as interaction weights.
+    """
+
+    def __init__(
+        self,
+        reg: float = 250.0,
+        binarize: bool = True,
+        min_rating: float = 0,
+        max_rating: float = 1,
+        verbose: int = 0,
+        gram_chunk_users: int = 2048,
+        serving_dtype: str = "float32",
+    ):
+        """``serving_dtype``: 'float32' or 'bfloat16' — a bf16-resident
+        ``B`` halves the bytes the HBM-bound catalog matmul streams
+        (same option as the MF models' table serving)."""
+        if reg <= 0:
+            raise ValueError("reg must be positive (it conditions the inverse)")
+        if serving_dtype not in ("float32", "bfloat16"):
+            raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
+        super().__init__(min_rating=min_rating, max_rating=max_rating,
+                         verbose=verbose)
+        self.reg = reg
+        self.binarize = binarize
+        self.gram_chunk_users = gram_chunk_users
+        self.serving_dtype = serving_dtype
+        self._params = None  # EASEParams: (I_p, I_p) item-item matrix
+        self._serving_cache = None
+        # per-user histories, CSR over dense user ids
+        self._indptr: Optional[np.ndarray] = None
+        self._hist_i: Optional[np.ndarray] = None
+        self._hist_w: Optional[np.ndarray] = None
+
+    # -- histories -----------------------------------------------------------
+    def _weights(self, r: np.ndarray) -> np.ndarray:
+        if self.binarize:
+            return np.ones_like(r, dtype=np.float32)
+        if (r < 0).any():
+            raise ValueError("interaction weights must be non-negative")
+        return r.astype(np.float32)
+
+    def _set_histories(self, u: np.ndarray, i: np.ndarray, w: np.ndarray):
+        order = np.argsort(u, kind="stable")
+        u, i, w = u[order], i[order], w[order]
+        self._indptr = np.zeros(self.n_users + 1, np.int64)
+        np.cumsum(np.bincount(u, minlength=self.n_users), out=self._indptr[1:])
+        self._hist_i = i.astype(np.int32)
+        self._hist_w = w.astype(np.float32)
+
+    def _history_block(self, u_dense: np.ndarray):
+        """Padded (B, L) item-id/weight rows for a user cohort; L is the
+        cohort max history length, pow2-bucketed (compile-count bound).
+        Negative/unknown users get empty histories (all scores 0)."""
+        lens = [
+            int(self._indptr[u + 1] - self._indptr[u]) if 0 <= u < self.n_users
+            else 0
+            for u in u_dense
+        ]
+        L = 1 << max(3, (max(lens + [1]) - 1).bit_length())
+        ids = np.zeros((len(u_dense), L), np.int32)
+        w = np.zeros((len(u_dense), L), np.float32)
+        for row, (u, ln) in enumerate(zip(u_dense, lens)):
+            if ln:
+                s = self._indptr[u]
+                ids[row, :ln] = self._hist_i[s : s + ln]
+                w[row, :ln] = self._hist_w[s : s + ln]
+        return ids, w
+
+    # -- lifecycle -----------------------------------------------------------
+    def fit(self, X: pd.DataFrame, y: pd.Series):
+        u, i, r = self._preprocess_fit(X, y)
+        w = self._weights(r)
+        ease_ops.check_item_budget(self.n_items)
+        G = ease_ops.item_gram(u, i, w, self.n_users, self.n_items,
+                               self.gram_chunk_users)
+        self._params = ease_ops.EASEParams(ease_ops.ease_weights(G, self.reg))
+        self._serving_cache = None
+        self._set_histories(u, i, w)
+        if self.verbose:
+            print(f"EASE: {self.n_items} items, reg={self.reg}, "
+                  f"serving {self.serving_dtype}")
+        return self
+
+    def _serving_B(self):
+        """Identity-keyed cache of the serving-path weight view (bf16
+        when ``serving_dtype`` asks — checkpointed state stays f32)."""
+        p = self._params
+        if self.serving_dtype == "float32":
+            return p.item_weights
+        c = self._serving_cache
+        if c is None or c[0] is not p:
+            self._serving_cache = c = (
+                p, p.item_weights.astype(jnp.bfloat16))
+        return c[1]
+
+    def _scores_for(self, u_dense: np.ndarray):
+        """(B, n_items) host scores for a (padded) user cohort."""
+        bb = 1 << max(0, (len(u_dense) - 1).bit_length())
+        u_pad = np.full(bb, -1, np.int64)
+        u_pad[: len(u_dense)] = u_dense
+        ids, w = self._history_block(u_pad)
+        s = np.asarray(ease_ops.history_scores(self._serving_B(), ids, w))
+        return s[: len(u_dense), : self.n_items]
+
+    def predict(self, X: pd.DataFrame, bound_ratings: bool = True) -> list:
+        """Preference scores for (user, item) pairs.
+
+        Pair scores are columns of the users' catalog score rows; the
+        unique queried users are scored cohort-wise (one MXU matmul per
+        256-user chunk).  Unknown user or item -> 0.0, possible=False
+        (the family's cold-start convention: no information)."""
+        self._require_fitted()
+        if X.shape[0] == 0:
+            return []
+        u, i = self._preprocess_predict(X)
+        preds = np.zeros(len(u), np.float32)
+        possible = (u >= 0) & (i >= 0)
+        uniq, inv = np.unique(u[possible], return_inverse=True)
+        if len(uniq):
+            rows = np.empty((len(uniq), self.n_items), np.float32)
+            for lo in range(0, len(uniq), 256):
+                chunk = uniq[lo : lo + 256]
+                rows[lo : lo + len(chunk)] = self._scores_for(chunk)
+            preds[possible] = rows[inv, i[possible]]
+        if bound_ratings:
+            preds = np.clip(preds, self.min_rating, self.max_rating)
+        self.predictions_possible = possible.tolist()
+        return preds.tolist()
+
+    def update_users(self, X: pd.DataFrame, y: pd.Series, lr: float = 0.0,
+                     n_epochs: int = 0, verbose: int = 0):
+        """Record histories for new users and REPLACE known users'
+        (the reference's "pass all ratings for old users" semantics,
+        ``kernel_matrix_factorization.py:189-199``).  ``lr``/``n_epochs``
+        accepted for API parity, unused: ``B`` is user-independent, so
+        the update is pure bookkeeping — no solve, no device work."""
+        u, i, r, known, _new = self._preprocess_update(X, y)
+        if len(r) == 0:
+            return self
+        w = self._weights(r)
+        # rebuild the CSR with known users' rows replaced and new
+        # users' appended (indptr covers the grown vocab) — pair-level
+        # masking, no per-user loop
+        n_old = len(self._indptr) - 1
+        pair_u = np.repeat(np.arange(n_old, dtype=np.int64),
+                           np.diff(self._indptr))
+        keep = np.ones(len(pair_u), bool)
+        if known:
+            drop = self.user_vocab.encode(np.asarray(known, dtype=object))
+            keep = ~np.isin(pair_u, drop)
+        all_u = np.concatenate([pair_u[keep], u.astype(np.int64)])
+        all_i = np.concatenate([self._hist_i[keep], i.astype(np.int32)])
+        all_w = np.concatenate([self._hist_w[keep], w])
+        self._set_histories(all_u, all_i, all_w)
+        return self
+
+    # -- serving -------------------------------------------------------------
+    def _catalog_scores(self, u_dense: int) -> np.ndarray:
+        return self._scores_for(np.asarray([u_dense], np.int64))[0]
+
+    def _catalog_scores_batch(self, u_dense: np.ndarray) -> np.ndarray:
+        return self._scores_for(np.asarray(u_dense, np.int64))
+
+    def _catalog_topk(self, u_dense: np.ndarray, k: int):
+        """Device-side top-k: history scatter + catalog matmul +
+        ``lax.top_k`` in one dispatch, (B, k) fetched."""
+        k = min(k, self.n_items)
+        kb = min(self.n_items, 1 << max(4, (k - 1).bit_length()))
+        bb = 1 << max(0, (len(u_dense) - 1).bit_length())
+        u_pad = np.full(bb, -1, np.int64)
+        u_pad[: len(u_dense)] = u_dense
+        ids, w = self._history_block(u_pad)
+        vals, idx = ease_ops.history_scores(self._serving_B(), ids, w,
+                                            topk=kb, n_valid=self.n_items)
+        return np.asarray(vals)[: len(u_dense), :k], \
+            np.asarray(idx)[: len(u_dense), :k]

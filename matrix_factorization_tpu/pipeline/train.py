@@ -16,6 +16,7 @@ import pandas as pd
 
 from matrix_factorization_tpu import (
     BPR,
+    EASE,
     BaselineModel,
     ContentBasedRecommender,
     ImplicitALS,
@@ -54,6 +55,8 @@ def build_model(name: str, args) -> object:
     if name == "nmf":
         return NMF(n_factors=args.factors, n_epochs=args.epochs,
                    reg=args.reg, batch_size=args.batch_size)
+    if name == "ease":
+        return EASE(reg=args.reg)
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -70,7 +73,7 @@ def main() -> None:
     p.add_argument("--model", default="kernel_mf",
                    choices=["baseline", "kernel_mf", "item_cf", "user_cf",
                             "content_based", "implicit", "bpr", "svdpp",
-                            "nmf"])
+                            "nmf", "ease"])
     p.add_argument("--kernel", default="linear")
     p.add_argument("--method", default="als")
     p.add_argument("--factors", type=int, default=100)

@@ -118,3 +118,22 @@ def test_pallas_gj_leaf_rejects_oversize():
     A = jnp.eye(130)[None]
     with pytest.raises(ValueError):
         gj_inverse(A)
+
+
+def test_spd_inverse_scaled_skewed_diagonal():
+    """The EASE failure mode: gram diagonals spanning entity-popularity
+    counts.  The scaled+refined inverse must stay finite and accurate
+    where the raw recursion's conditioning margin is thin."""
+    from matrix_factorization_tpu.ops.spd import spd_inverse_scaled
+
+    key = jax.random.PRNGKey(7)
+    A = _ridged_gram(key, 1, 96, L=48, ridge=5.0)
+    # popularity-like diagonal spread (counts 5..800)
+    scale = jnp.sqrt(jax.random.uniform(key, (1, 96), minval=5.0,
+                                        maxval=800.0))
+    A = A * scale[..., None] * scale[:, None, :]
+    P = spd_inverse_scaled(A, refine=1)
+    assert np.isfinite(np.asarray(P)).all()
+    R = np.einsum("eij,ejk->eik", np.asarray(A, np.float64),
+                  np.asarray(P, np.float64)) - np.eye(96)
+    assert np.abs(R).max() < 1e-3
