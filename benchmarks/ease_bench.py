@@ -39,7 +39,7 @@ def run_combo(n_users: int, n_items: int, per_user: int, seed: int = 0):
     i = rng.integers(0, n_items, n).astype(np.int64)
     w = np.ones(n, np.float32)
 
-    def once(sd):
+    def once():
         t0 = time.perf_counter()
         G = ease_ops.item_gram(u, i, w, n_users, n_items)
         float(np.asarray(G[0, 0]))  # fetch barrier (remote dispatch)
@@ -51,8 +51,8 @@ def run_combo(n_users: int, n_items: int, per_user: int, seed: int = 0):
         assert np.isfinite(b00)
         return t_gram, t_inv
 
-    once(0)  # compile
-    t_gram, t_inv = once(1)
+    once()  # compile
+    t_gram, t_inv = once()
     return {
         "metric": "ease_fit_seconds",
         "value": round(t_gram + t_inv, 3),

@@ -104,6 +104,7 @@ def clustered_interactions(
     carries everything.  Returns (X, y) with y = 1.0 weights.
     """
     rng = np.random.default_rng(seed)
+    per_user = min(per_user, n_items)  # distinct items per user
     item_cluster = rng.integers(0, n_clusters, n_items)
     cluster_items = [np.flatnonzero(item_cluster == c) for c in range(n_clusters)]
     user_cluster = rng.integers(0, n_clusters, n_users)

@@ -192,13 +192,16 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
 
     # -- shared top-k plumbing (device and sharded catalogs) ------------------
 
-    def _cached_serving_params(self, mf_view_fn=None):
+    def _cached_serving_params(self, mf_view_fn=None, cast_fn=None):
         """Identity-keyed cache of the serving-path parameter view: the
         live ``_params`` (optionally projected through ``mf_view_fn``,
         e.g. SVD++'s effective P+S table), cast to bf16 when
         ``serving_dtype='bfloat16'``.  Rebuilt whenever ``_params`` is
         replaced — every fit / update_users / capacity growth swaps the
-        object, so identity is the staleness check."""
+        object, so identity is the staleness check.
+
+        ``cast_fn`` overrides the bf16 cast for params classes without
+        the MFParams table fields (e.g. EASE's item-item matrix)."""
         import jax.numpy as jnp
 
         p = self._params
@@ -208,10 +211,13 @@ class RecommenderBase(*_SKLEARN_BASES, ABC):
         if c is None or c[0] is not p:
             mf = mf_view_fn() if mf_view_fn is not None else p
             if self.serving_dtype == "bfloat16":
-                mf = mf._replace(
-                    user_features=mf.user_features.astype(jnp.bfloat16),
-                    item_features=mf.item_features.astype(jnp.bfloat16),
-                )
+                if cast_fn is not None:
+                    mf = cast_fn(mf)
+                else:
+                    mf = mf._replace(
+                        user_features=mf.user_features.astype(jnp.bfloat16),
+                        item_features=mf.item_features.astype(jnp.bfloat16),
+                    )
             self._serving_cache = c = (p, mf)
         return c[1]
 

@@ -19,13 +19,15 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-import jax.numpy as jnp
-
 from matrix_factorization_tpu.models.base import RecommenderBase
 from matrix_factorization_tpu.ops import ease as ease_ops
+
+_ease_topk_jit_cache: dict = {}
 
 
 class EASE(RecommenderBase):
@@ -49,7 +51,10 @@ class EASE(RecommenderBase):
     ):
         """``serving_dtype``: 'float32' or 'bfloat16' — a bf16-resident
         ``B`` halves the bytes the HBM-bound catalog matmul streams
-        (same option as the MF models' table serving)."""
+        (same option as the MF models' table serving).  With
+        ``binarize=False`` the rating-valued history weights also round
+        to bf16 in the scorer (~0.4% relative, the same order as the
+        B rounding itself); binary histories are exact."""
         if reg <= 0:
             raise ValueError("reg must be positive (it conditions the inverse)")
         if serving_dtype not in ("float32", "bfloat16"):
@@ -118,16 +123,13 @@ class EASE(RecommenderBase):
         return self
 
     def _serving_B(self):
-        """Identity-keyed cache of the serving-path weight view (bf16
-        when ``serving_dtype`` asks — checkpointed state stays f32)."""
-        p = self._params
-        if self.serving_dtype == "float32":
-            return p.item_weights
-        c = self._serving_cache
-        if c is None or c[0] is not p:
-            self._serving_cache = c = (
-                p, p.item_weights.astype(jnp.bfloat16))
-        return c[1]
+        """Serving-path weight view (bf16 when ``serving_dtype`` asks —
+        checkpointed state stays f32); identity-keyed staleness via the
+        shared ``RecommenderBase._cached_serving_params``."""
+        return self._cached_serving_params(
+            cast_fn=lambda p: p._replace(
+                item_weights=p.item_weights.astype(jnp.bfloat16))
+        ).item_weights
 
     def _scores_for(self, u_dense: np.ndarray):
         """(B, n_items) host scores for a (padded) user cohort."""
@@ -153,11 +155,17 @@ class EASE(RecommenderBase):
         possible = (u >= 0) & (i >= 0)
         uniq, inv = np.unique(u[possible], return_inverse=True)
         if len(uniq):
-            rows = np.empty((len(uniq), self.n_items), np.float32)
+            # gather the queried columns per 256-user chunk: host memory
+            # stays (256, n_items) however many distinct users the query
+            # has (a full (uniq, n_items) block would be GBs at scale)
+            pos = np.flatnonzero(possible)
+            out = np.empty(len(pos), np.float32)
             for lo in range(0, len(uniq), 256):
                 chunk = uniq[lo : lo + 256]
-                rows[lo : lo + len(chunk)] = self._scores_for(chunk)
-            preds[possible] = rows[inv, i[possible]]
+                rows = self._scores_for(chunk)
+                sel = (inv >= lo) & (inv < lo + len(chunk))
+                out[sel] = rows[inv[sel] - lo, i[pos[sel]]]
+            preds[pos] = out
         if bound_ratings:
             preds = np.clip(preds, self.min_rating, self.max_rating)
         self.predictions_possible = possible.tolist()
@@ -199,14 +207,30 @@ class EASE(RecommenderBase):
 
     def _catalog_topk(self, u_dense: np.ndarray, k: int):
         """Device-side top-k: history scatter + catalog matmul +
-        ``lax.top_k`` in one dispatch, (B, k) fetched."""
-        k = min(k, self.n_items)
-        kb = min(self.n_items, 1 << max(4, (k - 1).bit_length()))
-        bb = 1 << max(0, (len(u_dense) - 1).bit_length())
-        u_pad = np.full(bb, -1, np.int64)
-        u_pad[: len(u_dense)] = u_dense
-        ids, w = self._history_block(u_pad)
-        vals, idx = ease_ops.history_scores(self._serving_B(), ids, w,
-                                            topk=kb, n_valid=self.n_items)
-        return np.asarray(vals)[: len(u_dense), :k], \
-            np.asarray(idx)[: len(u_dense), :k]
+        ``lax.top_k`` in one dispatch, (B, k) fetched — through the
+        shared pad/bucket/jit-cache harness
+        (``ops.scoring.topk_harness``); pad item columns are masked to
+        -inf so they never outrank a real item with a negative score."""
+        from matrix_factorization_tpu.ops.scoring import topk_harness
+
+        B_mat = self._serving_B()
+        n_items = self.n_items
+        ip = int(B_mat.shape[0])
+
+        def prep(u_pad):
+            ids, w = self._history_block(u_pad)
+            return (jnp.asarray(ids), jnp.asarray(w)), ids.shape[1]
+
+        def make_run(kb, bb):
+            def run(u, B, ids, w):
+                s = ease_ops.score_history_block(B, ids, w)
+                if n_items < ip:
+                    s = jnp.where(jnp.arange(ip)[None, :] < n_items, s,
+                                  -jnp.inf)
+                return jax.lax.top_k(s, kb)
+
+            return run
+
+        return topk_harness(make_run, ("ease", str(B_mat.dtype)), n_items,
+                            u_dense, k, _ease_topk_jit_cache, (B_mat,),
+                            prep=prep)

@@ -67,19 +67,22 @@ def round8(n: int) -> int:
     return ((max(n, 1) + 7) // 8) * 8
 
 
-def check_item_budget(n_items: int, budget_bytes: int = 12 << 30) -> None:
+def check_item_budget(n_items: int, item_limit: int = 16384) -> None:
     """Raise before building a gram that cannot fit the chip.
 
-    The Schur recursion keeps ~4 (I_p, I_p) f32 temporaries live at the
-    top level; 12GB of a 16GB v5e leaves room for the slab + program."""
-    ip = round8(n_items)
-    need = 4 * ip * ip * 4
-    if need > budget_bytes:
+    The hard cap IS the guard (not a bytes formula that would admit
+    catalogs the recursion's transient peak then OOMs on): 16k items is
+    the measured practical bound on a 16GB v5e — gram + inverse + the
+    ~4 live recursion temporaries + the scatter slab ≈ 7GB steady with
+    transient peaks well above (benchmarks/ease_bench.py runs 16384
+    end-to-end; 2x that in every temporary would not).  Override
+    ``item_limit`` only on larger-HBM parts."""
+    if round8(n_items) > item_limit:
         raise ValueError(
-            f"EASE needs ~{need / 2**30:.1f}GB HBM for {n_items} items "
-            f"(O(items^2) gram + inverse); the practical single-chip "
-            f"bound is ~16k items. Shrink the catalog or use an MF/CF "
-            f"model at this scale."
+            f"EASE at {n_items} items needs O(items^2) HBM; the "
+            f"measured single-chip bound is {item_limit} items on a "
+            f"16GB v5e. Shrink the catalog or use an MF/CF model at "
+            f"this scale."
         )
 
 
@@ -178,39 +181,35 @@ def ease_weights(G: jax.Array, lam: float, leaf: str = "auto") -> jax.Array:
 _score_jit_cache: dict = {}
 
 
-def history_scores(B: jax.Array, ids: np.ndarray, w: np.ndarray,
-                   topk: Optional[int] = None,
-                   n_valid: Optional[int] = None):
-    """Catalog scores ``x_u B`` for a cohort of user histories.
+def score_history_block(B: jax.Array, ids: jax.Array, w: jax.Array):
+    """Traced body shared by the full-score and top-k dispatches:
+    scatter the (nb, L) padded histories into a dense (nb, I_p) block
+    and score the catalog as one MXU matmul.
 
-    ``ids``/``w``: (n_users, L) padded item ids and weights (weight-0
-    pads inert).  The dense history block is scattered INSIDE the jit
-    (one dispatch) and scored as one MXU matmul; with ``topk`` the
-    ``lax.top_k`` fuses in and only (n_users, k) values+indices are
-    fetched — pad item columns (>= ``n_valid``) are masked to -inf so
-    they can never outrank a real item with a negative score."""
+    The history block is cast to ``B``'s dtype so a bf16-resident B
+    streams half the bytes (the MXU still accumulates in f32 via
+    ``preferred_element_type``).  Binary history weights are exact in
+    bf16; ``binarize=False`` rating-valued weights additionally round
+    to bf16 here (~0.4% relative — the same order as the intended
+    B-matrix rounding, documented on the model's ``serving_dtype``)."""
     nb, L = ids.shape
     ip = B.shape[0]
-    key = (ip, L, nb, topk, n_valid, str(B.dtype))
+    rows = jnp.repeat(jnp.arange(nb, dtype=jnp.int32)[:, None], L, 1)
+    X = jnp.zeros((nb, ip), jnp.float32)
+    X = X.at[rows, ids].add(w, mode="promise_in_bounds")
+    return jnp.matmul(X.astype(B.dtype), B,
+                      preferred_element_type=jnp.float32)
+
+
+def history_scores(B: jax.Array, ids: np.ndarray, w: np.ndarray):
+    """Host-facing full catalog scores ``x_u B`` for a cohort of user
+    histories; ``ids``/``w``: (n_users, L) padded item ids and weights
+    (weight-0 pads inert), one device dispatch.  The top-k variant
+    lives on the model (``EASE._catalog_topk``) via the shared
+    ``ops.scoring.topk_harness``."""
+    key = (B.shape[0], ids.shape, str(B.dtype))
     fn = _score_jit_cache.get(key)
     if fn is None:
-
-        def run(B, ids, w):
-            rows = jnp.repeat(jnp.arange(nb, dtype=jnp.int32)[:, None], L, 1)
-            X = jnp.zeros((nb, ip), jnp.float32)
-            X = X.at[rows, ids].add(w, mode="promise_in_bounds")
-            # match dtypes so a bf16-resident B streams half the bytes
-            # (the MXU still accumulates in f32 via preferred_element_type;
-            # binary history weights are exact in bf16)
-            s = jnp.matmul(X.astype(B.dtype), B,
-                           preferred_element_type=jnp.float32)
-            if topk is not None:
-                if n_valid is not None and n_valid < ip:
-                    s = jnp.where(jnp.arange(ip)[None, :] < n_valid, s,
-                                  -jnp.inf)
-                return jax.lax.top_k(s, topk)
-            return s
-
-        fn = jax.jit(run)
+        fn = jax.jit(score_history_block)
         _score_jit_cache[key] = fn
     return fn(B, jnp.asarray(ids), jnp.asarray(w))

@@ -105,7 +105,7 @@ def _pallas_serving_wins(cfg: SGDConfig, b_padded: int, kp: int) -> bool:
 
 
 def topk_harness(make_run, key_extra, n_items: int, u_dense, k: int,
-                 cache: dict, arrays):
+                 cache: dict, arrays, prep=None):
     """Shared plumbing for device-side catalog top-k dispatches.
 
     Pads ``k`` and the user batch to power-of-two buckets to bound the
@@ -115,20 +115,30 @@ def topk_harness(make_run, key_extra, n_items: int, u_dense, k: int,
     result.  ``lax.top_k`` inside ``run`` sorts descending with
     lowest-index tie-breaks, matching the reference's stable
     sort-then-head ordering (``recommender_base.py:259-260``).
-    """
+
+    ``prep``: optional host hook for models whose device inputs derive
+    from the padded user batch rather than from fixed tables (EASE's
+    history rows).  Called as ``prep(u_pad) -> (extra_arrays,
+    extra_key)``; the arrays are appended to ``arrays`` and the key
+    joins the cache key (it must capture any shape variation, e.g. the
+    history-length bucket)."""
     import numpy as np
 
     k = min(k, n_items)
     kb = min(n_items, 1 << max(4, (k - 1).bit_length()))
     B = len(u_dense)
     bb = 1 << max(0, (B - 1).bit_length())
-    key = (key_extra, n_items, kb, bb)
+    u_pad = np.zeros(bb, np.int32)
+    u_pad[:B] = np.asarray(u_dense, np.int32)
+    extra_key = None
+    if prep is not None:
+        extra_arrays, extra_key = prep(u_pad)
+        arrays = tuple(arrays) + tuple(extra_arrays)
+    key = (key_extra, extra_key, n_items, kb, bb)
     fn = cache.get(key)
     if fn is None:
         fn = jax.jit(make_run(kb, bb))
         cache[key] = fn
-    u_pad = np.zeros(bb, np.int32)
-    u_pad[:B] = np.asarray(u_dense, np.int32)
     vals, idx = fn(jnp.asarray(u_pad), *arrays)
     return np.asarray(vals)[:B, :k], np.asarray(idx)[:B, :k]
 

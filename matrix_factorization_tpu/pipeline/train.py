@@ -56,7 +56,9 @@ def build_model(name: str, args) -> object:
         return NMF(n_factors=args.factors, n_epochs=args.epochs,
                    reg=args.reg, batch_size=args.batch_size)
     if name == "ease":
-        return EASE(reg=args.reg)
+        # EASE's lam is inverse-conditioning-scale (paper: 100-1000),
+        # NOT SGD-scale like the shared --reg default of 0.005
+        return EASE(reg=args.ease_reg)
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -81,6 +83,8 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--reg", type=float, default=0.005)
     p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--ease-reg", type=float, default=250.0,
+                   help="EASE ridge lam (inverse-scale, not SGD reg)")
     p.add_argument("--neighbors", type=int, default=50)
     p.add_argument("--alpha", type=float, default=40.0,
                    help="implicit confidence scale (c = 1 + alpha*s)")
