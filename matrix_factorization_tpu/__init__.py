@@ -34,7 +34,10 @@ from matrix_factorization_tpu.models.implicit import ImplicitALS
 from matrix_factorization_tpu.models.svdpp import SVDpp
 from matrix_factorization_tpu.models.nmf import NMF
 from matrix_factorization_tpu.models.ease import EASE
-from matrix_factorization_tpu.models.grid_search import grid_search_kernel_mf
+from matrix_factorization_tpu.models.grid_search import (
+    grid_search_ease,
+    grid_search_kernel_mf,
+)
 from matrix_factorization_tpu.utils.splits import train_update_test_split
 
 __version__ = "0.1.0"
@@ -55,4 +58,5 @@ __all__ = [
     "NMF",
     "EASE",
     "grid_search_kernel_mf",
+    "grid_search_ease",
 ]

@@ -136,3 +136,100 @@ def grid_search_kernel_mf(
         key=lambda d: (np.isnan(d["val_rmse"]), d["val_rmse"]),
     )
     return model, results
+
+
+def grid_search_ease(
+    X: pd.DataFrame,
+    y: pd.Series,
+    regs: Sequence[float] = (50.0, 250.0, 1000.0),
+    holdout_per_user: int = 1,
+    k: int = 10,
+    max_eval_users: int = 2048,
+    seed: int = 0,
+    **model_kwargs,
+):
+    """Ridge sweep for :class:`~matrix_factorization_tpu.models.ease.EASE`.
+
+    The item gram is lam-independent, so the whole sweep is ONE gram
+    build + one BATCHED Schur-recursion inverse over the stacked
+    ``G + lam I`` systems (``ops/ease.py::ease_weights_multi``) — the
+    closed-form analogue of the vmapped SGD sweep above.  EASE is a
+    ranking model, so selection uses a per-user leave-``n``-out
+    protocol: hold ``holdout_per_user`` interactions out of each
+    eligible user's history, score candidates by hit@``k`` on the
+    held-out items (training items masked, the serving semantics),
+    then refit the winner on ALL interactions.
+
+    Returns ``(best_model, results)``: a fitted EASE and a list of
+    dicts (reg, hit_at_k) sorted best-first.
+    """
+    from matrix_factorization_tpu.models.ease import EASE
+    from matrix_factorization_tpu.ops import ease as ease_ops
+
+    if not regs:
+        raise ValueError("regs must be non-empty")
+    if holdout_per_user < 1:
+        raise ValueError("holdout_per_user must be >= 1")
+    model = EASE(reg=float(regs[0]), **model_kwargs)
+    u, i, r = model._preprocess_fit(X, y)
+    w = model._weights(r)
+    ease_ops.check_item_budget(model.n_items)
+
+    # per-user holdout: shuffle pairs, rank within user, hold the first
+    # `holdout_per_user` of each user that keeps >= 1 training item
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(u))
+    order = perm[np.argsort(u[perm], kind="stable")]
+    us = u[order]
+    starts = np.searchsorted(us, np.arange(model.n_users))
+    rank = np.arange(len(us)) - starts[us]
+    counts = np.bincount(u, minlength=model.n_users)
+    held_mask_sorted = (rank < holdout_per_user) & \
+        (counts[us] > holdout_per_user)
+    held = np.zeros(len(u), bool)
+    held[order] = held_mask_sorted
+    tr = ~held
+
+    G = ease_ops.item_gram(u[tr], i[tr], w[tr], model.n_users,
+                           model.n_items, model.gram_chunk_users)
+    B_stack = ease_ops.ease_weights_multi(G, list(regs))
+
+    # eval cohort: users with held-out items, capped for dispatch count
+    eval_users = np.unique(u[held])
+    if len(eval_users) > max_eval_users:
+        eval_users = rng.choice(eval_users, max_eval_users, replace=False)
+    held_items = {int(uu): set() for uu in eval_users}
+    for uu, ii in zip(u[held], i[held]):
+        if int(uu) in held_items:
+            held_items[int(uu)].add(int(ii))
+
+    # training histories for the eval cohort (the serving-side state)
+    model._set_histories(u[tr], i[tr], w[tr])
+    hits = np.zeros(len(regs), np.float64)
+    for lo in range(0, len(eval_users), 256):
+        cohort = eval_users[lo : lo + 256]
+        ids, ww = model._history_block(cohort)
+        for c in range(len(regs)):
+            _, idx = ease_ops.history_topk_unseen(
+                B_stack[c], ids, ww, min(k, model.n_items), model.n_items)
+            for row, uu in enumerate(cohort):
+                if held_items[int(uu)] & set(idx[row].tolist()):
+                    hits[c] += 1
+    hit_rate = hits / max(1, len(eval_users))
+
+    best = int(np.argmax(hit_rate))
+    model.reg = float(regs[best])
+    # refit the winner on ALL interactions (sklearn refit=True analogue)
+    G_full = ease_ops.item_gram(u, i, w, model.n_users, model.n_items,
+                                model.gram_chunk_users)
+    model._params = ease_ops.EASEParams(
+        ease_ops.ease_weights(G_full, model.reg))
+    model._serving_cache = None
+    model._set_histories(u, i, w)
+
+    results = sorted(
+        ({"reg": float(regs[c]), "hit_at_k": float(hit_rate[c])}
+         for c in range(len(regs))),
+        key=lambda d: -d["hit_at_k"],
+    )
+    return model, results

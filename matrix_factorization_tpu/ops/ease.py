@@ -178,7 +178,60 @@ def ease_weights(G: jax.Array, lam: float, leaf: str = "auto") -> jax.Array:
     return fn(G, jnp.float32(lam))
 
 
+_weights_multi_jit_cache: dict = {}
+
+
+def ease_weights_multi(G: jax.Array, lams) -> jax.Array:
+    """The closed form for SEVERAL ridge candidates at once: the gram
+    is lam-independent, so a lam sweep is ONE batched Schur-recursion
+    inverse over the stacked systems ``G + lam_l I`` — the TPU-native
+    shape of EASE hyperparameter tuning (every candidate inverts
+    simultaneously; compare ``ops/sweep.py`` for the SGD analogue).
+
+    Returns (L, I_p, I_p).  Batches are chunked so the recursion's ~4
+    live (chunk, I_p, I_p) temporaries stay within a few GB: at 2k
+    items dozens of candidates run in one program, at 16k they fall
+    back to one-at-a-time — same result, more dispatches."""
+    lams = np.asarray(lams, np.float32)
+    ip = G.shape[-1]
+    chunk = max(1, int((2 << 30) // (16 * ip * ip)))
+    key = (ip, min(chunk, len(lams)))
+    fn = _weights_multi_jit_cache.get(key)
+    if fn is None:
+
+        def run(G, lam_v):
+            A = G[None] + lam_v[:, None, None] * jnp.eye(ip, dtype=jnp.float32)
+            P = spd_inverse_scaled(A)
+            d = jnp.diagonal(P, axis1=-2, axis2=-1)
+            B = -P / d[:, None, :]
+            eye = jnp.eye(ip, dtype=bool)
+            return jnp.where(eye[None], 0.0, B)
+
+        fn = jax.jit(run)
+        _weights_multi_jit_cache[key] = fn
+    outs = []
+    for lo in range(0, len(lams), chunk):
+        part = lams[lo : lo + chunk]
+        if len(part) < min(chunk, len(lams)):  # pad the tail bucket
+            pad = np.full(min(chunk, len(lams)) - len(part), part[-1],
+                          np.float32)
+            outs.append(fn(G, jnp.asarray(np.concatenate([part, pad])))
+                        [: len(part)])
+        else:
+            outs.append(fn(G, jnp.asarray(part)))
+    return jnp.concatenate(outs, axis=0)
+
+
 _score_jit_cache: dict = {}
+
+
+def _scatter_block(ids: jax.Array, w: jax.Array, ip: int) -> jax.Array:
+    """(nb, L) padded histories -> dense (nb, I_p) interaction block
+    (weight-0 pads inert)."""
+    nb, L = ids.shape
+    rows = jnp.repeat(jnp.arange(nb, dtype=jnp.int32)[:, None], L, 1)
+    X = jnp.zeros((nb, ip), jnp.float32)
+    return X.at[rows, ids].add(w, mode="promise_in_bounds")
 
 
 def score_history_block(B: jax.Array, ids: jax.Array, w: jax.Array):
@@ -192,13 +245,39 @@ def score_history_block(B: jax.Array, ids: jax.Array, w: jax.Array):
     bf16; ``binarize=False`` rating-valued weights additionally round
     to bf16 here (~0.4% relative — the same order as the intended
     B-matrix rounding, documented on the model's ``serving_dtype``)."""
-    nb, L = ids.shape
-    ip = B.shape[0]
-    rows = jnp.repeat(jnp.arange(nb, dtype=jnp.int32)[:, None], L, 1)
-    X = jnp.zeros((nb, ip), jnp.float32)
-    X = X.at[rows, ids].add(w, mode="promise_in_bounds")
+    X = _scatter_block(ids, w, B.shape[0])
     return jnp.matmul(X.astype(B.dtype), B,
                       preferred_element_type=jnp.float32)
+
+
+_eval_topk_jit_cache: dict = {}
+
+
+def history_topk_unseen(B: jax.Array, ids: np.ndarray, w: np.ndarray,
+                        k: int, n_valid: int):
+    """Top-``k`` UNSEEN items per history row — the ranking-eval
+    primitive (leave-out protocols score a user's catalog with their
+    own training items and the pad columns masked to -inf).  One
+    dispatch; returns host (vals, idx), each (nb, k)."""
+    ip = int(B.shape[0])
+    key = (ip, ids.shape, k, n_valid, str(B.dtype))
+    fn = _eval_topk_jit_cache.get(key)
+    if fn is None:
+
+        def run(B, ids, w):
+            X = _scatter_block(ids, w, ip)
+            s = jnp.matmul(X.astype(B.dtype), B,
+                           preferred_element_type=jnp.float32)
+            s = jnp.where(X > 0, -jnp.inf, s)
+            if n_valid < ip:
+                s = jnp.where(jnp.arange(ip)[None, :] < n_valid, s,
+                              -jnp.inf)
+            return jax.lax.top_k(s, k)
+
+        fn = jax.jit(run)
+        _eval_topk_jit_cache[key] = fn
+    vals, idx = fn(B, jnp.asarray(ids), jnp.asarray(w))
+    return np.asarray(vals), np.asarray(idx)
 
 
 def history_scores(B: jax.Array, ids: np.ndarray, w: np.ndarray):

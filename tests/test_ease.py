@@ -209,3 +209,51 @@ def test_beats_popularity_on_clustered_data():
         held[u_] in set([it for it in pop if it not in known[u_]][:10])
         for u_ in users)
     assert hits > 2 * pop_hits, (hits, pop_hits)
+
+
+def test_ease_weights_multi_matches_single():
+    X, y, u, i = _toy(seed=7, n_items=30)
+    m = EASE(reg=5.0).fit(X, y)
+    w = np.ones(len(u), np.float32)
+    ud = m.user_vocab.encode(X["user_id"].to_numpy())
+    idn = m.item_vocab.encode(X["item_id"].to_numpy())
+    G = ease_ops.item_gram(ud, idn, w, m.n_users, m.n_items)
+    regs = [2.0, 10.0, 80.0]
+    stack = np.asarray(ease_ops.ease_weights_multi(G, regs))
+    for c, lam in enumerate(regs):
+        single = np.asarray(ease_ops.ease_weights(G, lam))
+        np.testing.assert_allclose(stack[c], single, atol=2e-5)
+
+
+def test_grid_search_ease_selects_and_refits():
+    from matrix_factorization_tpu.data.synthetic import clustered_interactions
+    from matrix_factorization_tpu.models.grid_search import grid_search_ease
+
+    X, y = clustered_interactions(n_users=250, n_items=200, n_clusters=5,
+                                  per_user=14, seed=11)
+    regs = (0.5, 20.0, 50_000.0)
+    model, results = grid_search_ease(X, y, regs=regs, k=10, seed=3)
+    assert isinstance(model, EASE)
+    assert model.reg == results[0]["reg"]
+    # results sorted best-first and cover every candidate
+    assert [d["reg"] for d in results] != [] and len(results) == len(regs)
+    hr = [d["hit_at_k"] for d in results]
+    assert hr == sorted(hr, reverse=True)
+    # the degenerate over-regularized candidate (B -> 0/noise) must not win
+    assert model.reg != 50_000.0
+    # refit covers ALL interactions (histories include every pair)
+    assert int(model._indptr[-1]) == len(X)
+    # the refit model serves
+    uid = X["user_id"].iloc[0]
+    rec = model.recommend(user=uid, amount=5)
+    assert len(rec) == 5
+
+
+def test_grid_search_ease_validation():
+    from matrix_factorization_tpu.models.grid_search import grid_search_ease
+
+    X, y, _, _ = _toy()
+    with pytest.raises(ValueError):
+        grid_search_ease(X, y, regs=())
+    with pytest.raises(ValueError):
+        grid_search_ease(X, y, holdout_per_user=0)
