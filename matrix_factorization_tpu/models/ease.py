@@ -48,13 +48,21 @@ class EASE(RecommenderBase):
         verbose: int = 0,
         gram_chunk_users: int = 2048,
         serving_dtype: str = "float32",
+        mesh=None,
     ):
         """``serving_dtype``: 'float32' or 'bfloat16' — a bf16-resident
         ``B`` halves the bytes the HBM-bound catalog matmul streams
         (same option as the MF models' table serving).  With
         ``binarize=False`` the rating-valued history weights also round
         to bf16 in the scorer (~0.4% relative, the same order as the
-        B rounding itself); binary histories are exact."""
+        B rounding itself); binary histories are exact.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — the gram shards
+        users over the data axes (ONE psum per fit) and the Schur
+        inverse runs GSPMD-partitioned over the mesh, stretching the
+        O(items²) single-chip bound ~2x (see
+        ``ops/ease.py::ease_weights_sharded``); serving reads the
+        sharded B in place."""
         if reg <= 0:
             raise ValueError("reg must be positive (it conditions the inverse)")
         if serving_dtype not in ("float32", "bfloat16"):
@@ -65,6 +73,7 @@ class EASE(RecommenderBase):
         self.binarize = binarize
         self.gram_chunk_users = gram_chunk_users
         self.serving_dtype = serving_dtype
+        self.mesh = mesh
         self._params = None  # EASEParams: (I_p, I_p) item-item matrix
         self._serving_cache = None
         # per-user histories, CSR over dense user ids
@@ -111,10 +120,22 @@ class EASE(RecommenderBase):
     def fit(self, X: pd.DataFrame, y: pd.Series):
         u, i, r = self._preprocess_fit(X, y)
         w = self._weights(r)
-        ease_ops.check_item_budget(self.n_items)
-        G = ease_ops.item_gram(u, i, w, self.n_users, self.n_items,
-                               self.gram_chunk_users)
-        self._params = ease_ops.EASEParams(ease_ops.ease_weights(G, self.reg))
+        from matrix_factorization_tpu.parallel.mesh import data_size_of
+
+        n_dev = data_size_of(self.mesh) if self.mesh is not None else 1
+        # the GSPMD-sharded inverse roughly doubles the item headroom on
+        # an 8-device slice (measured memory model, ops/ease.py)
+        ease_ops.check_item_budget(
+            self.n_items, item_limit=32768 if n_dev >= 4 else 16384)
+        if n_dev > 1:
+            G = ease_ops.dp_item_gram(u, i, w, self.n_users, self.n_items,
+                                      self.mesh, self.gram_chunk_users)
+            B = ease_ops.ease_weights_sharded(G, self.reg, self.mesh)
+        else:
+            G = ease_ops.item_gram(u, i, w, self.n_users, self.n_items,
+                                   self.gram_chunk_users)
+            B = ease_ops.ease_weights(G, self.reg)
+        self._params = ease_ops.EASEParams(B)
         self._serving_cache = None
         self._set_histories(u, i, w)
         if self.verbose:

@@ -257,3 +257,39 @@ def test_grid_search_ease_validation():
         grid_search_ease(X, y, regs=())
     with pytest.raises(ValueError):
         grid_search_ease(X, y, holdout_per_user=0)
+
+
+def test_dp_gram_matches_single_device():
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y, u, i = _toy(n_users=60, n_items=40, n=800, seed=12)
+    m = EASE(reg=5.0).fit(X, y)
+    w = np.ones(len(u), np.float32)
+    ud = m.user_vocab.encode(X["user_id"].to_numpy())
+    idn = m.item_vocab.encode(X["item_id"].to_numpy())
+    G1 = np.asarray(ease_ops.item_gram(ud, idn, w, m.n_users, m.n_items))
+    mesh = make_mesh(n_data=8, n_model=1)
+    G8 = np.asarray(ease_ops.dp_item_gram(ud, idn, w, m.n_users,
+                                          m.n_items, mesh))
+    # co-occurrence counts are integers: the psum'd partials are exact
+    np.testing.assert_array_equal(G1, G8)
+
+
+def test_mesh_fit_matches_single_device():
+    """EASE(mesh=...): dp gram + GSPMD-sharded Schur inverse must score
+    the catalog like the single-device closed form."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y, _, _ = _toy(n_users=80, n_items=96, n=1200, seed=13)
+    m1 = EASE(reg=10.0).fit(X, y)
+    mesh = make_mesh(n_data=4, n_model=2)
+    m8 = EASE(reg=10.0, mesh=mesh).fit(X, y)
+    s1 = m1._catalog_scores_batch(np.arange(16))
+    s8 = m8._catalog_scores_batch(np.arange(16))
+    np.testing.assert_allclose(s8, s1, atol=5e-4)
+    # lifecycle on the sharded-B model
+    uid = X["user_id"].iloc[0]
+    rec = m8.recommend(user=uid, amount=5)
+    assert len(rec) == 5
+    # checkpointable: np.asarray gathers the sharded B
+    assert np.isfinite(np.asarray(m8._params.item_weights)).all()
