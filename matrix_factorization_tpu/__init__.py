@@ -34,6 +34,7 @@ from matrix_factorization_tpu.models.implicit import ImplicitALS
 from matrix_factorization_tpu.models.svdpp import SVDpp
 from matrix_factorization_tpu.models.nmf import NMF
 from matrix_factorization_tpu.models.ease import EASE
+from matrix_factorization_tpu.models.popularity import Popularity
 from matrix_factorization_tpu.models.grid_search import (
     grid_search_ease,
     grid_search_kernel_mf,
@@ -57,6 +58,7 @@ __all__ = [
     "SVDpp",
     "NMF",
     "EASE",
+    "Popularity",
     "grid_search_kernel_mf",
     "grid_search_ease",
 ]

@@ -10,6 +10,8 @@ from matrix_factorization_tpu.models.bpr import BPR
 from matrix_factorization_tpu.models.implicit import ImplicitALS
 from matrix_factorization_tpu.models.svdpp import SVDpp
 from matrix_factorization_tpu.models.nmf import NMF
+from matrix_factorization_tpu.models.ease import EASE
+from matrix_factorization_tpu.models.popularity import Popularity
 
 __all__ = [
     "RecommenderBase",
@@ -24,4 +26,6 @@ __all__ = [
     "ImplicitALS",
     "SVDpp",
     "NMF",
+    "EASE",
+    "Popularity",
 ]

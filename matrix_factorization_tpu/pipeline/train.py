@@ -23,6 +23,7 @@ from matrix_factorization_tpu import (
     ItemItemCF,
     KernelMF,
     NMF,
+    Popularity,
     SVDpp,
     UserUserCF,
 )
@@ -59,6 +60,8 @@ def build_model(name: str, args) -> object:
         # EASE's lam is inverse-conditioning-scale (paper: 100-1000),
         # NOT SGD-scale like the shared --reg default of 0.005
         return EASE(reg=args.ease_reg)
+    if name == "popularity":
+        return Popularity(score=args.pop_score)
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -75,7 +78,7 @@ def main() -> None:
     p.add_argument("--model", default="kernel_mf",
                    choices=["baseline", "kernel_mf", "item_cf", "user_cf",
                             "content_based", "implicit", "bpr", "svdpp",
-                            "nmf", "ease"])
+                            "nmf", "ease", "popularity"])
     p.add_argument("--kernel", default="linear")
     p.add_argument("--method", default="als")
     p.add_argument("--factors", type=int, default=100)
@@ -88,6 +91,8 @@ def main() -> None:
     p.add_argument("--neighbors", type=int, default=50)
     p.add_argument("--alpha", type=float, default=40.0,
                    help="implicit confidence scale (c = 1 + alpha*s)")
+    p.add_argument("--pop-score", default="count", choices=["count", "mean"],
+                   help="popularity ranking statistic")
     p.add_argument("--max-rows", type=int, default=0)
     a = p.parse_args()
     paths = cli_setup(a)
