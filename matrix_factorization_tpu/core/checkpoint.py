@@ -42,7 +42,8 @@ def _aux_arrays(model) -> Dict[str, np.ndarray]:
     """Model state outside the params tuple, keyed with an ``aux_``
     prefix so it never collides with a params field.  Today: BPR's
     ``_train_pairs`` (the positives its sampled-AUC eval rejects as
-    negatives) and EASE's user-history CSR (its serving-side state)."""
+    negatives), EASE's user-history CSR (its serving-side state), and
+    Popularity's item count/sum statistics."""
     aux: Dict[str, np.ndarray] = {}
     tp = getattr(model, "_train_pairs", None)
     if tp is not None:
@@ -52,6 +53,9 @@ def _aux_arrays(model) -> Dict[str, np.ndarray]:
         aux["aux_hist_indptr"] = np.asarray(model._indptr)
         aux["aux_hist_i"] = np.asarray(model._hist_i)
         aux["aux_hist_w"] = np.asarray(model._hist_w)
+    if getattr(model, "_item_counts", None) is not None:
+        aux["aux_pop_counts"] = np.asarray(model._item_counts)
+        aux["aux_pop_sums"] = np.asarray(model._item_sums)
     return aux
 
 
@@ -65,6 +69,10 @@ def _restore_aux(model, arrays) -> None:
         model._indptr = np.asarray(arrays["aux_hist_indptr"])
         model._hist_i = np.asarray(arrays["aux_hist_i"])
         model._hist_w = np.asarray(arrays["aux_hist_w"])
+    if "aux_pop_counts" in arrays:
+        model._item_counts = np.asarray(arrays["aux_pop_counts"])
+        model._item_sums = np.asarray(arrays["aux_pop_sums"])
+        model._recompute_scores()
 
 
 def _strip_runtime_config(config: dict) -> dict:
@@ -88,6 +96,7 @@ def _model_classes() -> dict:
     from matrix_factorization_tpu.models.implicit import ImplicitALS
     from matrix_factorization_tpu.models.kernel_mf import KernelMF
     from matrix_factorization_tpu.models.nmf import NMF
+    from matrix_factorization_tpu.models.popularity import Popularity
     from matrix_factorization_tpu.models.svdpp import SVDpp
 
     return {
@@ -98,6 +107,7 @@ def _model_classes() -> dict:
         "SVDpp": SVDpp,
         "NMF": NMF,
         "EASE": EASE,
+        "Popularity": Popularity,
     }
 
 

@@ -88,3 +88,18 @@ def test_mean_mode_recommend_clips_to_rating_range():
     m = Popularity(score="mean", damping=0.0).fit(_frame(rows), y)
     rec = m.recommend("u1", amount=1)
     assert rec["rating_pred"].iloc[0] == 5.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from matrix_factorization_tpu.core.checkpoint import load_model, save_model
+
+    rows = [("u1", "a"), ("u2", "a"), ("u1", "b")]
+    y = pd.Series([4.0, 2.0, 5.0])
+    m = Popularity(score="mean", damping=3.0).fit(_frame(rows), y)
+    save_model(m, tmp_path / "ckpt")
+    m2 = load_model(tmp_path / "ckpt")
+    assert isinstance(m2, Popularity)
+    assert m2.score == "mean" and m2.damping == 3.0
+    np.testing.assert_allclose(m2.item_scores_, m.item_scores_)
+    X = _frame([("u1", "a"), ("u9", "b")])
+    assert m2.predict(X, bound_ratings=False) == m.predict(X, bound_ratings=False)
