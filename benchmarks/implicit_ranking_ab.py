@@ -72,6 +72,7 @@ def main() -> None:
     from matrix_factorization_tpu.models.bpr import BPR
     from matrix_factorization_tpu.models.ease import EASE
     from matrix_factorization_tpu.models.implicit import ImplicitALS
+    from matrix_factorization_tpu.models.popularity import Popularity
 
     X, y = clustered_interactions(
         n_users=args.users, n_items=args.items, n_clusters=args.clusters,
@@ -91,21 +92,11 @@ def main() -> None:
         return lambda: m.recommend_batch(users, amount=10,
                                          items_known_map=known_map)
 
-    # popularity baseline (host-only)
-    pop = train["item_id"].value_counts().index.to_numpy()
-    t0 = time.perf_counter()
-    frames = []
-    for u_ in users:
-        ks = set(known_map[u_])
-        top = [it for it in pop if it not in ks][:10]
-        frames.append(pd.DataFrame({"user_id": [u_] * len(top),
-                                    "item_id": top}))
-    rec_pop = pd.concat(frames, ignore_index=True)
-    pop_s = time.perf_counter() - t0
-    out = evaluate("popularity", lambda: None, lambda: rec_pop,
-                   train, held, users, known_map)
-    out["recommend_seconds"] = round(pop_s, 2)
-    print(json.dumps(out), flush=True)
+    # popularity baseline (models/popularity.py — host-only by design)
+    pop = Popularity(score="count")
+    print(json.dumps(evaluate(
+        "popularity", lambda: pop.fit(Xt, yt), rec_batch(pop),
+        train, held, users, known_map)), flush=True)
 
     ease = EASE(reg=50.0)
     print(json.dumps(evaluate(
