@@ -9,6 +9,7 @@ from matrix_factorization_tpu import (
     ContentBasedRecommender,
     ItemItemCF,
     KernelMF,
+    Popularity,
     UserUserCF,
 )
 from matrix_factorization_tpu.data.synthetic import movielens_shaped
@@ -23,6 +24,7 @@ def main() -> None:
     tr, te = perm[:cut], perm[cut:]
 
     models = {
+        "popularity": Popularity(score="mean"),
         "baseline_als": BaselineModel(method="als", n_epochs=20, reg=0.5),
         "baseline_sgd": BaselineModel(method="sgd", n_epochs=20, reg=0.005,
                                       lr=0.01),
