@@ -239,14 +239,19 @@ def load_model_orbax(path: Path):
     model.train_loss = list(meta.get("train_loss", []))
     model.global_mean = meta["global_mean"]
     model._epochs_done = meta["epochs_done"]
-    if meta["params_class"]:
+    # restore the tree whenever one was written (aux-only models like
+    # Popularity have no params_class but still persist arrays_orbax),
+    # then build _params only when the model has a params tuple —
+    # mirrors load_model's unconditional _restore_aux
+    if (path / "arrays_orbax").exists():
         ckptr = ocp.StandardCheckpointer()
         tree = ckptr.restore(path / "arrays_orbax")
-        params_cls = _params_classes()[meta["params_class"]]
-        model._params = params_cls(
-            **{k: jnp.asarray(v) for k, v in tree.items()
-               if k in params_cls._fields}
-        )
+        if meta["params_class"]:
+            params_cls = _params_classes()[meta["params_class"]]
+            model._params = params_cls(
+                **{k: jnp.asarray(v) for k, v in tree.items()
+                   if k in params_cls._fields}
+            )
         _restore_aux(model, tree)
     return model
 

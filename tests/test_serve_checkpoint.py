@@ -421,3 +421,17 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     b2 = load_model_orbax(tmp_path / "ock_bpr")
     np.testing.assert_array_equal(b2.item_features, b.item_features)
     assert abs(b2.auc(Xi, n_neg=10, seed=0) - b.auc(Xi, n_neg=10, seed=0)) < 1e-9
+
+    # Popularity through orbax: no params tuple, only aux arrays — must
+    # still restore (regression: aux restore was gated on params_class)
+    from matrix_factorization_tpu.models import Popularity
+
+    p = Popularity(score="mean").fit(X, y)
+    save_model_orbax(p, tmp_path / "ock_pop")
+    p2 = load_model_orbax(tmp_path / "ock_pop")
+    np.testing.assert_allclose(p2.predict(X.iloc[:15]), p.predict(X.iloc[:15]),
+                               atol=1e-6)
+    np.testing.assert_array_equal(
+        p2.recommend(user=X["user_id"].iloc[0], amount=5)["item_id"].values,
+        p.recommend(user=X["user_id"].iloc[0], amount=5)["item_id"].values,
+    )
