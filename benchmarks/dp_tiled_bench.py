@@ -32,7 +32,8 @@ from matrix_factorization_tpu.parallel.mesh import data_axes_of, make_mesh
 
 
 def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
-              epochs: int, layout: str, order: str, seed: int = 0) -> dict:
+              epochs: int, layout: str, order: str, seed: int = 0,
+              psum_every: int = 1) -> dict:
     cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.005, lr=0.002,
                     min_rating=1.0, max_rating=5.0, batch_size=bs)
     rng = np.random.default_rng(seed)
@@ -53,7 +54,7 @@ def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
                                 users_per_dev=ucap)
         data = jax.tree.map(lambda a: jax.device_put(a, shard), data)
         train = jax.jit(lambda p, d, kk: dist.dp_sgd_train_tiled(
-            p, d, kk, cfg, epochs, cfg.lr, mesh))
+            p, d, kk, cfg, epochs, cfg.lr, mesh, psum_every=psum_every))
         extra = {"tiles_prim": list(data.agg_prim),
                  "tiles_sec": list(data.agg_sec)}
     else:
@@ -62,7 +63,8 @@ def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
             jax.device_put(su, shard), jax.device_put(si, shard),
             jax.device_put(sr, shard), jax.device_put(sw, shard))
         train = jax.jit(lambda p, d, kk: dist.dp_sgd_train(
-            p, d, kk, cfg, epochs, cfg.lr, mesh, n))
+            p, d, kk, cfg, epochs, cfg.lr, mesh, n,
+            psum_every=psum_every))
 
     out = train(params, data, jax.random.PRNGKey(1))  # compile + warm
     float(np.asarray(out[0].user_features[0, 0]))
@@ -77,7 +79,7 @@ def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
         "unit": "updates/s",
         "n_ratings": n, "n_factors": k, "batch_size": bs,
         "epochs_timed": epochs, "seconds": round(dt, 3),
-        "pack_order": order, **extra,
+        "pack_order": order, "psum_every": psum_every, **extra,
     }
 
 
@@ -91,12 +93,15 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--order", default="item")
     p.add_argument("--layouts", nargs="+", default=["flat", "tiled"])
+    p.add_argument("--psum-every", type=int, nargs="+", default=[1])
     args = p.parse_args()
     for k in args.factors:
         for layout in args.layouts:
-            print(json.dumps(run_combo(args.users, args.items, args.n, k,
-                                       args.bs, args.epochs, layout,
-                                       args.order)), flush=True)
+            for pe in args.psum_every:
+                print(json.dumps(run_combo(args.users, args.items, args.n,
+                                           k, args.bs, args.epochs, layout,
+                                           args.order, psum_every=pe)),
+                      flush=True)
 
 
 if __name__ == "__main__":

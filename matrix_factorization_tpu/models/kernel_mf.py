@@ -61,6 +61,7 @@ class KernelMF(RecommenderBase):
         als_warm_reg: Optional[float] = None,
         serving_dtype: str = "float32",
         dp_layout: str = "auto",
+        psum_every=1,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` (see ``parallel.make_mesh``);
         when given with >1 device on the data axis, ``fit`` trains
@@ -75,18 +76,29 @@ class KernelMF(RecommenderBase):
         (``parallel.serving.ShardedCatalog``), and ``predict`` gathers
         rows on demand.
 
-        ``overlap_psum`` (mesh SGD fits only): defer each training step's
-        delta all-reduce by one step so the collective overlaps the next
-        step's compute instead of sitting on the critical path
-        (``parallel.distributed._local_minibatch_step_overlap``).  Every
-        item update lands exactly one step late, uniformly across
-        devices — replicas stay bit-identical and training stays
+        ``overlap_psum`` (mesh SGD fits only): defer each training
+        window's delta all-reduce by one window so the collective
+        overlaps the next window's compute instead of sitting on the
+        critical path (``parallel.distributed._windowed_epoch``).
+        Every item update lands exactly one window late, uniformly
+        across devices — replicas stay bit-identical and training stays
         deterministic; pending deltas flush at each epoch boundary.
         Final-RMSE parity with the synchronous schedule is
         regression-tested; worth turning on when the measured psum share
         of the step is non-trivial (see the multi-chip performance model
         in benchmarks/RESULTS.md — up to ~16% of the step at the
         headline shape).
+
+        ``psum_every`` (mesh SGD fits only): accumulate item deltas
+        locally for this many steps and cross the mesh in ONE psum per
+        window — 1 (default) is the fully synchronous schedule; 'auto'
+        picks the largest divisor of the per-device batch count <= 16;
+        'epoch' syncs once per epoch.  Amortizes the full-table
+        delta-zero/add/all-reduce that dominates the dp step, at the
+        cost of item reads being up to ``psum_every`` steps stale
+        (the windowed stale-read regime; parity budget in
+        benchmarks/config3_multistep.py, exact semantics oracle-tested
+        in tests/test_parallel.py).
 
         ``method``: 'sgd' (reference semantics) or 'als' (extension: exact
         alternating least squares for factors+biases — linear kernel only,
@@ -180,6 +192,15 @@ class KernelMF(RecommenderBase):
                 "overlap_psum applies to the mesh SGD trainers; "
                 "method='als' has no per-step delta psum"
             )
+        if psum_every != 1:
+            if mesh is None:
+                raise ValueError(
+                    "psum_every requires a mesh: without one there is no "
+                    "delta all-reduce to window")
+            if method == "als":
+                raise ValueError(
+                    "psum_every applies to the mesh SGD trainers; "
+                    "method='als' has no per-step delta psum")
         if keep_sharded and mesh is None:
             raise ValueError(
                 "keep_sharded=True requires a mesh: without one the item "
@@ -209,6 +230,7 @@ class KernelMF(RecommenderBase):
         self.epoch_order = epoch_order
         self.keep_sharded = keep_sharded
         self.overlap_psum = overlap_psum
+        self.psum_every = psum_every
         self.dp_layout = dp_layout
         self.serving_dtype = serving_dtype
         self._params: Optional[sgd.MFParams] = None
@@ -319,7 +341,8 @@ class KernelMF(RecommenderBase):
                     u, i, r, self.n_users, self.n_items, cfg, n_epochs,
                     self.lr, self.mesh, seed=self.seed,
                     init_mean=self.init_mean, init_sd=self.init_sd,
-                    overlap_psum=self.overlap_psum, **kw,
+                    overlap_psum=self.overlap_psum,
+                    psum_every=self.psum_every, **kw,
                 )
             if self.keep_sharded:
                 # tables stay resident in their training shardings;

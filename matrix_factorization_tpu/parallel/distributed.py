@@ -116,15 +116,22 @@ def shard_ratings_by_user(
     return uu.reshape(-1), ii.reshape(-1), rr.reshape(-1), ww.reshape(-1), n_pad
 
 
-def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr,
-                          data_axes=(DATA_AXIS,)):
-    """One synchronous step: local P scatter, psum'd Q deltas (the psum
-    spans the DCN slice axis too on multi-slice meshes — the one
-    unavoidable cross-slice collective of synchronous SGD)."""
-    P_l, Q, mu = carry
+def _flat_step_acc(carry, batch, Q_read, mu, cfg: SGDConfig, lr):
+    """One local step reading a window-FROZEN item table.
+
+    User rows update in place on the local P shard (always fresh — they
+    are device-local by the user-range partition); item deltas accumulate
+    into the carried ``dQ`` table.  No collective here: the window driver
+    (:func:`_windowed_epoch`) psums ``dQ`` once per ``psum_every`` steps,
+    so the full-table zero/add/all-reduce traffic that previously ran
+    EVERY step is amortized across the window.  Within a window the item
+    side reads the table as of the last flush — the stale-read regime
+    whose parity budget the multi-step batching study characterized
+    (benchmarks/config3_multistep.py)."""
+    P_l, dQ = carry
     u, i, r, w = batch
     pu = P_l.at[u].get(mode="promise_in_bounds")
-    qi = Q.at[i].get(mode="promise_in_bounds")
+    qi = Q_read.at[i].get(mode="promise_in_bounds")
     pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
     err = (pred - r) * w
 
@@ -135,49 +142,86 @@ def _local_minibatch_step(carry, batch, cfg: SGDConfig, lr,
     if cfg.update_item_params:
         imask = jnp.asarray(sgd.update_mask(cfg, "item"))
         g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
-        dQ = jnp.zeros_like(Q).at[i].add(-lr * g, mode="promise_in_bounds")
-        Q = Q + jax.lax.psum(dQ, data_axes)
-    return (P_l, Q, mu), None
+        dQ = dQ.at[i].add(-lr * g, mode="promise_in_bounds")
+    return P_l, dQ
 
 
-def _local_minibatch_step_overlap(carry, batch, cfg: SGDConfig, lr,
-                                  data_axes=(DATA_AXIS,)):
-    """One step with the item-delta psum DEFERRED by one step.
+def _windowed_epoch(carry, xs, n_win, step_acc, data_axes, overlap: bool,
+                    update_items: bool):
+    """Drive one epoch as ``n_win`` windows over pre-windowed leaves.
 
-    The synchronous step puts ``psum(dQ)`` on the critical path: the next
-    step's gathers read ``Q + psum(dQ)``.  Here the all-reduce of step
-    t's deltas is applied at the START of step t+1, and step t+1's
-    gathers read the PRE-psum table — so the collective's only consumer
-    is the next iteration's carry and XLA's async collective pair
-    (all-reduce-start/-done on TPU) can overlap it with the whole
-    gather/compute/scatter of the current step.
-
-    Semantics: every item update (own and remote alike) lands exactly one
-    step late — uniform across devices, so the Q replicas stay
-    bit-identical and training stays deterministic.  With one batch per
-    epoch (the flush below) this is bit-identical to the synchronous
-    step; the trajectory otherwise differs by one step of staleness on
-    the item side (parity-tested in tests/test_parallel.py).
+    ``xs`` leaves must have leading dims ``(n_win, T, ...)``; ``step_acc``
+    is ``(P_l, dQ), b, Q_read -> (P_l, dQ)`` — a local step that reads a
+    frozen item table and accumulates item deltas.  Per window: ONE
+    zeros-init of the delta table, T accumulate steps, ONE item-delta
+    psum.  ``overlap=True`` defers each window's psum to the start of the
+    NEXT window so the all-reduce's only consumer is the next window's
+    carry and XLA's async collective pair can hide it behind that
+    window's compute; remote (and own) item updates then land up to 2T
+    steps late instead of T.  Pending deltas are always flushed before
+    this returns, so per-epoch RMSE sees fully-applied tables and the
+    T=1, overlap=False case is exactly the synchronous schedule.
     """
-    P_l, Q, mu, dQ_pend = carry
-    u, i, r, w = batch
-    Q_next = Q + jax.lax.psum(dQ_pend, data_axes)
-    pu = P_l.at[u].get(mode="promise_in_bounds")
-    qi = Q.at[i].get(mode="promise_in_bounds")
-    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
-    err = (pred - r) * w
+    P_l, Q, mu = carry
+    if not update_items:
+        def win_frozen(p, xw):
+            (p, _), _ = jax.lax.scan(
+                lambda ic, b: (step_acc(ic, b, Q), None),
+                (p, jnp.zeros((0,), Q.dtype)), xw)
+            return p, None
+        P_l, _ = jax.lax.scan(win_frozen, P_l, xs)
+        return (P_l, Q, mu)
 
-    if cfg.update_user_params:
-        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
-        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
-        P_l = P_l.at[u].add(-lr * g, mode="promise_in_bounds")
-    if cfg.update_item_params:
-        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
-        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
-        dQ = jnp.zeros_like(Q).at[i].add(-lr * g, mode="promise_in_bounds")
+    def dq0(q):
+        return jax.lax.pcast(jnp.zeros_like(q), data_axes, to="varying")
+
+    if overlap:
+        def window(c, xw):
+            p, q, dq_pend = c
+            q_next = q + jax.lax.psum(dq_pend, data_axes)
+            (p, dq), _ = jax.lax.scan(
+                lambda ic, b: (step_acc(ic, b, q), None), (p, dq0(q)), xw)
+            return (p, q_next, dq), None
+
+        (P_l, Q, dq), _ = jax.lax.scan(window, (P_l, Q, dq0(Q)), xs)
+        Q = Q + jax.lax.psum(dq, data_axes)
     else:
-        dQ = jnp.zeros_like(Q)
-    return (P_l, Q_next, mu, dQ), None
+        def window(c, xw):
+            p, q = c
+            (p, dq), _ = jax.lax.scan(
+                lambda ic, b: (step_acc(ic, b, q), None), (p, dq0(q)), xw)
+            return (p, q + jax.lax.psum(dq, data_axes)), None
+
+        (P_l, Q), _ = jax.lax.scan(window, (P_l, Q), xs)
+    return (P_l, Q, mu)
+
+
+def _check_psum_every(psum_every, nb: int) -> int:
+    """Validate/resolve the per-window step count against nb batches.
+
+    ``'auto'`` picks the largest divisor of ``nb`` that is <= 16: deep
+    enough to amortize the full-table delta traffic to ~1/16 per step,
+    shallow enough that the stale-read window (T x batch_size ratings)
+    stays well inside the drift budget the multi-step batching study
+    measured (benchmarks/config3_multistep.py).  ``'epoch'`` = one psum
+    per epoch."""
+    if psum_every == "epoch":
+        return nb
+    if psum_every == "auto":
+        t = min(nb, 16)
+        while nb % t:
+            t -= 1
+        return t
+    if not isinstance(psum_every, int) or psum_every < 1:
+        raise ValueError(
+            "psum_every must be a positive int, 'auto' or 'epoch', "
+            f"got {psum_every!r}")
+    if nb % psum_every:
+        raise ValueError(
+            f"psum_every={psum_every} must divide the {nb} local batches "
+            f"per epoch (pad the stream or pick a divisor — e.g. "
+            f"{max(d for d in range(1, psum_every + 1) if nb % d == 0)})")
+    return psum_every
 
 
 def _local_sse(P_l, Q, mu, u, i, r, w, cfg: SGDConfig):
@@ -212,6 +256,7 @@ def dp_sgd_train(
     mesh: Mesh,
     n_real: int,
     overlap_psum: bool = False,
+    psum_every: int = 1,
 ) -> Tuple[MFParams, jax.Array]:
     """Multi-epoch data-parallel training under ``shard_map``.
 
@@ -219,11 +264,16 @@ def dp_sgd_train(
     the item table replicated; ``data`` arrays device-major row-sharded.
     On a multi-slice mesh the user shard spans ``(slice, data)``.
 
-    ``overlap_psum=True`` defers each step's item-delta all-reduce to the
-    start of the next step so it can overlap that step's compute
-    (:func:`_local_minibatch_step_overlap`); pending deltas are flushed
-    at every epoch boundary, so per-epoch RMSE sees fully-applied tables
-    and one-batch epochs are bit-identical to the synchronous schedule.
+    ``psum_every=T`` accumulates item deltas locally across T steps and
+    crosses the mesh in ONE psum per window (``'epoch'`` = once per
+    epoch): the full-table zero/add/all-reduce that dominates the dp
+    step at T=1 amortizes to ~1/T per step, at the cost of item reads
+    being up to T steps stale (user rows stay fresh — they are local).
+    ``overlap_psum=True`` additionally defers each window's all-reduce
+    to the start of the next window so it overlaps that window's
+    compute; pending deltas are flushed at every epoch boundary, so
+    per-epoch RMSE sees fully-applied tables and one-window epochs are
+    bit-identical to the synchronous schedule.
     """
     data_axes = data_axes_of(mesh)
     n_dev = 1
@@ -231,6 +281,8 @@ def dp_sgd_train(
         n_dev *= mesh.shape[a]
     n_pad_local = data.total_len // n_dev
     nb = n_pad_local // cfg.batch_size
+    T = _check_psum_every(psum_every, nb)
+    n_win = nb // T
 
     def local_train(P_l, Q, mu, u_l, i_l, r_l, w_l, keys):
         dev = jnp.int32(0)
@@ -256,23 +308,13 @@ def dp_sgd_train(
                     x.reshape(nb, cfg.batch_size)
                     for x in (u_l, i_l, r_l, w_l)
                 )
-            if overlap_psum and cfg.update_item_params:
-                # the zero init must be marked device-varying: the step's
-                # dQ output is (each device carries its own deltas)
-                dq0 = jax.lax.pcast(jnp.zeros_like(carry[1]), data_axes,
-                                    to="varying")
-                (p, q, m, dq), _ = jax.lax.scan(
-                    lambda c, b: _local_minibatch_step_overlap(
-                        c, b, cfg, lr, data_axes),
-                    (*carry, dq0), xs,
-                )
-                carry = (p, q + jax.lax.psum(dq, data_axes), m)
-            else:
-                carry, _ = jax.lax.scan(
-                    lambda c, b: _local_minibatch_step(c, b, cfg, lr,
-                                                       data_axes),
-                    carry, xs,
-                )
+            xs = tuple(x.reshape(n_win, T, cfg.batch_size) for x in xs)
+            mu_ = carry[2]
+            carry = _windowed_epoch(
+                carry, xs, n_win,
+                lambda ic, b, qr: _flat_step_acc(ic, b, qr, mu_, cfg, lr),
+                data_axes, overlap_psum, cfg.update_item_params,
+            )
             if cfg.compute_epoch_rmse:
                 sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
                 rmse = jnp.sqrt(jax.lax.psum(sse, data_axes) / max(n_real, 1))
@@ -305,23 +347,21 @@ def dp_sgd_train(
     return MFParams(P_new, Q_new, params.global_mean), hist
 
 
-def _local_tile_step(carry, b, cfg: SGDConfig, lr, data_axes,
-                     agg_prim, agg_sec, primary: str, expand_prim: bool,
-                     overlap: bool):
+def _tile_step_acc(carry, b, Q_read, mu, cfg: SGDConfig, lr,
+                   agg_prim, agg_sec, primary: str, expand_prim: bool):
     """One dp mini-batch step riding the MXU tile machinery.
 
     The single-device counterpart is ``segment_sgd._minibatch_update``;
     here the USER side applies directly to the local P shard (its rows
     are device-local by the user-range partition) while the ITEM side
-    accumulates into a zeros delta table that is ``psum``'d (or deferred
-    one step when ``overlap`` — same semantics/flush contract as
-    ``_local_minibatch_step_overlap``).  Whichever side the pack stored
-    sorted (``primary``) gets the shared-one-hot gather+scatter; the
-    other side's delta rides the secondary tiles when present.
+    reads the window-frozen ``Q_read`` and scatters its deltas into the
+    carried ``dQ`` accumulator — the window driver
+    (:func:`_windowed_epoch`) crosses the mesh once per window.
+    Whichever side the pack stored sorted (``primary``) gets the
+    shared-one-hot gather+scatter; the other side's delta rides the
+    secondary tiles when present.
     """
-    P_l, Q, mu, dQ_pend = carry
-    if overlap:
-        Q_next = Q + jax.lax.psum(dQ_pend, data_axes)
+    P_l, dQ = carry
     prim_is_user = primary == "user"
     prim_ids = b["u"] if prim_is_user else b["i"]
     sec_ids = b["i"] if prim_is_user else b["u"]
@@ -329,12 +369,12 @@ def _local_tile_step(carry, b, cfg: SGDConfig, lr, data_axes,
     oh_prim = None
     if "pb" in b:
         oh_prim = sgd._tile_onehot(prim_ids, b["pb"], *agg_prim)
-    prim_tbl = P_l if prim_is_user else Q
+    prim_tbl = P_l if prim_is_user else Q_read
     if oh_prim is not None and expand_prim:
         prim_rows = sgd._tile_gather(prim_tbl, oh_prim, b["pb"], *agg_prim)
     else:
         prim_rows = prim_tbl.at[prim_ids].get(mode="promise_in_bounds")
-    sec_tbl = Q if prim_is_user else P_l
+    sec_tbl = Q_read if prim_is_user else P_l
     sec_rows = sec_tbl.at[sec_ids].get(mode="promise_in_bounds")
     pu, qi = ((prim_rows, sec_rows) if prim_is_user
               else (sec_rows, prim_rows))
@@ -368,14 +408,8 @@ def _local_tile_step(carry, b, cfg: SGDConfig, lr, data_axes,
     if cfg.update_item_params:
         delta = side_delta(qi, d_qi, "item")
         apply = apply_sec if prim_is_user else apply_prim
-        dQ = apply(jnp.zeros_like(Q), delta)
-        if not overlap:
-            Q = Q + jax.lax.psum(dQ, data_axes)
-    else:
-        dQ = jnp.zeros_like(Q)
-    if overlap:
-        return (P_l, Q_next, mu, dQ), None
-    return (P_l, Q, mu, dQ_pend), None
+        dQ = apply(dQ, delta)
+    return P_l, dQ
 
 
 def dp_sgd_train_tiled(
@@ -387,18 +421,22 @@ def dp_sgd_train_tiled(
     lr: float,
     mesh: Mesh,
     overlap_psum: bool = False,
+    psum_every: int = 1,
 ) -> Tuple[MFParams, jax.Array]:
     """Data-parallel training over a device-major tile-aggregated pack
     (``segment_sgd.pack_ratings(n_dev=..., users_per_dev=...)``).
 
     Same layout contract as :func:`dp_sgd_train` (P row-sharded over the
-    data axes with LOCAL user ids, Q replicated, one item-delta psum per
-    step) but each local step is the tile-aggregated
-    :func:`_local_tile_step` — the same MXU one-hot machinery that
-    carries the single-chip headline, so per-chip throughput no longer
-    regresses to the per-row-scatter rate when a mesh is attached.
-    Epoch order: ``cfg.shuffle`` applied per device (fold of the epoch
-    key with the device index).
+    data axes with LOCAL user ids, Q replicated) but each local step is
+    the tile-aggregated :func:`_tile_step_acc` — the same MXU one-hot
+    machinery that carries the single-chip headline, so per-chip
+    throughput no longer regresses to the per-row-scatter rate when a
+    mesh is attached.  ``psum_every=T`` amortizes the item-delta
+    all-reduce AND the full-table zero/add it implies over T-step
+    windows (see :func:`dp_sgd_train`); ``overlap_psum`` defers each
+    window's psum behind the next window's compute.  Epoch order:
+    ``cfg.shuffle`` applied per device (fold of the epoch key with the
+    device index).
     """
     data_axes = data_axes_of(mesh)
     n_dev = 1
@@ -406,6 +444,8 @@ def dp_sgd_train_tiled(
         n_dev *= mesh.shape[a]
     nb_local = data.user_ids.shape[0] // n_dev
     n_real = data.n_real
+    T = _check_psum_every(psum_every, nb_local)
+    n_win = nb_local // T
 
     def local_train(P_l, Q, mu, ldata, keys):
         dev = jnp.int32(0)
@@ -416,20 +456,20 @@ def dp_sgd_train_tiled(
         def epoch(carry, k):
             k = jax.random.fold_in(k, dev)
             xs = sgd.shuffle_xs(xs_all, k, cfg, nb_local)
-            dq0 = jax.lax.pcast(
-                jnp.zeros_like(carry[1]), data_axes, to="varying")
-            (p, q, m, dq), _ = jax.lax.scan(
-                lambda c, b: _local_tile_step(
-                    c, b, cfg, lr, data_axes, agg_prim, agg_sec,
-                    ldata.primary, expand_prim, overlap_psum),
-                (*carry, dq0), xs,
+            xs = jax.tree.map(
+                lambda a: a.reshape(n_win, T, *a.shape[1:]), xs)
+            mu_ = carry[2]
+            carry = _windowed_epoch(
+                carry, xs, n_win,
+                lambda ic, b, qr: _tile_step_acc(
+                    ic, b, qr, mu_, cfg, lr, agg_prim, agg_sec,
+                    ldata.primary, expand_prim),
+                data_axes, overlap_psum, cfg.update_item_params,
             )
-            if overlap_psum and cfg.update_item_params:
-                q = q + jax.lax.psum(dq, data_axes)
-            carry = (p, q, m)
+            p, q, _ = carry
             if cfg.compute_epoch_rmse:
                 sse = sgd.masked_sse(
-                    MFParams(p, q, m), ldata, cfg,
+                    MFParams(p, q, mu_), ldata, cfg,
                     init=jax.lax.pcast(jnp.float32(0.0), data_axes,
                                        to="varying"))
                 rmse = jnp.sqrt(jax.lax.psum(sse, data_axes)
@@ -529,57 +569,76 @@ def shard_ratings_2d(
     return uu.reshape(-1), ii.reshape(-1), rr.reshape(-1), ww.reshape(-1), n_pad
 
 
-def _local_minibatch_step_2d(carry, batch, cfg: SGDConfig, lr,
-                             data_axes=(DATA_AXIS,)):
-    """One synchronous step with BOTH deltas psum'd across the other axis."""
+def _flat_step_acc_2d(carry, batch, P_read, Q_read, mu, cfg: SGDConfig, lr):
+    """One 2D-cell step reading window-FROZEN tables.
+
+    Unlike the 1D dp step, BOTH sides' rows live partly on other devices
+    (a user's ratings span item shards and vice versa), so both deltas
+    accumulate into carried tables and both reads are stale within the
+    window; :func:`_windowed_epoch_2d` crosses the mesh once per window
+    per side."""
+    dP, dQ = carry
+    u, i, r, w = batch
+    pu = P_read.at[u].get(mode="promise_in_bounds")
+    qi = Q_read.at[i].get(mode="promise_in_bounds")
+    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
+    err = (pred - r) * w
+
+    if cfg.update_user_params:
+        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
+        dP = dP.at[u].add(-lr * g, mode="promise_in_bounds")
+    if cfg.update_item_params:
+        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
+        dQ = dQ.at[i].add(-lr * g, mode="promise_in_bounds")
+    return dP, dQ
+
+
+def _windowed_epoch_2d(carry, xs, step_acc, data_axes, overlap: bool,
+                       upd_u: bool, upd_i: bool):
+    """2D analogue of :func:`_windowed_epoch`: per window, ONE dP psum
+    over ``model`` and ONE dQ psum over the data axes (both deferred one
+    window when ``overlap``; pending deltas flushed before returning).
+    A side whose update flag is off skips its psum entirely."""
     P_l, Q_l, mu = carry
-    u, i, r, w = batch
-    pu = P_l.at[u].get(mode="promise_in_bounds")
-    qi = Q_l.at[i].get(mode="promise_in_bounds")
-    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
-    err = (pred - r) * w
 
-    if cfg.update_user_params:
-        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
-        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
-        dP = jnp.zeros_like(P_l).at[u].add(-lr * g, mode="promise_in_bounds")
-        P_l = P_l + jax.lax.psum(dP, MODEL_AXIS)
-    if cfg.update_item_params:
-        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
-        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
-        dQ = jnp.zeros_like(Q_l).at[i].add(-lr * g, mode="promise_in_bounds")
-        Q_l = Q_l + jax.lax.psum(dQ, data_axes)
-    return (P_l, Q_l, mu), None
+    def zp(p):
+        return jax.lax.pcast(jnp.zeros_like(p), MODEL_AXIS, to="varying")
 
+    def zq(q):
+        return jax.lax.pcast(jnp.zeros_like(q), data_axes, to="varying")
 
-def _local_minibatch_step_2d_overlap(carry, batch, cfg: SGDConfig, lr,
-                                     data_axes=(DATA_AXIS,)):
-    """2D step with BOTH delta psums deferred by one step (the dP
-    all-reduce over ``model`` and the dQ all-reduce over the data axes
-    each overlap the next step's compute — see
-    :func:`_local_minibatch_step_overlap` for the semantics)."""
-    P_l, Q_l, mu, dP_pend, dQ_pend = carry
-    u, i, r, w = batch
-    P_next = P_l + jax.lax.psum(dP_pend, MODEL_AXIS)
-    Q_next = Q_l + jax.lax.psum(dQ_pend, data_axes)
-    pu = P_l.at[u].get(mode="promise_in_bounds")
-    qi = Q_l.at[i].get(mode="promise_in_bounds")
-    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(cfg, mu, pu, qi)
-    err = (pred - r) * w
+    def flush_p(p, dp):
+        return p + jax.lax.psum(dp, MODEL_AXIS) if upd_u else p
 
-    if cfg.update_user_params:
-        umask = jnp.asarray(sgd.update_mask(cfg, "user"))
-        g = (err[:, None] * d_pu + (cfg.reg * w)[:, None] * pu) * umask[None, :]
-        dP = jnp.zeros_like(P_l).at[u].add(-lr * g, mode="promise_in_bounds")
+    def flush_q(q, dq):
+        return q + jax.lax.psum(dq, data_axes) if upd_i else q
+
+    if overlap:
+        def window(c, xw):
+            p, q, dp_pend, dq_pend = c
+            p_next = flush_p(p, dp_pend)
+            q_next = flush_q(q, dq_pend)
+            (dp, dq), _ = jax.lax.scan(
+                lambda ic, b: (step_acc(ic, b, p, q), None),
+                (zp(p), zq(q)), xw)
+            return (p_next, q_next, dp, dq), None
+
+        (P_l, Q_l, dp, dq), _ = jax.lax.scan(
+            window, (P_l, Q_l, zp(P_l), zq(Q_l)), xs)
+        P_l = flush_p(P_l, dp)
+        Q_l = flush_q(Q_l, dq)
     else:
-        dP = jnp.zeros_like(P_l)
-    if cfg.update_item_params:
-        imask = jnp.asarray(sgd.update_mask(cfg, "item"))
-        g = (err[:, None] * d_qi + (cfg.reg * w)[:, None] * qi) * imask[None, :]
-        dQ = jnp.zeros_like(Q_l).at[i].add(-lr * g, mode="promise_in_bounds")
-    else:
-        dQ = jnp.zeros_like(Q_l)
-    return (P_next, Q_next, mu, dP, dQ), None
+        def window(c, xw):
+            p, q = c
+            (dp, dq), _ = jax.lax.scan(
+                lambda ic, b: (step_acc(ic, b, p, q), None),
+                (zp(p), zq(q)), xw)
+            return (flush_p(p, dp), flush_q(q, dq)), None
+
+        (P_l, Q_l), _ = jax.lax.scan(window, (P_l, Q_l), xs)
+    return (P_l, Q_l, mu)
 
 
 def dp_tp_sgd_train(
@@ -592,6 +651,7 @@ def dp_tp_sgd_train(
     mesh: Mesh,
     n_real: int,
     overlap_psum: bool = False,
+    psum_every: int = 1,
 ) -> Tuple[MFParams, jax.Array]:
     """Multi-epoch 2D-sharded training under ``shard_map``.
 
@@ -600,9 +660,12 @@ def dp_tp_sgd_train(
     device-major in (d, m) order with LOCAL ids (see
     :func:`shard_ratings_2d`).
 
-    ``overlap_psum=True`` defers BOTH per-step delta all-reduces by one
-    step (:func:`_local_minibatch_step_2d_overlap`), flushing pending
-    deltas at every epoch boundary.
+    ``psum_every=T`` accumulates BOTH sides' deltas across T-step
+    windows and crosses the mesh once per window per side (both reads
+    are stale within a window — in 2D even a user's own rows span item
+    shards); ``overlap_psum=True`` defers each window's two all-reduces
+    behind the next window's compute, flushing pending deltas at every
+    epoch boundary.
     """
     data_axes = data_axes_of(mesh)
     n_data = 1
@@ -611,6 +674,8 @@ def dp_tp_sgd_train(
     n_model = mesh.shape[MODEL_AXIS]
     n_pad_local = data.total_len // (n_data * n_model)
     nb = n_pad_local // cfg.batch_size
+    T = _check_psum_every(psum_every, nb)
+    n_win = nb // T
 
     def local_train(P_l, Q_l, mu, u_l, i_l, r_l, w_l, keys):
         d = jnp.int32(0)
@@ -637,27 +702,15 @@ def dp_tp_sgd_train(
                     x.reshape(nb, cfg.batch_size)
                     for x in (u_l, i_l, r_l, w_l)
                 )
-            if overlap_psum and (cfg.update_user_params
-                                 or cfg.update_item_params):
-                # zero inits marked varying over the axes their deltas
-                # vary on (P_l already varies over data, Q_l over model)
-                zP = jax.lax.pcast(jnp.zeros_like(carry[0]), MODEL_AXIS,
-                                   to="varying")
-                zQ = jax.lax.pcast(jnp.zeros_like(carry[1]), data_axes,
-                                   to="varying")
-                (p, q, m_, dp, dq), _ = jax.lax.scan(
-                    lambda c, b: _local_minibatch_step_2d_overlap(
-                        c, b, cfg, lr, data_axes),
-                    (*carry, zP, zQ), xs,
-                )
-                carry = (p + jax.lax.psum(dp, MODEL_AXIS),
-                         q + jax.lax.psum(dq, data_axes), m_)
-            else:
-                carry, _ = jax.lax.scan(
-                    lambda c, b: _local_minibatch_step_2d(c, b, cfg, lr,
-                                                          data_axes),
-                    carry, xs,
-                )
+            xs = tuple(x.reshape(n_win, T, cfg.batch_size) for x in xs)
+            mu_ = carry[2]
+            carry = _windowed_epoch_2d(
+                carry, xs,
+                lambda ic, b, pr, qr: _flat_step_acc_2d(
+                    ic, b, pr, qr, mu_, cfg, lr),
+                data_axes, overlap_psum,
+                cfg.update_user_params, cfg.update_item_params,
+            )
             if cfg.compute_epoch_rmse:
                 sse = _local_sse(*carry, u_l, i_l, r_l, w_l, cfg)
                 sse = jax.lax.psum(jax.lax.psum(sse, data_axes), MODEL_AXIS)
@@ -722,6 +775,7 @@ def dp_tp_fit(
     init_mean: float = 0.0,
     init_sd: float = 0.1,
     overlap_psum: bool = False,
+    psum_every: int = 1,
 ) -> Tuple[MFParams, np.ndarray]:
     """End-to-end 2D-sharded fit (sharded P AND Q)."""
     data_axes = data_axes_of(mesh)
@@ -751,7 +805,8 @@ def dp_tp_fit(
     )
     train = jax.jit(
         lambda p, d, k: dp_tp_sgd_train(p, d, k, cfg, n_epochs, lr, mesh,
-                                        len(r), overlap_psum=overlap_psum)
+                                        len(r), overlap_psum=overlap_psum,
+                                        psum_every=psum_every)
     )
     params, hist = train(params, data, k_train)
     return params, np.asarray(hist)
@@ -773,6 +828,7 @@ def dp_fit(
     overlap_psum: bool = False,
     layout: str = "flat",
     pack_order: str = "shuffle",
+    psum_every: int = 1,
 ) -> Tuple[MFParams, np.ndarray]:
     """End-to-end sharded fit: init, shard, train, return device params.
 
@@ -813,7 +869,7 @@ def dp_fit(
         train = jax.jit(
             lambda p, d, k: dp_sgd_train_tiled(
                 p, d, k, cfg, n_epochs, lr, mesh,
-                overlap_psum=overlap_psum)
+                overlap_psum=overlap_psum, psum_every=psum_every)
         )
         params, hist = train(params, data, k_train)
         return params, np.asarray(hist)
@@ -829,7 +885,8 @@ def dp_fit(
     )
     train = jax.jit(
         lambda p, d, k: dp_sgd_train(p, d, k, cfg, n_epochs, lr, mesh,
-                                     len(r), overlap_psum=overlap_psum)
+                                     len(r), overlap_psum=overlap_psum,
+                                     psum_every=psum_every)
     )
     params, hist = train(params, data, k_train)
     return params, np.asarray(hist)

@@ -586,3 +586,209 @@ def test_keep_sharded_without_mesh_raises():
 
     with pytest.raises(ValueError, match="keep_sharded"):
         KernelMF(keep_sharded=True)
+
+
+# ---------------------------------------------------------------------------
+# psum_every: windowed item-delta accumulation (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+
+def _windowed_oracle(params0, cfg, su, si, sr, sw, ucap, n_dev, T, lr,
+                     n_epochs):
+    """Numpy reference for the windowed stale-read schedule of
+    ``dp_sgd_train(psum_every=T)``: within each T-step window every
+    device reads the item table as of the last flush, user rows update
+    fresh (device-local), and the accumulated item deltas land in one
+    sum at the window end.  Devices own disjoint user ranges, so
+    simulating them sequentially inside a step is exact."""
+    P = np.asarray(params0.user_features).copy()
+    Q = np.asarray(params0.item_features).copy()
+    mu = float(np.asarray(params0.global_mean))
+    users_per = ucap // n_dev
+    n_pad = len(su) // n_dev
+    nb = n_pad // cfg.batch_size
+    uu = su.reshape(n_dev, nb, cfg.batch_size)
+    ii = si.reshape(n_dev, nb, cfg.batch_size)
+    rr = sr.reshape(n_dev, nb, cfg.batch_size)
+    ww = sw.reshape(n_dev, nb, cfg.batch_size)
+    umask = sgd.update_mask(cfg, "user")
+    imask = sgd.update_mask(cfg, "item")
+    for _ in range(n_epochs):
+        for w0 in range(0, nb, T):
+            Qf = Q.copy()
+            dQ = np.zeros_like(Q)
+            for t in range(w0, w0 + T):
+                for d in range(n_dev):
+                    ug = uu[d, t] + d * users_per
+                    pu = P[ug]
+                    qi = Qf[ii[d, t]]
+                    pred, d_pu, d_qi = sgd.ext_forward_and_rowgrads(
+                        cfg, mu, jnp.asarray(pu), jnp.asarray(qi))
+                    err = (np.asarray(pred) - rr[d, t]) * ww[d, t]
+                    g = (err[:, None] * np.asarray(d_pu)
+                         + (cfg.reg * ww[d, t])[:, None] * pu) * umask
+                    np.add.at(P, ug, -lr * g)
+                    g = (err[:, None] * np.asarray(d_qi)
+                         + (cfg.reg * ww[d, t])[:, None] * qi) * imask
+                    np.add.at(dQ, ii[d, t], -lr * g)
+            Q = Q + dQ
+    return P, Q
+
+
+def test_psum_every_matches_numpy_oracle(ratings):
+    """dp_sgd_train(psum_every=2) on a 4-device mesh must reproduce the
+    windowed stale-read schedule exactly (numpy oracle)."""
+    u, i, r, n_users, n_items = ratings
+    n_dev, T = 4, 2
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    ucap = sgd.round_up(n_users, 8 * n_dev)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=8, shuffle="none")
+    su, si, sr, sw, n_pad = dist.shard_ratings_by_user(
+        u, i, r, ucap, n_dev, cfg.batch_size)
+    nb = n_pad // cfg.batch_size
+    assert nb % T == 0 and nb > T  # windows are real AND multiple per epoch
+    params0 = sgd.init_params(jax.random.PRNGKey(4), n_users, n_items, cfg,
+                              float(r.mean()), user_capacity=ucap)
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    data = dist.ShardedRatings(
+        jax.device_put(su, shard), jax.device_put(si, shard),
+        jax.device_put(sr, shard), jax.device_put(sw, shard))
+    got, _ = jax.jit(lambda p, d, k: dist.dp_sgd_train(
+        p, d, k, cfg, 2, cfg.lr, mesh, len(r), psum_every=T))(
+            dist.place_params(params0, mesh), data, jax.random.PRNGKey(2))
+    P_exp, Q_exp = _windowed_oracle(params0, cfg, su, si, sr, sw, ucap,
+                                    n_dev, T, cfg.lr, n_epochs=2)
+    np.testing.assert_allclose(np.asarray(got.user_features), P_exp,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.item_features), Q_exp,
+                               atol=1e-5)
+
+
+def test_psum_every_flat_parity_determinism_and_validation(ratings):
+    """Windowed flat dp: converges to the synchronous neighborhood, is
+    bit-deterministic, resolves 'auto'/'epoch', rejects non-divisors."""
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=4, n_model=1)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=8, shuffle="none")
+    _, h_sync = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=15,
+                            lr=cfg.lr, mesh=mesh)
+    p1, h1 = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=15,
+                         lr=cfg.lr, mesh=mesh, psum_every=2)
+    p2, h2 = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=15,
+                         lr=cfg.lr, mesh=mesh, psum_every=2)
+    assert h1[-1] < h1[0]
+    assert abs(float(h1[-1]) - float(h_sync[-1])) < 5e-3
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(p1.item_features),
+                                  np.asarray(p2.item_features))
+
+    # 'auto' and 'epoch' resolve; overlap composes with windows
+    _, ha = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=10,
+                        lr=cfg.lr, mesh=mesh, psum_every="auto",
+                        overlap_psum=True)
+    assert ha[-1] < ha[0]
+    _, he = dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=10,
+                        lr=cfg.lr, mesh=mesh, psum_every="epoch")
+    assert he[-1] < he[0]
+
+    with pytest.raises(ValueError, match="psum_every"):
+        dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=1,
+                    lr=cfg.lr, mesh=mesh, psum_every=4)  # nb=14: non-divisor
+    with pytest.raises(ValueError, match="psum_every"):
+        dist.dp_fit(u, i, r, n_users, n_items, cfg, n_epochs=1,
+                    lr=cfg.lr, mesh=mesh, psum_every=0)
+
+
+def test_psum_every_tiled_and_single_window_overlap_exact():
+    """Tiled dp with psum_every: converges with windows engaged; with a
+    single window per epoch the overlap schedule is bit-identical to the
+    non-overlap one (flush happens before any read either way)."""
+    rng = np.random.default_rng(7)
+    n_users, n_items, n = 512, 64, 8000
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.01, reg=0.01,
+                    batch_size=128, shuffle="none",
+                    compute_epoch_rmse=True)
+    mesh = make_mesh(n_data=8, n_model=1)
+    n_dev = 8
+    ucap = sgd.round_up(n_users, 8 * n_dev)
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                             float(r.mean()), 0.0, 0.1, user_capacity=ucap)
+    data = _tiled_pack_and_place(u, i, r, cfg, ucap, n_dev, mesh)
+    placed = dist.place_params(params, mesh)
+    nb_local = data.user_ids.shape[0] // n_dev
+    assert nb_local % 3 == 0 and nb_local > 3
+
+    _, h1 = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, cfg, 10, 0.03, mesh))(placed, data, jax.random.PRNGKey(1))
+    pw, hw = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, cfg, 10, 0.03, mesh, psum_every=3))(
+            placed, data, jax.random.PRNGKey(1))
+    hw = np.asarray(hw)
+    assert hw[-1] < hw[0]
+    # T=3 staleness shifts the trajectory; bound the destination drift
+    # (~0.007 observed on this 8k-rating toy — far looser than the real
+    # budget at production batch sizes, see benchmarks/config3_multistep)
+    assert abs(float(hw[-1]) - float(np.asarray(h1)[-1])) < 2e-2
+
+    a, ha = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, cfg, 4, 0.03, mesh, psum_every="epoch"))(
+            placed, data, jax.random.PRNGKey(1))
+    b, hb = jax.jit(lambda p, d, k: dist.dp_sgd_train_tiled(
+        p, d, k, cfg, 4, 0.03, mesh, psum_every="epoch",
+        overlap_psum=True))(placed, data, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))
+    np.testing.assert_array_equal(np.asarray(a.item_features),
+                                  np.asarray(b.item_features))
+    np.testing.assert_array_equal(np.asarray(a.user_features),
+                                  np.asarray(b.user_features))
+
+
+def test_psum_every_2d(ratings):
+    """2D trainer with windowed accumulation: converges, and the
+    single-window overlap schedule is exact vs non-overlap."""
+    u, i, r, n_users, n_items = ratings
+    mesh = make_mesh(n_data=2, n_model=2)
+    cfg = SGDConfig(kernel="linear", n_factors=8, lr=0.03, reg=0.01,
+                    batch_size=32, shuffle="none")
+    _, h_sync = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg, n_epochs=10,
+                               lr=cfg.lr, mesh=mesh)
+    _, hw = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg, n_epochs=10,
+                           lr=cfg.lr, mesh=mesh, psum_every=2)
+    assert hw[-1] < hw[0]
+    assert abs(float(hw[-1]) - float(h_sync[-1])) < 5e-3
+
+    p_a, h_a = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg, n_epochs=4,
+                              lr=cfg.lr, mesh=mesh, psum_every="epoch")
+    p_b, h_b = dist.dp_tp_fit(u, i, r, n_users, n_items, cfg, n_epochs=4,
+                              lr=cfg.lr, mesh=mesh, psum_every="epoch",
+                              overlap_psum=True)
+    np.testing.assert_array_equal(np.asarray(h_a), np.asarray(h_b))
+    np.testing.assert_array_equal(np.asarray(p_a.item_features),
+                                  np.asarray(p_b.item_features))
+
+
+def test_psum_every_model_api_and_validation():
+    """KernelMF(psum_every=...) trains through the mesh path; the flag is
+    rejected without a mesh and with method='als'."""
+    from matrix_factorization_tpu import KernelMF
+    from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+    from matrix_factorization_tpu.utils.metrics import rmse as rmse_m
+
+    with pytest.raises(ValueError, match="psum_every"):
+        KernelMF(psum_every=4)
+    with pytest.raises(ValueError, match="psum_every"):
+        KernelMF(psum_every="auto", method="als", kernel="linear",
+                 mesh=make_mesh(n_data=8))
+
+    X, y = lowrank_ratings(n_users=64, n_items=40, density=0.5, seed=31)
+    m = KernelMF(n_factors=8, n_epochs=15, lr=0.03, reg=0.01, batch_size=64,
+                 mesh=make_mesh(n_data=8), psum_every="auto")
+    m.fit(X, y)
+    assert m.train_rmse[-1] < m.train_rmse[0]
+    base = rmse_m(y, np.full(len(y), float(np.mean(y))))
+    assert rmse_m(y, m.predict(X)) < base
