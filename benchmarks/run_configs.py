@@ -169,6 +169,22 @@ def config3(scale):
         out[f"{kernel}_updates_per_sec"] = stats["updates_per_sec"]
         out[f"{kernel}_updates_per_sec_best"] = stats["updates_per_sec_best"]
         out["trials"] = stats["trials"]
+
+    # time-to-quality scoreboard (VERDICT r3 #4): the shipped k=200
+    # sigmoid path is the per-obs ALS warm-start hybrid — report the
+    # val-RMSE floors and wall-clock to the pure-SGD floor alongside
+    # the raw updates/s (benchmarks/sigmoid_warmstart.py study)
+    try:  # bench.py puts benchmarks/ itself on sys.path
+        from sigmoid_warmstart import time_to_quality
+    except ImportError:
+        from benchmarks.sigmoid_warmstart import time_to_quality
+
+    if scale == "full":
+        out.update(time_to_quality(sgd_epochs=20, warm_epochs=8))
+    else:
+        out.update(time_to_quality(n_u=n_u, n_i=n_i, n_r=n_r,
+                                   n_val=20_000, sgd_epochs=10,
+                                   warm_epochs=5, bs=65_536))
     return out
 
 
@@ -221,6 +237,22 @@ def config4(scale):
         tt.append(time.perf_counter() - t0)
     out["user_user_seconds"] = round(float(np.median(tt)), 1)
     out["user_user_seconds_all"] = [round(t, 1) for t in tt]
+
+    # mesh-sharded gram (distributed CF, round 4): on this image's one
+    # chip the 1-device mesh degenerates the psum to a copy, so the row
+    # records the sharded path's single-chip overhead honestly;
+    # multi-chip equivalence runs on the virtual 8-device mesh
+    # (tests/test_cf_topk.py) and in dryrun_multichip
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    mesh1 = make_mesh(n_data=1)
+    tt = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        similarity_topk(u, i, r, n_u, n_i, k=50, mesh=mesh1)
+        tt.append(time.perf_counter() - t0)
+    out["item_item_mesh_seconds"] = round(float(np.median(tt)), 1)
+    out["item_item_mesh_seconds_all"] = [round(t, 1) for t in tt]
     return out
 
 

@@ -100,13 +100,20 @@ class _TopKNeighborCF(RecommenderBase):
         n_neighbors: int = 50,
         user_block: int = 4096,
         item_tile: int = 4096,
+        mesh=None,
         verbose: int = 0,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the similarity fit
+        shards its rating blocks over the whole mesh and psums each gram
+        strip once (``ops/sparse_gram.py::_strip_accumulate_sharded``),
+        so neighbor-list construction scales across chips; prediction
+        state stays replicated (it is O(entities x k))."""
         super().__init__(min_rating=min_rating, max_rating=max_rating,
                          verbose=verbose)
         self.n_neighbors = n_neighbors
         self.user_block = user_block
         self.item_tile = item_tile
+        self.mesh = mesh
         self._neighbor_sims: Optional[jax.Array] = None
         self._neighbor_ids: Optional[jax.Array] = None
         self._means: Optional[jax.Array] = None
@@ -122,12 +129,14 @@ class _TopKNeighborCF(RecommenderBase):
             sims, ids, means, _ = similarity_topk(
                 u, i, r, self.n_users, self.n_items, self.n_neighbors,
                 user_block=self.user_block, item_tile=self.item_tile,
+                mesh=self.mesh,
             )
             rows, cands, n_rows = u, i, self.n_users
         else:  # user-user: swap the roles of the axes
             sims, ids, means, _ = similarity_topk(
                 i, u, r, self.n_items, self.n_users, self.n_neighbors,
                 user_block=self.user_block, item_tile=self.item_tile,
+                mesh=self.mesh,
             )
             rows, cands, n_rows = i, u, self.n_items
         self._neighbor_sims = jnp.asarray(np.asarray(sims, np.float32))

@@ -43,19 +43,38 @@ class _NeighborhoodCF(RecommenderBase):
         max_rating: float = 5,
         n_neighbors: int = 50,
         similarity_metric: str = "cosine",
+        mesh=None,
         verbose: int = 0,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the quadratic
+        similarity matrix is laid out row-sharded over every mesh axis
+        and the centered-cosine matmul runs GSPMD-partitioned, so the
+        O(entities²) state that bounds the exact models single-chip
+        scales ~1/n_dev per device; prediction jits against the sharded
+        state and XLA inserts the row gathers."""
         if similarity_metric not in ("cosine", "pearson"):
             raise ValueError(f"Unknown similarity metric: {similarity_metric}")
         super().__init__(min_rating=min_rating, max_rating=max_rating, verbose=verbose)
         self.n_neighbors = n_neighbors
         self.similarity_metric = similarity_metric
+        self.mesh = mesh
         self._state: Optional[simops.CFState] = None
 
     def fit(self, X: pd.DataFrame, y: pd.Series):
         u, i, r = self._preprocess_fit(X, y)
         fit_fn = simops.user_cf_fit if self._mode == "user" else simops.item_cf_fit
-        self._state = jax.jit(fit_fn, static_argnums=(3, 4))(
+        kw = {}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            rep = NamedSharding(self.mesh, Pspec())
+            kw["out_shardings"] = simops.CFState(
+                ratings=rep,
+                sim=NamedSharding(self.mesh,
+                                  Pspec(tuple(self.mesh.axis_names))),
+                means=rep, global_mean=rep,
+            )
+        self._state = jax.jit(fit_fn, static_argnums=(3, 4), **kw)(
             jnp.asarray(u), jnp.asarray(i), jnp.asarray(r), self.n_users, self.n_items
         )
         self.global_mean = float(self._state.global_mean)

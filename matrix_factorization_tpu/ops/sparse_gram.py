@@ -186,6 +186,80 @@ def _strip_accumulate(ub, ib, rb, tile_lo, tile_cols, block, n_items,
     return acc
 
 
+_sharded_accum_cache: dict = {}
+
+
+def _strip_accumulate_sharded(ub, ib, rb, tile_lo, gcols: int, block: int,
+                              n_items: int, mesh):
+    """Gram strip with the user blocks SHARDED over the whole mesh.
+
+    Same distribution pattern as ``ops/ease.py::ease_weights_sharded``:
+    the gram is a sum over user blocks, so each device scans only its
+    block shard and ONE ``psum`` per strip crosses the mesh — exact (the
+    summands are independent dense matmuls; float addend order changes
+    only by the block regrouping).  Blocks shard jointly over every mesh
+    axis: similarity fit is a whole-fleet batch job, not a per-axis
+    role like training.  Per-device peak memory = one block tile + one
+    strip, so catalog capacity scales with the fleet.
+
+    Reference being scaled: the sklearn ``cosine_similarity`` calls of
+    ``collaborative_filtering.py:80-96`` / ``:259-274`` (single-process,
+    dense)."""
+    from jax.sharding import PartitionSpec as Pspec
+
+    axes = tuple(mesh.axis_names)
+    key = (ub.shape, gcols, block, n_items, mesh)
+    fn = _sharded_accum_cache.get(key)
+    if fn is None:
+
+        def local(ub_l, ib_l, rb_l, lo):
+            def body(acc, xs):
+                u_l, i_l, r_l = xs
+                Xb = jnp.zeros((block, n_items), jnp.float32).at[
+                    u_l, i_l
+                ].add(r_l, mode="promise_in_bounds")
+                strip = jax.lax.dynamic_slice(Xb, (0, lo), (block, gcols))
+                acc = acc + jax.lax.dot_general(
+                    Xb, strip, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return acc, None
+
+            # each device carries its own partial: mark the zero init
+            # device-varying so the scan carry types line up
+            acc = jax.lax.pcast(jnp.zeros((n_items, gcols), jnp.float32),
+                                axes, to="varying")
+            acc, _ = jax.lax.scan(body, acc, (ub_l, ib_l, rb_l))
+            return jax.lax.psum(acc, axes)
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(Pspec(axes), Pspec(axes), Pspec(axes), Pspec()),
+            out_specs=Pspec(),
+        ))
+        _sharded_accum_cache[key] = fn
+    return fn(ub, ib, rb, tile_lo)
+
+
+def _shard_blocks(ub, ib, rb, mesh):
+    """Pad the block axis to the mesh size and lay the buckets out
+    block-sharded over every mesh axis.  Pad blocks carry rating 0 and
+    contribute an all-zero tile to the gram."""
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    n_dev = mesh.devices.size
+    nb = ub.shape[0]
+    nb_pad = round_up(nb, n_dev)
+    if nb_pad > nb:
+        pad = ((0, nb_pad - nb), (0, 0))
+        ub = jnp.pad(ub, pad)
+        ib = jnp.pad(ib, pad)
+        rb = jnp.pad(rb, pad)
+    shard = NamedSharding(mesh, Pspec(tuple(mesh.axis_names)))
+    return (jax.device_put(ub, shard), jax.device_put(ib, shard),
+            jax.device_put(rb, shard))
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _strip_topk(gram_strip, col_ids, sums, n_users, norms_sq, k, n_valid):
     """Centered-cosine top-k for one strip of items (columns).
@@ -217,6 +291,7 @@ def similarity_topk(
     user_block: int = 4096,
     item_tile: int = 4096,
     group_budget_bytes: int = 0,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Top-k centered-cosine item neighbors from sparse COO ratings.
 
@@ -224,6 +299,13 @@ def similarity_topk(
     col_means (n_items,), col_sums-derived norms — means returned for the
     prediction formula).  For user-user similarity call with (i, u, r) and
     swapped counts.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the user blocks shard over
+    every mesh axis and each strip's gram partials cross the mesh in one
+    exact ``psum`` (:func:`_strip_accumulate_sharded`); the centered-
+    cosine top-k then runs on the replicated strip.  Bit-equivalence vs
+    the single-device path is regression-tested up to block-regrouping
+    float order (tests/test_parallel.py).
     """
     u = np.asarray(u, np.int32)
     i = np.asarray(i, np.int32)
@@ -235,7 +317,10 @@ def similarity_topk(
     items_pad = round_up(n_items, max(8, item_tile))
 
     ub, ib, rb, _ = _bucket_by_block(u, i, r, n_users, user_block)
-    ubj, ibj, rbj = jnp.asarray(ub), jnp.asarray(ib), jnp.asarray(rb)
+    if mesh is not None:
+        ubj, ibj, rbj = _shard_blocks(ub, ib, rb, mesh)
+    else:
+        ubj, ibj, rbj = jnp.asarray(ub), jnp.asarray(ib), jnp.asarray(rb)
 
     # column sums and self-dots (one bincount pass each; np.add.at is
     # ~10x slower at 25M entries)
@@ -247,6 +332,14 @@ def similarity_topk(
     norms_sq = self_dot - n_users * means**2
     sums_j = jnp.asarray(sums)
     norms_j = jnp.asarray(np.maximum(norms_sq, 0.0))
+    if mesh is not None:
+        # the strip top-k consumes the replicated psum'd strip: its other
+        # operands must live replicated on the same mesh devices
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        rep = NamedSharding(mesh, Pspec())
+        sums_j = jax.device_put(sums_j, rep)
+        norms_j = jax.device_put(norms_j, rep)
 
     # group_budget_bytes > 0 accumulates the gram in wider column GROUPS
     # (fewer dense-X rebuild passes, each group = one pass).  NEGATIVE
@@ -262,14 +355,28 @@ def similarity_topk(
     else:
         group_cols = item_tile
 
+    # DISPATCH every strip first, fetch at the end: per-strip
+    # ``np.asarray`` fetches used to serialize strip i+1's dispatch
+    # behind strip i's result crossing the (shared, load-noisy) tunnel —
+    # wall-clock was transfer + compute instead of max(transfer,
+    # compute).  Dispatch is async, execution is in-order, and each
+    # group's accumulator is freed once its top-k consumes it, so at
+    # most ~one group acc is live; the deferred fetches are only the
+    # small (tile, k) top-k outputs (~24MB total at ML-25M).
+    # (VERDICT r3 #3.)
     out_sims = np.empty((n_items, k), np.float32)
     out_ids = np.empty((n_items, k), np.int32)
+    pending = []  # (lo, hi, vals_dev, idx_dev)
     for glo in range(0, n_items, group_cols):
         gcols = min(group_cols, items_pad - glo)
-        acc = _strip_accumulate(ubj, ibj, rbj, glo,
-                                jnp.arange(glo, glo + gcols,
-                                           dtype=jnp.int32),
-                                user_block, items_pad)
+        if mesh is not None:
+            acc = _strip_accumulate_sharded(ubj, ibj, rbj, glo, gcols,
+                                            user_block, items_pad, mesh)
+        else:
+            acc = _strip_accumulate(ubj, ibj, rbj, glo,
+                                    jnp.arange(glo, glo + gcols,
+                                               dtype=jnp.int32),
+                                    user_block, items_pad)
         for lo in range(glo, min(glo + gcols, n_items), item_tile):
             cols = min(item_tile, items_pad - lo)
             col_ids = jnp.arange(lo, lo + cols, dtype=jnp.int32)
@@ -278,10 +385,11 @@ def similarity_topk(
             )
             vals, idx = _strip_topk(strip, col_ids, sums_j, n_users,
                                     norms_j, k, n_items)
-            hi = min(lo + cols, n_items)
-            out_sims[lo:hi] = np.asarray(vals)[: hi - lo]
-            out_ids[lo:hi] = np.asarray(idx)[: hi - lo]
+            pending.append((lo, min(lo + cols, n_items), vals, idx))
         del acc
+    for lo, hi, vals, idx in pending:
+        out_sims[lo:hi] = np.asarray(vals)[: hi - lo]
+        out_ids[lo:hi] = np.asarray(idx)[: hi - lo]
     return out_sims, out_ids, means[:n_items], np.sqrt(
         np.maximum(norms_sq[:n_items], 0.0)
     )

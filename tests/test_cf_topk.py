@@ -162,3 +162,91 @@ def test_topk_agreement_with_exact_cf_at_10x_lists(rng):
     d = np.abs(p_topk - p_exact)
     assert abs(rmse_topk - rmse_exact) < 0.2, (rmse_exact, rmse_topk)
     assert float((d <= 0.25).mean()) > 0.6, float((d <= 0.25).mean())
+
+
+# ---------------------------------------------------------------------------
+# Distributed similarity: mesh-sharded gram (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_similarity_topk_mesh_matches_single_device(rng):
+    """The block-sharded gram (one psum per strip) must reproduce the
+    single-device result: the summands are independent block matmuls, so
+    only float regrouping differs."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    n_users, n_items, n = 130, 70, 2000
+    flat = rng.choice(n_users * n_items, size=n, replace=False)
+    u = (flat // n_items).astype(np.int32)
+    i = (flat % n_items).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+
+    single = similarity_topk(u, i, r, n_users, n_items, k=6,
+                             user_block=16, item_tile=16)
+    mesh = similarity_topk(u, i, r, n_users, n_items, k=6,
+                           user_block=16, item_tile=16,
+                           mesh=make_mesh(n_data=8))
+    np.testing.assert_allclose(mesh[0], single[0], atol=1e-5)  # sims
+    np.testing.assert_allclose(mesh[2], single[2], atol=1e-6)  # means
+    # neighbor ids agree wherever similarities are not tied
+    gap = np.abs(np.sort(single[0], axis=1)[:, -1]
+                 - np.sort(single[0], axis=1)[:, -2])
+    agree = (mesh[1] == single[1]).all(axis=1)
+    assert agree[gap > 1e-4].all()
+
+
+def test_similarity_topk_mesh_user_mode_and_2d(rng):
+    """Swapped-axes (user-user) call and a 2D (data x model) mesh both
+    shard the blocks over every axis and stay equivalent."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    n_users, n_items, n = 90, 50, 1200
+    flat = rng.choice(n_users * n_items, size=n, replace=False)
+    u = (flat // n_items).astype(np.int32)
+    i = (flat % n_items).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+
+    single = similarity_topk(i, u, r, n_items, n_users, k=5,
+                             user_block=16, item_tile=16)
+    mesh = similarity_topk(i, u, r, n_items, n_users, k=5,
+                           user_block=16, item_tile=16,
+                           mesh=make_mesh(n_data=4, n_model=2))
+    np.testing.assert_allclose(mesh[0], single[0], atol=1e-5)
+
+
+def test_topk_cf_model_mesh_equivalence():
+    """TopKItemItemCF(mesh=...) predictions match the single-device model."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=80, n_items=60, density=0.4, seed=14)
+    y = y.clip(lower=0.5)
+    m1 = TopKItemItemCF(n_neighbors=10, user_block=32, item_tile=32)
+    m1.fit(X, y)
+    m2 = TopKItemItemCF(n_neighbors=10, user_block=32, item_tile=32,
+                        mesh=make_mesh(n_data=8))
+    m2.fit(X, y)
+    p1 = m1.predict(X.iloc[:300])
+    p2 = m2.predict(X.iloc[:300])
+    np.testing.assert_allclose(p1, p2, atol=1e-4)
+
+
+def test_exact_cf_mesh_equivalence():
+    """The exact dense models with a mesh (GSPMD row-sharded similarity)
+    reproduce the single-device predictions."""
+    from matrix_factorization_tpu.models.collaborative import (
+        ItemItemCF, UserUserCF)
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=64, n_items=48, density=0.4, seed=3)
+    y = y.clip(lower=0.5)
+    mesh = make_mesh(n_data=8)
+    for cls in (ItemItemCF, UserUserCF):
+        m1 = cls(n_neighbors=10)
+        m1.fit(X, y)
+        m2 = cls(n_neighbors=10, mesh=mesh)
+        m2.fit(X, y)
+        # the quadratic similarity state is actually distributed
+        assert len(m2._state.sim.sharding.device_set) == 8
+        p1 = m1.predict(X.iloc[:200])
+        p2 = m2.predict(X.iloc[:200])
+        np.testing.assert_allclose(p1, p2, atol=1e-4)
