@@ -33,13 +33,21 @@ from matrix_factorization_tpu.retrieval.index import (
 from matrix_factorization_tpu.retrieval.search import search_topk_batch
 
 
-def _profile_topk(index, profiles, k: int):
+def _profile_topk(index, profiles, k: int, mesh=None):
     """(sims, positions) of each profile vs the whole catalog, for either
-    index family: dense -> device matmul; tfidf -> sparse host product."""
+    index family: dense -> device matmul; tfidf -> sparse host product,
+    or the mesh-sharded device scorer when ``mesh`` is given
+    (``sparse_scoring.tfidf_csr_topk`` — catalogs past one chip)."""
     if isinstance(index, TfidfItemIndex):
         import scipy.sparse as sp
 
         prof = sp.vstack([sp.csr_matrix(p) for p in profiles])
+        if mesh is not None:
+            from matrix_factorization_tpu.retrieval.sparse_scoring import (
+                tfidf_csr_topk,
+            )
+
+            return tfidf_csr_topk(index, prof, k, mesh)
         n_items = index.matrix.shape[0]
         k = min(k, n_items)
         # blocked: never materialize the full (users x items) similarity
@@ -72,6 +80,7 @@ def evaluate_hybrid(
     n_test: int = 2,
     seed: int = 0,
     max_users: int = 0,
+    mesh=None,
 ) -> TopKResult:
     require_columns(ratings, ["user_id", "item_id", "rating"], "ratings")
     id_to_pos: Dict[object, int] = {
@@ -109,7 +118,8 @@ def evaluate_hybrid(
         return TopKResult(0.0, 0.0, 0.0, 0)
 
     sims, cand_pos = _profile_topk(
-        index, profiles, k=candidate_k + max(len(s) for s in train_sets)
+        index, profiles, k=candidate_k + max(len(s) for s in train_sets),
+        mesh=mesh,
     )
 
     # 2) per user: drop train items, blend, take top-k, score

@@ -26,8 +26,16 @@ def main() -> None:
     p.add_argument("--max-users", type=int, default=0)
     p.add_argument("--no-model", action="store_true",
                    help="embedding-only arm")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard TF-IDF candidate scoring over an n-device "
+                        "mesh (0 = single device)")
     a = p.parse_args()
     paths = cli_setup(a)
+    mesh = None
+    if a.mesh_devices:
+        from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=a.mesh_devices)
     ratings = pd.read_parquet(paths.data / "ratings.parquet")
     index = load_item_index(paths.artifacts / "item_index.pkl")
     model = None
@@ -43,7 +51,7 @@ def main() -> None:
         res = evaluate_hybrid(
             ratings, index, model=m, alpha=alpha, k=a.k,
             candidate_k=a.candidate_k, positive_threshold=a.positive_threshold,
-            n_test=a.n_test, seed=a.seed, max_users=a.max_users,
+            n_test=a.n_test, seed=a.seed, max_users=a.max_users, mesh=mesh,
         )
         report[name] = {
             "precision": res.precision, "recall": res.recall,

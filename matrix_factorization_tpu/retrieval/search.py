@@ -70,16 +70,31 @@ def _sims(index: IndexT, query_vec: object) -> np.ndarray:
     return np.asarray(_dense_scores(_device_embeddings(index), q))
 
 
-def search_topk(index: IndexT, query_vec: object, k: int) -> List[Tuple[object, float]]:
-    rows = search_topk_pos(index, query_vec, k)
+def search_topk(index: IndexT, query_vec: object, k: int,
+                mesh=None) -> List[Tuple[object, float]]:
+    rows = search_topk_pos(index, query_vec, k, mesh=mesh)
     return [(item_id, sim) for _, item_id, sim in rows]
 
 
 def search_topk_pos(
-    index: IndexT, query_vec: object, k: int
+    index: IndexT, query_vec: object, k: int, mesh=None
 ) -> List[Tuple[int, object, float]]:
+    """``mesh``: optional ``jax.sharding.Mesh`` — TF-IDF indexes score
+    item-sharded over the mesh with an all_gather candidate merge
+    (``sparse_scoring.tfidf_csr_topk``), for catalogs past one chip;
+    dense indexes ignore it (their embedding matrix is k-by-small)."""
     if k <= 0:
         return []
+    if mesh is not None and isinstance(index, TfidfItemIndex):
+        from matrix_factorization_tpu.retrieval.sparse_scoring import (
+            tfidf_csr_topk,
+        )
+
+        vals, pos = tfidf_csr_topk(index, query_vec, k, mesh)
+        return [
+            (int(p), index.item_ids[int(p)], float(v))
+            for p, v in zip(pos[0], vals[0])
+        ]
     sims = _sims(index, query_vec)
     k = min(k, sims.shape[0])
     top_idx = np.argpartition(-sims, kth=k - 1)[:k]

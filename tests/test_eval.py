@@ -105,3 +105,25 @@ def test_evaluate_hybrid_tfidf_index():
                           candidate_k=20, positive_threshold=3.0, n_test=2)
     assert res.n_users > 0
     assert 0.0 <= res.precision <= 1.0
+
+
+def test_evaluate_hybrid_tfidf_mesh_matches_single_device():
+    """Mesh-sharded TF-IDF candidate scoring (VERDICT r3 #9) must leave
+    the hybrid metrics unchanged."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    df = _ratings()
+    items = sorted(df["item_id"].unique())
+    texts = [f"item text number {i} with words w{i} w{i%5}" for i in items]
+    index = build_tfidf_index([str(i) for i in items], texts, min_df=1)
+    kw = dict(model=None, alpha=0.0, k=5, candidate_k=20,
+              positive_threshold=3.0, n_test=2)
+    res_1 = evaluate_hybrid(df, index, **kw)
+    res_m = evaluate_hybrid(df, index, mesh=make_mesh(n_data=8), **kw)
+    assert res_m.n_users == res_1.n_users
+    # scores are bit-equal per item, but TF-IDF has tied (zero) scores
+    # and the shard merge breaks ties in shard order, not global order —
+    # metrics may move by a tie-swap, never more
+    assert abs(res_m.precision - res_1.precision) < 0.05
+    assert abs(res_m.recall - res_1.recall) < 0.05
+    assert abs(res_m.ndcg - res_1.ndcg) < 0.05
