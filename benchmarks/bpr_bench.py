@@ -93,6 +93,54 @@ def run_combo_tiled(n_users: int, n_items: int, n: int, k: int, bs: int,
     }
 
 
+def run_combo_dp_tiled(n_users: int, n_items: int, n: int, k: int, bs: int,
+                       epochs: int, seed: int = 0,
+                       psum_every="auto") -> dict:
+    """Tiled dp trainer on a 1-device mesh: the psum degenerates to a
+    copy, so this is the per-chip rate each chip carries into a real
+    mesh (same rationale as benchmarks/dp_tiled_bench.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from matrix_factorization_tpu.parallel import distributed as dist
+    from matrix_factorization_tpu.parallel.mesh import (
+        data_axes_of, make_mesh,
+    )
+
+    cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.002,
+                    min_rating=0.0, max_rating=1.0)
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    mesh = make_mesh(n_data=1)
+    ucap = sgd.round_up(n_users, 8)
+    data = sgd.pack_ratings(u, i, np.ones(n, np.float32), bs,
+                            shuffle_seed=seed, order="user",
+                            row_width=cfg.padded_factors, n_dev=1,
+                            users_per_dev=ucap)
+    shard = NamedSharding(mesh, P(data_axes_of(mesh)))
+    data = jax.tree.map(lambda a: jax.device_put(a, shard), data)
+    params = sgd.init_params(jax.random.PRNGKey(seed), n_users, n_items,
+                             cfg, 0.0, init_sd=0.05, user_capacity=ucap)
+    params = dist.place_params(params, mesh)
+    fn = bpr_ops.jit_dp_bpr_train_tiled(cfg, epochs, 0.05, n_items, mesh,
+                                        psum_every=psum_every)
+    out = fn(params, data, jax.random.PRNGKey(1))
+    float(np.asarray(out[1][-1]))
+    t0 = time.perf_counter()
+    out = fn(params, data, jax.random.PRNGKey(2))
+    got = float(np.asarray(out[0].user_features[0, 0]) +
+                np.asarray(out[1][-1]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got)
+    return {
+        "metric": "bpr_dp_tiled_triplet_updates_per_sec_per_chip",
+        "value": round(n * epochs / dt, 1),
+        "unit": "triplets/s",
+        "n_positives": n, "n_factors": k, "batch_size": bs,
+        "epochs_timed": epochs, "seconds": round(dt, 3),
+        "psum_every": psum_every,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--users", type=int, default=162_541)   # ML-25M shape
@@ -101,18 +149,22 @@ def main() -> None:
     p.add_argument("--factors", type=int, nargs="+", default=[64])
     p.add_argument("--bs", type=int, nargs="+", default=[1 << 20])
     p.add_argument("--epochs", type=int, default=5)
-    p.add_argument("--mode", choices=["flat", "tiled", "both"],
+    p.add_argument("--mode", choices=["flat", "tiled", "dp", "both", "all"],
                    default="both")
     args = p.parse_args()
     for k in args.factors:
         for bs in args.bs:
-            if args.mode in ("flat", "both"):
+            if args.mode in ("flat", "both", "all"):
                 print(json.dumps(run_combo(args.users, args.items, args.n,
                                            k, bs, args.epochs)), flush=True)
-            if args.mode in ("tiled", "both"):
+            if args.mode in ("tiled", "both", "all"):
                 print(json.dumps(run_combo_tiled(args.users, args.items,
                                                  args.n, k, bs,
                                                  args.epochs)), flush=True)
+            if args.mode in ("dp", "all"):
+                print(json.dumps(run_combo_dp_tiled(
+                    args.users, args.items, args.n, k, bs, args.epochs)),
+                    flush=True)
 
 
 if __name__ == "__main__":

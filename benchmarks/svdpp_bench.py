@@ -110,6 +110,62 @@ def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
     }
 
 
+def run_dp_tile_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
+                      epochs: int, seed: int = 0,
+                      psum_every="auto") -> dict:
+    """Tiled dp trainer on a 1-device mesh: the per-chip rate each chip
+    carries into a real mesh (same rationale as dp_tiled_bench.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from matrix_factorization_tpu.parallel import distributed as dist
+    from matrix_factorization_tpu.parallel.mesh import (
+        data_axes_of, make_mesh,
+    )
+
+    cfg = SGDConfig(kernel="linear", n_factors=k, lr=0.005, reg=0.02,
+                    min_rating=0.5, max_rating=5.0, shuffle="batch")
+    u, i, r = _host_data(n_users, n_items, n, seed)
+    mesh = make_mesh(n_data=1)
+    ucap = sgd.round_up(n_users, 8)
+    data = sgd.pack_ratings(u, i, r, bs, shuffle_seed=seed, order="user",
+                            row_width=cfg.padded_factors, n_dev=1,
+                            users_per_dev=ucap)
+    shard = NamedSharding(mesh, P(data_axes_of(mesh)))
+    rep = NamedSharding(mesh, P())
+    data = jax.tree.map(lambda a: jax.device_put(a, shard), data)
+    params = svdpp_ops.init_params(jax.random.PRNGKey(seed), n_users,
+                                   n_items, cfg, float(r.mean()),
+                                   init_sd=0.05, user_capacity=ucap)
+    params = svdpp_ops.SVDppParams(
+        user_features=jax.device_put(params.user_features, shard),
+        item_features=jax.device_put(params.item_features, rep),
+        implicit_features=jax.device_put(params.implicit_features, rep),
+        user_implicit_sums=jax.device_put(params.user_implicit_sums, shard),
+        global_mean=jax.device_put(params.global_mean, rep),
+    )
+    wvec = svdpp_ops._neighbor_weights(u, n_users, ucap)
+    deg = np.zeros(params.item_features.shape[0], np.float32)
+    deg[:n_items] = np.bincount(i, minlength=n_items)
+    fn = svdpp_ops.jit_dp_svdpp_train_batched(cfg, epochs, cfg.lr, cfg.reg,
+                                              mesh, psum_every=psum_every)
+    wvec_d = jax.device_put(jnp.asarray(wvec), shard)
+    deg_d = jax.device_put(jnp.asarray(deg), rep)
+    out, hist = fn(params, data, wvec_d, deg_d, jax.random.PRNGKey(1))
+    float(np.asarray(hist[-1]))  # compile + warm barrier
+    t0 = time.perf_counter()
+    out, hist = fn(params, data, wvec_d, deg_d, jax.random.PRNGKey(2))
+    got = float(np.asarray(hist[-1]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got)
+    return {
+        "metric": "svdpp_dp_tile_rating_updates_per_sec_per_chip",
+        "value": round(n * epochs / dt, 1),
+        "unit": "updates/s",
+        "n_ratings": n, "n_factors": k, "batch_size": bs,
+        "epochs_timed": epochs, "seconds": round(dt, 3),
+        "psum_every": psum_every,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--users", type=int, default=162_000)   # ML-25M shape
@@ -118,18 +174,23 @@ def main() -> None:
     p.add_argument("--factors", type=int, nargs="+", default=[64])
     p.add_argument("--bs", type=int, nargs="+", default=[1 << 20])
     p.add_argument("--epochs", type=int, default=5)
-    p.add_argument("--trainer", choices=["flat", "tile", "both"],
+    p.add_argument("--trainer", choices=["flat", "tile", "dp", "both",
+                                         "all"],
                    default="flat")
     args = p.parse_args()
     for k in args.factors:
         for bs in args.bs:
-            if args.trainer in ("flat", "both"):
+            if args.trainer in ("flat", "both", "all"):
                 print(json.dumps(run_combo(args.users, args.items, args.n,
                                            k, bs, args.epochs)), flush=True)
-            if args.trainer in ("tile", "both"):
+            if args.trainer in ("tile", "both", "all"):
                 print(json.dumps(run_tile_combo(args.users, args.items,
                                                 args.n, k, bs, args.epochs)),
                       flush=True)
+            if args.trainer in ("dp", "all"):
+                print(json.dumps(run_dp_tile_combo(
+                    args.users, args.items, args.n, k, bs, args.epochs)),
+                    flush=True)
 
 
 if __name__ == "__main__":

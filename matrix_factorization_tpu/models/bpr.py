@@ -43,19 +43,29 @@ class BPR(RecommenderBase):
         mesh=None,
         overlap_psum: bool = False,
         serving_dtype: str = "float32",
+        dp_layout: str = "tiled",
+        psum_every=1,
     ):
         """``serving_dtype``: 'float32' or 'bfloat16' — the same
         bf16-resident catalog-serving option as ``KernelMF``.
 
         ``mesh``: optional ``jax.sharding.Mesh``; with >1 device on the
         data axes, ``fit`` trains data-parallel (user-sharded P, psum'd
-        item deltas — ``ops/bpr.py::dp_bpr_train``) and gathers the
-        result for serving.  ``overlap_psum`` defers the per-step item
-        all-reduce one step, same knob as ``KernelMF``."""
+        item deltas) and gathers the result for serving.
+        ``dp_layout``: 'tiled' (default — the MXU tile-aggregated dp
+        step, ``ops/bpr.py::dp_bpr_train_tiled``; the single-chip tile
+        rate carried into the mesh) or 'flat' (per-row scatters,
+        ``dp_bpr_train``).  ``overlap_psum`` defers the item all-reduce
+        one step/window and ``psum_every`` windows it (tiled layout
+        only), same knobs as ``KernelMF``."""
         if serving_dtype not in ("float32", "bfloat16"):
             raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
         if overlap_psum and mesh is None:
             raise ValueError("overlap_psum=True requires a mesh")
+        if dp_layout not in ("tiled", "flat"):
+            raise ValueError(f"unknown dp_layout {dp_layout!r}")
+        if psum_every != 1 and mesh is None:
+            raise ValueError("psum_every requires a mesh")
         # ranking scores are unbounded; +-inf makes every clamp a no-op
         super().__init__(min_rating=float("-inf"), max_rating=float("inf"),
                          verbose=verbose)
@@ -69,6 +79,8 @@ class BPR(RecommenderBase):
         self.mesh = mesh
         self.overlap_psum = overlap_psum
         self.serving_dtype = serving_dtype
+        self.dp_layout = dp_layout
+        self.psum_every = psum_every
         self._params: Optional[sgd.MFParams] = None
         self._serving_cache = None
         self.train_loss: list = []
@@ -148,14 +160,32 @@ class BPR(RecommenderBase):
                 user_capacity=ucap,
             )
             params = dist.place_params(params, self.mesh)
-            train = bpr_ops.jit_dp_bpr_train(
-                cfg, n_epochs, self.lr, self.n_items, bs, len(u),
-                self.mesh, overlap_psum=self.overlap_psum,
-            )
-            params, hist = train(
-                params, jax.device_put(su, shard), jax.device_put(si, shard),
-                jax.device_put(sw, shard), k_fit,
-            )
+            if self.dp_layout == "tiled":
+                data = sgd.pack_ratings(
+                    u.astype(np.int32), i.astype(np.int32),
+                    np.ones(len(u), np.float32), bs,
+                    shuffle_seed=self.seed, order="user",
+                    row_width=cfg.padded_factors, n_dev=mesh_data,
+                    users_per_dev=ucap // mesh_data,
+                )
+                data = jax.tree.map(lambda a: jax.device_put(a, shard),
+                                    data)
+                train = bpr_ops.jit_dp_bpr_train_tiled(
+                    cfg, n_epochs, self.lr, self.n_items, self.mesh,
+                    overlap_psum=self.overlap_psum,
+                    psum_every=self.psum_every,
+                )
+                params, hist = train(params, data, k_fit)
+            else:
+                train = bpr_ops.jit_dp_bpr_train(
+                    cfg, n_epochs, self.lr, self.n_items, bs, len(u),
+                    self.mesh, overlap_psum=self.overlap_psum,
+                )
+                params, hist = train(
+                    params, jax.device_put(su, shard),
+                    jax.device_put(si, shard),
+                    jax.device_put(sw, shard), k_fit,
+                )
             # gather for the single-device serving paths
             params = sgd.MFParams(
                 user_features=jnp.asarray(np.asarray(params.user_features)),

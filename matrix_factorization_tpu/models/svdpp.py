@@ -47,6 +47,8 @@ class SVDpp(RecommenderBase):
         mesh=None,
         overlap_psum: bool = False,
         serving_dtype: str = "float32",
+        dp_layout: str = "tiled",
+        psum_every=1,
     ):
         """``lr_y`` / ``reg_y`` control the implicit table's deferred
         epoch update (default: same as ``lr`` / ``reg``; the aggregated
@@ -57,13 +59,20 @@ class SVDpp(RecommenderBase):
         ``mesh``: optional ``jax.sharding.Mesh``; with >1 device on the
         data axes, ``fit`` trains data-parallel (user-sharded P/S/A,
         psum'd Q deltas, one extra psum per epoch for the deferred
-        y-gradient — ``ops/svdpp.py::dp_svdpp_train``) and gathers for
-        serving.  ``overlap_psum`` defers the per-step Q all-reduce one
-        step, the same knob as ``KernelMF``/``BPR``."""
+        y-gradient) and gathers for serving.  ``dp_layout``: 'tiled'
+        (default — the MXU tile-aggregated dp step,
+        ``ops/svdpp.py::dp_svdpp_train_batched``) or 'flat' (per-row
+        scatters, ``dp_svdpp_train``).  ``overlap_psum`` defers the Q
+        all-reduce one step/window, and ``psum_every`` windows it
+        (tiled layout only) — the same knobs as ``KernelMF``/``BPR``."""
         if serving_dtype not in ("float32", "bfloat16"):
             raise ValueError("serving_dtype must be 'float32' or 'bfloat16'")
         if overlap_psum and mesh is None:
             raise ValueError("overlap_psum=True requires a mesh")
+        if dp_layout not in ("tiled", "flat"):
+            raise ValueError(f"unknown dp_layout {dp_layout!r}")
+        if psum_every != 1 and mesh is None:
+            raise ValueError("psum_every requires a mesh")
         super().__init__(min_rating=min_rating, max_rating=max_rating,
                          verbose=verbose)
         self.n_factors = n_factors
@@ -78,6 +87,8 @@ class SVDpp(RecommenderBase):
         self.mesh = mesh
         self.overlap_psum = overlap_psum
         self.serving_dtype = serving_dtype
+        self.dp_layout = dp_layout
+        self.psum_every = psum_every
         self._params: Optional[svdpp_ops.SVDppParams] = None
         self._serving_cache = None
         self._mf_cache = None
@@ -132,16 +143,39 @@ class SVDpp(RecommenderBase):
                                                   shard),
                 global_mean=jax.device_put(params.global_mean, rep),
             )
-            train = svdpp_ops.jit_dp_svdpp_train(
-                cfg, self.n_epochs, lr_y, reg_y, bs, len(u), self.mesh,
-                overlap_psum=self.overlap_psum,
-            )
-            params, hist = train(
-                params, jax.device_put(su, shard), jax.device_put(si, shard),
-                jax.device_put(sr, shard), jax.device_put(sw, shard),
-                jax.device_put(jnp.asarray(wvec), shard),
-                jax.device_put(jnp.asarray(deg), rep), k_fit,
-            )
+            if self.dp_layout == "tiled":
+                mesh_data_n = mesh_data
+                data = sgd.pack_ratings(
+                    u.astype(np.int32), i.astype(np.int32),
+                    r.astype(np.float32), bs,
+                    shuffle_seed=self.seed, order="user",
+                    row_width=cfg.padded_factors, n_dev=mesh_data_n,
+                    users_per_dev=ucap // mesh_data_n,
+                )
+                data = jax.tree.map(lambda a: jax.device_put(a, shard),
+                                    data)
+                train = svdpp_ops.jit_dp_svdpp_train_batched(
+                    cfg, self.n_epochs, lr_y, reg_y, self.mesh,
+                    overlap_psum=self.overlap_psum,
+                    psum_every=self.psum_every,
+                )
+                params, hist = train(
+                    params, data,
+                    jax.device_put(jnp.asarray(wvec), shard),
+                    jax.device_put(jnp.asarray(deg), rep), k_fit,
+                )
+            else:
+                train = svdpp_ops.jit_dp_svdpp_train(
+                    cfg, self.n_epochs, lr_y, reg_y, bs, len(u), self.mesh,
+                    overlap_psum=self.overlap_psum,
+                )
+                params, hist = train(
+                    params, jax.device_put(su, shard),
+                    jax.device_put(si, shard),
+                    jax.device_put(sr, shard), jax.device_put(sw, shard),
+                    jax.device_put(jnp.asarray(wvec), shard),
+                    jax.device_put(jnp.asarray(deg), rep), k_fit,
+                )
             # gather for the single-device serving paths
             params = svdpp_ops.SVDppParams(
                 *(jnp.asarray(np.asarray(x)) for x in params))

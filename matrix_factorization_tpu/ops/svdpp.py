@@ -293,14 +293,17 @@ _sec_scatter = sgd.tile_sec_scatter
 
 
 def implicit_sum_batched(Y: jax.Array, data: sgd.RatingBatches,
-                         wvec: jax.Array) -> jax.Array:
+                         wvec: jax.Array, data_axes: tuple = ()) -> jax.Array:
     """S = wvec * scatter_u(Y[i]) over user-primary batches: the S
     scatter rides the primary tile machinery (C/S-fold fewer row ops);
     the Y gather stays per-row (item side is unsorted in storage
     order — see segment_sgd.RatingBatches on why un-permuting an expand
-    buys nothing)."""
+    buys nothing).  ``data_axes`` marks the accumulator device-varying
+    when called inside ``shard_map`` (it holds local user rows)."""
     xs, agg_prim, _ = _batch_xs(data, include_sec=False)
     S0 = jnp.zeros((wvec.shape[0], Y.shape[1]), Y.dtype)
+    if data_axes:
+        S0 = jax.lax.pcast(S0, data_axes, to="varying")
 
     def body(S, b):
         rows = Y.at[b["i"]].get(mode="promise_in_bounds") * b["w"][:, None]
@@ -313,14 +316,20 @@ def implicit_sum_batched(Y: jax.Array, data: sgd.RatingBatches,
 
 def _pair_grads_batched(A: jax.Array, Y_like: jax.Array,
                         data: sgd.RatingBatches, wvec: jax.Array,
-                        expand_prim: bool) -> jax.Array:
+                        expand_prim: bool,
+                        data_axes: tuple = ()) -> jax.Array:
     """gY[j] = sum over observed pairs (u, j) of wvec_u * A_u, batched:
     A is pre-scaled by wvec ONCE at table level (no per-row scalar
     gathers), its rows ride the primary gather-expand, and the gY
-    scatter rides the secondary (item-sorted) tiles."""
+    scatter rides the secondary (item-sorted) tiles.  ``data_axes``
+    marks the accumulator device-varying inside ``shard_map`` (each
+    device accumulates its rating shard's contribution; the caller
+    psums)."""
     xs, agg_prim, agg_sec = _batch_xs(data)
     Aw = A * wvec[:, None]
     gY0 = jnp.zeros_like(Y_like)
+    if data_axes:
+        gY0 = jax.lax.pcast(gY0, data_axes, to="varying")
 
     def body(gY, b):
         rows = _prim_gather(Aw, b, _prim_onehot(b, agg_prim), agg_prim,
@@ -640,6 +649,170 @@ def dp_svdpp_train(
     return params._replace(user_features=P_new, item_features=Q_new,
                            implicit_features=Y_new,
                            user_implicit_sums=S_new), hist
+
+
+def dp_svdpp_train_batched(
+    params: SVDppParams,
+    data: sgd.RatingBatches,  # dev-sharded user-primary pack (LOCAL ids)
+    wvec: jax.Array,          # (Ucap,) |N(u)|^-1/2, row-sharded like P
+    item_deg: jax.Array,      # (Icap,) replicated
+    key: jax.Array,
+    cfg: SGDConfig,
+    n_epochs: int,
+    lr_y: float,
+    reg_y: float,
+    mesh,
+    overlap_psum: bool = False,
+    psum_every: int = 1,
+) -> Tuple[SVDppParams, jax.Array]:
+    """Data-parallel SVD++ riding the MXU tile machinery (VERDICT r3 #5).
+
+    Same layout contract as :func:`dp_svdpp_train` (P/S/A row-sharded
+    over the data axes with LOCAL user ids, Q and Y replicated), but
+    each local step is the tile-aggregated :func:`svdpp_train_batched`
+    step: the P gather, P scatter, S gather and A scatter share one
+    one-hot per batch, and the Q-delta scatter rides the secondary
+    tiles.  Per epoch the collectives are one Q-delta ``psum`` per
+    ``psum_every``-step window (reads up to T steps stale within a
+    window — the framework's windowed regime) plus ONE psum'd (Icap, Kp)
+    y-gradient; ``overlap_psum`` defers each window's all-reduce behind
+    the next window's compute.  S is epoch-frozen exactly as in the
+    single-device batched trainer.
+    """
+    from jax.sharding import PartitionSpec as P
+    from matrix_factorization_tpu.parallel.distributed import (
+        _check_psum_every,
+    )
+    from matrix_factorization_tpu.parallel.mesh import (
+        data_axes_of, data_size_of, device_index,
+    )
+
+    data_axes = data_axes_of(mesh)
+    n_dev = data_size_of(mesh)
+    nb_local = data.user_ids.shape[0] // n_dev
+    n_real = data.n_real
+    T = _check_psum_every(psum_every, nb_local)
+    n_win = nb_local // T
+    umask = jnp.asarray(sgd.update_mask(cfg, "user"))
+    imask = jnp.asarray(sgd.update_mask(cfg, "item"))
+    kp = params.user_features.shape[1]
+    fmask = jnp.asarray((np.arange(kp) < cfg.n_factors).astype(np.float32))
+    mu = params.global_mean
+
+    def local_train(P_l, Q, Y, ldata, wv_l, deg, keys):
+        dev = device_index(mesh)
+        xs_all, agg_prim, agg_sec = _batch_xs(ldata)
+        expand = ldata.expand_prim
+
+        def make_step(S_l):
+            def step_acc(c, b, Q_read):
+                P_l, A_l, dQ, sse = c
+                oh = _prim_onehot(b, agg_prim)
+                pu = _prim_gather(P_l, b, oh, agg_prim, expand)
+                su = _prim_gather(S_l, b, oh, agg_prim, expand)
+                qi = Q_read.at[b["i"]].get(mode="promise_in_bounds")
+                eff = pu + su
+                e = (b["r"] - (mu + jnp.einsum("nk,nk->n", eff, qi))
+                     ) * b["w"]
+                sse = sse + jnp.sum(e * e)
+                reg_w = (cfg.reg * b["w"])[:, None]
+                gp = (e[:, None] * qi - reg_w * pu) * umask[None, :]
+                gq = (e[:, None] * eff - reg_w * qi) * imask[None, :]
+                A_l = _prim_scatter(A_l, e[:, None] * qi * fmask[None, :],
+                                    b, oh, agg_prim)
+                P_l = _prim_scatter(P_l, cfg.lr * gp, b, oh, agg_prim)
+                dQ = _sec_scatter(dQ, cfg.lr * gq, b, agg_sec)
+                return P_l, A_l, dQ, sse
+
+            return step_acc
+
+        def dq0(q):
+            return jax.lax.pcast(jnp.zeros_like(q), data_axes,
+                                 to="varying")
+
+        def epoch(carry, k):
+            P_l, Q, Y = carry
+            S_l = implicit_sum_batched(Y, ldata, wv_l,
+                                       data_axes=data_axes)
+            step_acc = make_step(S_l)
+            k = jax.random.fold_in(k, dev)
+            bperm = jax.random.permutation(k, nb_local)
+            xs = {kk: v[bperm] for kk, v in xs_all.items()}
+            xs = jax.tree.map(
+                lambda a: a.reshape(n_win, T, *a.shape[1:]), xs)
+            A0 = jnp.zeros_like(P_l)
+            sse0 = jax.lax.pcast(jnp.float32(0.0), data_axes,
+                                 to="varying")
+            if overlap_psum:
+
+                def window(c, xw):
+                    p, q, a, dq_pend, sse = c
+                    q_next = q + jax.lax.psum(dq_pend, data_axes)
+                    (p, a, dq, sse), _ = jax.lax.scan(
+                        lambda ic, b: (step_acc(ic, b, q), None),
+                        (p, a, dq0(q), sse), xw)
+                    return (p, q_next, a, dq, sse), None
+
+                (P_l, Q, A_l, dq, sse), _ = jax.lax.scan(
+                    window, (P_l, Q, A0, dq0(Q), sse0), xs)
+                Q = Q + jax.lax.psum(dq, data_axes)
+            else:
+
+                def window(c, xw):
+                    p, q, a, sse = c
+                    (p, a, dq, sse), _ = jax.lax.scan(
+                        lambda ic, b: (step_acc(ic, b, q), None),
+                        (p, a, dq0(q), sse), xw)
+                    return (p, q + jax.lax.psum(dq, data_axes), a,
+                            sse), None
+
+                (P_l, Q, A_l, sse), _ = jax.lax.scan(
+                    window, (P_l, Q, A0, sse0), xs)
+            gY_l = _pair_grads_batched(A_l, Y, ldata, wv_l, expand,
+                                       data_axes=data_axes)
+            gY = jax.lax.psum(gY_l, data_axes)
+            Y = Y + lr_y * (gY - reg_y * deg[:, None] * Y) * fmask[None, :]
+            rmse = jnp.sqrt(jax.lax.psum(sse, data_axes) / max(n_real, 1))
+            return (P_l, Q, Y), rmse
+
+        (P_l, Q, Y), hist = jax.lax.scan(epoch, (P_l, Q, Y), keys)
+        S_l = implicit_sum_batched(Y, ldata, wv_l, data_axes=data_axes)
+        return P_l, Q, Y, S_l, hist
+
+    shard = P(data_axes)
+    rep = P()
+    fn = jax.shard_map(
+        local_train, mesh=mesh,
+        in_specs=(shard, rep, rep, shard, shard, rep, rep),
+        out_specs=(shard, rep, rep, shard, rep),
+    )
+    keys = jax.random.split(key, n_epochs)
+    P_new, Q_new, Y_new, S_new, hist = fn(
+        params.user_features, params.item_features,
+        params.implicit_features, data, wvec, item_deg, keys,
+    )
+    return params._replace(user_features=P_new, item_features=Q_new,
+                           implicit_features=Y_new,
+                           user_implicit_sums=S_new), hist
+
+
+def jit_dp_svdpp_train_batched(cfg: SGDConfig, n_epochs: int, lr_y: float,
+                               reg_y: float, mesh,
+                               overlap_psum: bool = False,
+                               psum_every: int = 1):
+    """Cached jit of :func:`dp_svdpp_train_batched`."""
+    key = ("dpt", cfg, n_epochs, lr_y, reg_y, mesh, overlap_psum,
+           psum_every)
+    fn = _train_cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, d, wv, dg, k: dp_svdpp_train_batched(
+                p, d, wv, dg, k, cfg, n_epochs, lr_y, reg_y, mesh,
+                overlap_psum=overlap_psum, psum_every=psum_every,
+            )
+        )
+        _train_cache[key] = fn
+    return fn
 
 
 _refit_cache: dict = {}

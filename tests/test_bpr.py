@@ -268,3 +268,38 @@ def test_bpr_validation():
     X = pd.DataFrame({"user_id": [1, 2], "item_id": [1, 2]})
     with pytest.raises(ValueError, match="positive"):
         BPR().fit(X, pd.Series([0.0, 0.0]))
+
+
+def test_dp_bpr_tiled_layouts_and_windows():
+    """The tiled dp BPR trainer (default mesh layout, VERDICT r3 #5):
+    learns the ranking, is deterministic, windows (psum_every) converge,
+    and the flat layout remains available and learning."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X = _blocky_interactions()
+    mesh = make_mesh(n_data=8)
+
+    m = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=128,
+            seed=3, mesh=mesh, dp_layout="tiled")
+    m.fit(X)
+    assert m.train_loss[-1] < m.train_loss[0]
+    assert m.auc(X, n_neg=30, seed=0) > 0.85
+
+    m2 = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=128,
+             seed=3, mesh=mesh, dp_layout="tiled").fit(X)
+    np.testing.assert_array_equal(m.item_features, m2.item_features)
+
+    # windowed psum + overlap compose on the tiled path
+    m3 = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=128,
+             seed=3, mesh=mesh, dp_layout="tiled", psum_every="auto",
+             overlap_psum=True).fit(X)
+    assert m3.auc(X, n_neg=30, seed=0) > 0.85
+
+    mf = BPR(n_factors=16, n_epochs=40, lr=0.1, reg=0.002, batch_size=128,
+             seed=3, mesh=mesh, dp_layout="flat").fit(X)
+    assert mf.auc(X, n_neg=30, seed=0) > 0.85
+
+    with pytest.raises(ValueError, match="dp_layout"):
+        BPR(dp_layout="bogus")
+    with pytest.raises(ValueError, match="psum_every"):
+        BPR(psum_every=4)

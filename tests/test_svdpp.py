@@ -300,3 +300,31 @@ def test_svdpp_validation():
     with pytest.raises(ValueError):  # duplicate pairs rejected at fit
         X = pd.DataFrame({"user_id": [1, 1], "item_id": [2, 2]})
         SVDpp(n_epochs=1).fit(X, pd.Series([3.0, 4.0]))
+
+
+def test_dp_svdpp_tiled_layouts_and_windows():
+    """dp_layout knob + windowed psum on the tiled SVD++ dp trainer
+    (VERDICT r3 #5): tiled default learns, flat stays available, and
+    psum_every/overlap compose."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=60, n_items=50, density=0.4, seed=11)
+    mesh = make_mesh(n_data=8)
+    kw = dict(n_factors=8, n_epochs=15, lr=0.05, reg=0.02, batch_size=32,
+              seed=6, mesh=mesh)
+    mt = SVDpp(dp_layout="tiled", **kw).fit(X, y)
+    assert mt.train_rmse[-1] < mt.train_rmse[0]
+    mf = SVDpp(dp_layout="flat", **kw).fit(X, y)
+    assert mf.train_rmse[-1] < mf.train_rmse[0]
+    # same objective/layout family: destinations agree loosely
+    assert abs(mt.train_rmse[-1] - mf.train_rmse[-1]) < 0.05
+
+    mw = SVDpp(dp_layout="tiled", psum_every="auto", overlap_psum=True,
+               **kw).fit(X, y)
+    assert mw.train_rmse[-1] < mw.train_rmse[0]
+    assert len(mw.recommend(user=X.user_id.iloc[0], amount=5)) == 5
+
+    with pytest.raises(ValueError, match="dp_layout"):
+        SVDpp(dp_layout="bogus")
+    with pytest.raises(ValueError, match="psum_every"):
+        SVDpp(psum_every=2)
