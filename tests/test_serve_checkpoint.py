@@ -435,3 +435,68 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         p2.recommend(user=X["user_id"].iloc[0], amount=5)["item_id"].values,
         p.recommend(user=X["user_id"].iloc[0], amount=5)["item_id"].values,
     )
+
+
+def test_orbax_sharded_native_roundtrip(tmp_path):
+    """Sharded-native checkpointing (VERDICT r3 #7): a keep_sharded
+    dp_tp_fit-trained KernelMF saves per-shard and restores into the
+    SAME sharding on the mesh — no single device ever holds the full
+    item table on either side — and serving works from the restore."""
+    from matrix_factorization_tpu.core.checkpoint import (
+        load_model_orbax,
+        save_model_orbax,
+    )
+    from matrix_factorization_tpu.models.kernel_mf import KernelMF
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=64, n_items=48, density=0.5, seed=9)
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = KernelMF(n_factors=8, n_epochs=8, lr=0.05, reg=0.01, batch_size=64,
+                 mesh=mesh, keep_sharded=True, seed=0)
+    m.fit(X, y)
+    Q = m._params.item_features
+    assert len(Q.sharding.device_set) > 1  # actually sharded pre-save
+    full_rows = Q.shape[0]
+    assert Q.addressable_shards[0].data.shape[0] < full_rows
+
+    save_model_orbax(m, tmp_path / "sharded_ck")
+
+    m2 = load_model_orbax(tmp_path / "sharded_ck", mesh=mesh)
+    Q2 = m2._params.item_features
+    # restored INTO the sharding: multi-device, per-shard rows < full
+    assert len(Q2.sharding.device_set) > 1
+    assert Q2.addressable_shards[0].data.shape[0] < full_rows
+    assert Q2.sharding == Q.sharding
+    np.testing.assert_array_equal(np.asarray(Q2), np.asarray(Q))
+    assert m2.keep_sharded and m2.mesh is mesh
+    # serving state rebuilt: device top-k answers from the restore
+    uid = X["user_id"].iloc[0]
+    pd.testing.assert_frame_equal(m2.recommend(user=uid, amount=5),
+                                  m.recommend(user=uid, amount=5))
+    p1 = m.predict(X.iloc[:50])
+    p2 = m2.predict(X.iloc[:50])
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+    # meshless fallback restores host-gathered single-device arrays
+    m3 = load_model_orbax(tmp_path / "sharded_ck")
+    np.testing.assert_allclose(
+        np.asarray(m3._params.item_features), np.asarray(Q), atol=0)
+    assert not m3.keep_sharded
+
+
+def test_fit_resumable_carries_mesh(tmp_path):
+    """fit_resumable under a mesh: the restored segment re-attaches the
+    caller's mesh (runtime objects are never checkpointed)."""
+    from matrix_factorization_tpu.core.checkpoint import fit_resumable
+    from matrix_factorization_tpu.models.kernel_mf import KernelMF
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    X, y = lowrank_ratings(n_users=48, n_items=32, density=0.5, seed=4)
+    mesh = make_mesh(n_data=8)
+    m = KernelMF(n_factors=8, n_epochs=8, lr=0.05, reg=0.01, batch_size=64,
+                 mesh=mesh, seed=0)
+    m = fit_resumable(m, X, y, tmp_path / "ck", total_epochs=8,
+                      segment_epochs=4)
+    assert m._epochs_done == 8
+    assert m.mesh is mesh  # re-attached across the segment reload
+    assert m.train_rmse[-1] < m.train_rmse[0]
