@@ -1,4 +1,4 @@
-.PHONY: native test bench golden clean
+.PHONY: native test bench golden golden-offline clean
 
 native:
 	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
@@ -18,6 +18,11 @@ bench:
 # DATA=<path to u.data>); hermetic anchor: tests/test_golden_mini.py
 golden:
 	python benchmarks/golden_table.py $(if $(DATA),--data $(DATA))
+
+# offline tier: recompute the committed per-family anchors and fail on
+# drift (tests/data/golden_mini_family_expected.json)
+golden-offline:
+	PYTHONPATH=. JAX_PLATFORMS=cpu python tests/data/gen_golden_family.py
 
 clean:
 	rm -f matrix_factorization_tpu/native/*.so

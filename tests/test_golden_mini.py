@@ -120,3 +120,109 @@ def test_engine_parity_vs_pinned_oracle(fixture, kernel, order):
     pinned = EXP["oracle_test_rmse"][kernel]
     assert abs(e - pinned) <= PARITY_BUDGET, (
         f"{kernel}/{order}: pinned {pinned:.6f} vs engine {e:.6f}")
+
+
+# ---------------------------------------------------------------------------
+# Per-family anchors beyond the MF kernels (VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+FAM = json.loads((DATA / "golden_mini_family_expected.json").read_text())
+FAM_TOL = 1e-4  # same fixture, same seeds; backend float variation only
+
+
+@pytest.fixture(scope="module")
+def family_fixture():
+    import pandas as pd
+
+    raw = np.genfromtxt(DATA / "golden_mini.csv", delimiter=",",
+                        skip_header=1)
+    u = raw[:, 0].astype(np.int64)
+    i = raw[:, 1].astype(np.int64)
+    r = raw[:, 2].astype(np.float32)
+    tr = raw[:, 3].astype(bool)
+    X_tr = pd.DataFrame({"user_id": u[tr], "item_id": i[tr]})
+    y_tr = pd.Series(r[tr])
+    X_te = pd.DataFrame({"user_id": u[~tr], "item_id": i[~tr]})
+    y_te = np.asarray(r[~tr], np.float64)
+    return u, i, r, tr, X_tr, y_tr, X_te, y_te
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a, np.float64)
+                                  - np.asarray(b, np.float64)) ** 2)))
+
+
+@pytest.mark.parametrize("key,build", [
+    ("baseline_als_test_rmse", lambda: __import__(
+        "matrix_factorization_tpu.models.baseline",
+        fromlist=["BaselineModel"]).BaselineModel(
+            method="als", n_epochs=10, reg=0.05,
+            min_rating=0.5, max_rating=5.0, verbose=0)),
+    ("baseline_sgd_test_rmse", lambda: __import__(
+        "matrix_factorization_tpu.models.baseline",
+        fromlist=["BaselineModel"]).BaselineModel(
+            method="sgd", n_epochs=20, lr=0.01, reg=0.05,
+            min_rating=0.5, max_rating=5.0, verbose=0)),
+    ("user_user_cf_test_rmse", lambda: __import__(
+        "matrix_factorization_tpu.models.collaborative",
+        fromlist=["UserUserCF"]).UserUserCF(
+            n_neighbors=30, min_rating=0.5, max_rating=5.0)),
+    ("item_item_cf_test_rmse", lambda: __import__(
+        "matrix_factorization_tpu.models.collaborative",
+        fromlist=["ItemItemCF"]).ItemItemCF(
+            n_neighbors=30, min_rating=0.5, max_rating=5.0)),
+])
+def test_family_anchor_rating_models(family_fixture, key, build):
+    _, _, _, _, X_tr, y_tr, X_te, y_te = family_fixture
+    m = build()
+    m.fit(X_tr, y_tr)
+    got = _rmse(y_te, m.predict(X_te))
+    assert abs(got - FAM[key]) <= FAM_TOL, (key, got, FAM[key])
+
+
+def test_family_anchor_content_based(family_fixture):
+    import sys
+
+    sys.path.insert(0, str(DATA))
+    from gen_golden_family import item_feature_frame
+
+    from matrix_factorization_tpu.models.content_based import (
+        ContentBasedRecommender)
+
+    _, _, _, _, X_tr, y_tr, X_te, y_te = family_fixture
+    m = ContentBasedRecommender(min_rating=0.5, max_rating=5.0)
+    m.fit(X_tr, y_tr)
+    got = _rmse(y_te, m.predict(X_te))
+    assert abs(got - FAM["content_profile_mean_test_rmse"]) <= FAM_TOL
+
+    m = ContentBasedRecommender(min_rating=0.5, max_rating=5.0,
+                                predict_mode="similarity")
+    m.fit(X_tr, y_tr, item_features=item_feature_frame(400))
+    got = _rmse(y_te, m.predict(X_te))
+    assert abs(got - FAM["content_similarity_test_rmse"]) <= FAM_TOL
+
+
+def test_family_anchor_ease_implicit(family_fixture):
+    import pandas as pd
+
+    from matrix_factorization_tpu.models.ease import EASE
+
+    u, i, r, tr, *_ = family_fixture
+    thr = FAM["positive_threshold"]
+    pos_tr = r[tr] >= thr
+    Xp = pd.DataFrame({"user_id": u[tr][pos_tr], "item_id": i[tr][pos_tr]})
+    e = EASE(reg=50.0)
+    e.fit(Xp, pd.Series(np.ones(len(Xp), np.float32)))
+    known_users = set(Xp.user_id)
+    test_pos = [(uu, ii) for uu, ii, rr in zip(u[~tr], i[~tr], r[~tr])
+                if rr >= thr and uu in known_users]
+    assert len(test_pos) == FAM["ease_n_test_positives"]
+    hits = 0
+    for uu, ii in test_pos:
+        known = set(Xp[Xp.user_id == uu].item_id)
+        recs = e.recommend(user=uu, amount=10, items_known=known)
+        hits += int(ii in set(recs["item_id"]))
+    got = hits / max(1, len(test_pos))
+    # the committed anchor is rounded to 6 decimals; the hit COUNT is
+    # the exact invariant
+    assert round(got, 6) == FAM["ease_hit_at_10"]
