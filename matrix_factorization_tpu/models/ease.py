@@ -123,10 +123,18 @@ class EASE(RecommenderBase):
         from matrix_factorization_tpu.parallel.mesh import data_size_of
 
         n_dev = data_size_of(self.mesh) if self.mesh is not None else 1
-        # the GSPMD-sharded inverse roughly doubles the item headroom on
-        # an 8-device slice (measured memory model, ops/ease.py)
-        ease_ops.check_item_budget(
-            self.n_items, item_limit=32768 if n_dev >= 4 else 16384)
+        # capacity tiers (ops/ease.py): single chip 16k (Schur recursion
+        # peak); small mesh 32k (GSPMD Schur, temporaries replicate to
+        # ~1.3x full matrix/device); >= 8 devices 64k — the
+        # Newton–Schulz inverse's plain matmuls shard at ~1/n_dev
+        # (memory_analysis evidence in tests/test_ease.py)
+        if n_dev >= 8:
+            limit = 65536
+        elif n_dev >= 4:
+            limit = 32768
+        else:
+            limit = 16384
+        ease_ops.check_item_budget(self.n_items, item_limit=limit)
         if n_dev > 1:
             G = ease_ops.dp_item_gram(u, i, w, self.n_users, self.n_items,
                                       self.mesh, self.gram_chunk_users)

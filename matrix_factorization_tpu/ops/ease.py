@@ -256,37 +256,76 @@ def ease_weights(G: jax.Array, lam: float, leaf: str = "auto") -> jax.Array:
 _weights_sharded_jit_cache: dict = {}
 
 
+NS_ITEM_THRESHOLD = 16384  # Schur below, Newton–Schulz at/above
+
+
 def ease_weights_sharded(G: jax.Array, lam: float, mesh,
-                         leaf: str = "xla") -> jax.Array:
+                         leaf: str = "xla", inverse: str = "auto",
+                         ns_tol: float = 1e-5) -> jax.Array:
     """The closed form with the (I_p, I_p) system GSPMD-sharded over the
     mesh — the scale path past the single-chip O(items²) bound.
 
-    The Schur recursion is pure batched matmuls + concats, so XLA's
-    SPMD partitioner distributes it from sharding annotations alone: on
-    the 8-device CPU mesh a 2048² inverse compiles to 22MB/device of
-    temporaries vs ~64MB single-device (~3x; the partitioner replicates
-    across some concat boundaries, so scaling is sublinear — measured
-    via ``compiled.memory_analysis()``), which stretches a v5e-8 from
-    ~16k to ~32k items.  The Pallas leaf is NOT used here (a
-    ``pallas_call`` inside a GSPMD-partitioned program would force the
-    leaf blocks replicated); the XLA Cholesky leaf keeps the whole
-    program partitionable.  Returns ``B`` sharded like ``G``'s spec."""
+    ``inverse``: ``'schur'`` — the recursion; pure batched matmuls +
+    concats, distributed by the SPMD partitioner from annotations alone,
+    BUT the partitioner replicates temporaries across the concat
+    boundaries to ~1.3x the FULL matrix per device regardless of
+    sharding pins (measured via ``compiled.memory_analysis()``,
+    tests/test_ease.py) — fine to ~32k items on a v5e-8, no further.
+    ``'ns'`` — host-driven Newton–Schulz with shard_map slab matmuls
+    (``spd.spd_inverse_ns_sharded``): per-device peak = 3 row-shards +
+    one (I_p, blk) slab, so a 64k catalog fits a v5e-8 (round-4
+    capacity lift; more FLOPs per inverse — ~log2(cond) extra matmul
+    pairs — which multi-chip MXUs absorb where HBM cannot).
+    ``'auto'`` picks by size (NS at >= ``NS_ITEM_THRESHOLD`` items).
+    The Pallas leaf is NOT used here (a ``pallas_call`` inside a
+    GSPMD-partitioned program would force the leaf blocks replicated).
+    Returns ``B`` sharded like ``G``'s spec."""
     from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
     ip = G.shape[-1]
+    if inverse == "auto":
+        inverse = "ns" if ip >= NS_ITEM_THRESHOLD else "schur"
+    if inverse not in ("schur", "ns"):
+        raise ValueError(f"unknown inverse {inverse!r}")
     names = mesh.axis_names
     spec = Pspec(names[0], names[1] if len(names) > 1 else None)
     shard = NamedSharding(mesh, spec)
-    key = (ip, tuple(names), tuple(mesh.devices.shape), leaf)
+    row_spec = NamedSharding(mesh, Pspec(names[0]))
+
+    def closed_form(P):
+        d = jnp.diagonal(P)
+        B = -P / d[None, :]
+        return B - jnp.diag(jnp.diagonal(B))
+
+    if inverse == "ns":
+        # host-driven: ridge + inverse + closed form are separate jits
+        # so the NS steps run under shard_map with the slab schedule
+        key = (ip, tuple(names), tuple(mesh.devices.shape), "ns-parts")
+        fns = _weights_sharded_jit_cache.get(key)
+        if fns is None:
+            ridge = jax.jit(
+                lambda G, lam: G + lam * jnp.eye(ip, dtype=jnp.float32),
+                in_shardings=(shard, None), out_shardings=row_spec)
+            finish = jax.jit(closed_form, in_shardings=(row_spec,),
+                             out_shardings=shard)
+            fns = (ridge, finish)
+            _weights_sharded_jit_cache[key] = fns
+        ridge, finish = fns
+        from matrix_factorization_tpu.ops.spd import spd_inverse_ns_sharded
+
+        A = ridge(jax.device_put(G, shard), jnp.float32(lam))
+        P = spd_inverse_ns_sharded(A, mesh, tol=ns_tol)
+        return finish(P)
+
+    key = (ip, tuple(names), tuple(mesh.devices.shape), leaf, inverse,
+           ns_tol)
     fn = _weights_sharded_jit_cache.get(key)
     if fn is None:
 
         def run(G, lam):
             A = G + lam * jnp.eye(ip, dtype=jnp.float32)
-            P = spd_inverse_scaled(A, leaf=leaf)
-            d = jnp.diagonal(P)
-            B = -P / d[None, :]
-            return B - jnp.diag(jnp.diagonal(B))
+            P = spd_inverse_scaled(A, leaf=leaf, spec=row_spec)
+            return closed_form(P)
 
         fn = jax.jit(run, in_shardings=(shard, None),
                      out_shardings=shard)

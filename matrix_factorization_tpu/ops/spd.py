@@ -74,7 +74,8 @@ def _pallas_leaf_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def spd_inverse(A: jax.Array, base: int = 32, leaf: str = "auto") -> jax.Array:
+def spd_inverse(A: jax.Array, base: int = 32, leaf: str = "auto",
+                spec=None, spec_min: int = 512) -> jax.Array:
     """Batched inverse of SPD matrices via recursive Schur complements.
 
     ``A``: (..., d, d) SPD (e.g. regularized ALS grams).  The recursion
@@ -87,8 +88,25 @@ def spd_inverse(A: jax.Array, base: int = 32, leaf: str = "auto") -> jax.Array:
     work, 12x the XLA Cholesky leaf on chip and immune to the MXU's
     bf16 default); ``'xla'`` keeps the Cholesky leaf (CPU meshes /
     interpret-free tests); ``'auto'`` picks by backend.
+
+    ``spec``: optional ``jax.sharding.NamedSharding``-compatible
+    sharding whose PartitionSpec row-shards the SECOND-TO-LAST dim.
+    Every temporary of the recursion with >= ``spec_min`` rows is
+    pinned to it via ``with_sharding_constraint`` — without the pins
+    the GSPMD partitioner replicates across the concat boundaries and
+    per-device memory scales ~1/2 instead of ~1/n_dev (the round-3
+    EASE capacity bound; measured via ``compiled.memory_analysis()``
+    in tests/test_ease.py).  Leaves below ``spec_min`` rows run
+    replicated — they are small and the pins would only add reshards.
     """
     d = A.shape[-1]
+
+    def pin(x):
+        # pin rows of big temporaries; skip small ones (reshard churn)
+        if spec is not None and x.shape[-2] >= spec_min:
+            return jax.lax.with_sharding_constraint(x, spec)
+        return x
+
     use_pallas = leaf == "pallas" or (leaf == "auto" and _pallas_leaf_available())
     if use_pallas and d <= _PALLAS_LEAF_MAX:
         from matrix_factorization_tpu.ops.pallas_spd import gj_inverse
@@ -98,22 +116,23 @@ def spd_inverse(A: jax.Array, base: int = 32, leaf: str = "auto") -> jax.Array:
     if d <= base:
         return _base_inverse(A)
     m = ((d // 2 + 7) // 8) * 8  # split point, multiple of 8
-    A11 = A[..., :m, :m]
-    A12 = A[..., :m, m:]
-    A22 = A[..., m:, m:]
-    inv11 = spd_inverse(A11, base, leaf)
-    W = _mm(inv11, A12)                      # (..., m, d-m)
-    S = A22 - _mm(_t(A12), W)                # Schur complement, SPD
-    invS = spd_inverse(S, base, leaf)
-    B12 = -_mm(W, invS)                      # (..., m, d-m)
-    B11 = inv11 - _mm(B12, _t(W))
+    A11 = pin(A[..., :m, :m])
+    A12 = pin(A[..., :m, m:])
+    A22 = pin(A[..., m:, m:])
+    inv11 = pin(spd_inverse(A11, base, leaf, spec, spec_min))
+    W = pin(_mm(inv11, A12))                 # (..., m, d-m)
+    S = pin(A22 - _mm(_t(A12), W))           # Schur complement, SPD
+    invS = pin(spd_inverse(S, base, leaf, spec, spec_min))
+    B12 = pin(-_mm(W, invS))                 # (..., m, d-m)
+    B11 = pin(inv11 - _mm(B12, _t(W)))
     top = jnp.concatenate([B11, B12], axis=-1)
     bot = jnp.concatenate([_t(B12), invS], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    return pin(jnp.concatenate([top, bot], axis=-2))
 
 
 def spd_inverse_scaled(A: jax.Array, base: int = 32, refine: int = 1,
-                       leaf: str = "auto") -> jax.Array:
+                       leaf: str = "auto", spec=None,
+                       spec_min: int = 512) -> jax.Array:
     """Explicit SPD inverse with the same conditioning insurance as
     :func:`spd_solve`: Jacobi scaling to unit diagonal before the Schur
     recursion, then ``refine`` Newton–Schulz steps
@@ -124,16 +143,197 @@ def spd_inverse_scaled(A: jax.Array, base: int = 32, refine: int = 1,
     1.7e-2, one Newton step -> ~3e-4).  Use this whenever the inverse
     itself (not a solve) is the product."""
     hi = jax.lax.Precision.HIGHEST
+
+    def pin(x):
+        if spec is not None and x.shape[-2] >= spec_min:
+            return jax.lax.with_sharding_constraint(x, spec)
+        return x
+
     diag = jnp.diagonal(A, axis1=-2, axis2=-1)
     dscale = jax.lax.rsqrt(jnp.maximum(diag, jnp.finfo(A.dtype).tiny))
-    As = A * dscale[..., :, None] * dscale[..., None, :]
-    inv = spd_inverse(As, base, leaf)
-    P = inv * dscale[..., :, None] * dscale[..., None, :]
+    As = pin(A * dscale[..., :, None] * dscale[..., None, :])
+    inv = spd_inverse(As, base, leaf, spec, spec_min)
+    P = pin(inv * dscale[..., :, None] * dscale[..., None, :])
     for _ in range(refine):
-        AP = jnp.matmul(A, P, preferred_element_type=A.dtype, precision=hi)
-        P = 2.0 * P - jnp.matmul(P, AP, preferred_element_type=A.dtype,
-                                 precision=hi)
+        AP = pin(jnp.matmul(A, P, preferred_element_type=A.dtype,
+                            precision=hi))
+        P = pin(2.0 * P - jnp.matmul(P, AP, preferred_element_type=A.dtype,
+                                     precision=hi))
     return P
+
+
+_ns_step_cache: dict = {}
+
+
+def _get_ns_fns(mesh, dp: int, blk: int, d: int = None):
+    """Build (step, prep, finish) jits for the sharded Newton–Schulz
+    iteration at padded size ``dp`` (rows sharded over the mesh's first
+    axis, ``blk``-wide column slabs).  ``d`` is the unpadded system size
+    the finish jit slices back to (defaults to ``dp``)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    d = dp if d is None else d
+    hi = jax.lax.Precision.HIGHEST
+    axes = (mesh.axis_names[0],)
+    n_dev = mesh.shape[axes[0]]
+    shard = NamedSharding(mesh, Pspec(axes[0]))
+    nb = dp // blk
+    dl = dp // n_dev
+    key = (dp, blk, d, mesh)
+    fns = _ns_step_cache.get(key)
+    if fns is not None:
+        return fns
+
+    def slabmm(X_l, Y_l):
+        def body(C_l, j):
+            cols = jax.lax.dynamic_slice(Y_l, (0, j * blk), (dl, blk))
+            slab = jax.lax.all_gather(cols, axes, axis=0, tiled=True)
+            Cb = jnp.matmul(X_l, slab, precision=hi,
+                            preferred_element_type=X_l.dtype)
+            return jax.lax.dynamic_update_slice(
+                C_l, Cb, (0, j * blk)), None
+
+        C_l, _ = jax.lax.scan(body, jnp.zeros_like(X_l),
+                              jnp.arange(nb, dtype=jnp.int32))
+        return C_l
+
+    def local_step(As_l, P_l):
+        row0 = jax.lax.axis_index(axes[0]) * dl
+        eye_l = ((row0 + jnp.arange(dl)[:, None])
+                 == jnp.arange(dp)[None, :]).astype(As_l.dtype)
+        AP_l = slabmm(As_l, P_l)
+        res_sq = jax.lax.psum(jnp.sum((AP_l - eye_l) ** 2), axes)
+        Pn_l = 2.0 * P_l - slabmm(P_l, AP_l)
+        return Pn_l, jnp.sqrt(res_sq) / np.sqrt(dp)
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(Pspec(axes[0]), Pspec(axes[0])),
+        out_specs=(Pspec(axes[0]), Pspec()),
+    ))
+
+    def prep(A):
+        Ap = jnp.zeros((dp, dp), A.dtype)
+        Ap = Ap.at[:d, :d].set(A)
+        Ap = Ap.at[jnp.arange(d, dp), jnp.arange(d, dp)].set(1.0)
+        diag = jnp.diagonal(Ap)
+        ds = jax.lax.rsqrt(jnp.maximum(diag, jnp.finfo(A.dtype).tiny))
+        As = Ap * ds[:, None] * ds[None, :]
+        c = 1.0 / jnp.sqrt(jnp.sum(As * As))
+        P0 = jnp.eye(dp, dtype=A.dtype) * c
+        return As, P0, ds
+
+    prep_j = jax.jit(prep, out_shardings=(shard, shard, None))
+
+    def finish(P, ds):
+        return (P * ds[:, None] * ds[None, :])[:d, :d]
+
+    finish_j = jax.jit(finish, out_shardings=shard)
+    fns = (step, prep_j, finish_j)
+    _ns_step_cache[key] = fns
+    return fns
+
+
+def spd_inverse_ns_sharded(A, mesh, max_iters: int = 100,
+                           tol: float = 1e-5,
+                           col_block: int = 1024) -> jax.Array:
+    """Row-sharded Newton–Schulz SPD inverse with a PARTITIONER-PROOF
+    memory bound — the >32k-item EASE path (VERDICT r3 #6).
+
+    The iteration is ``P <- P (2I - As P)`` on the Jacobi-scaled system,
+    but each (d, d) x (d, d) matmul runs under ``shard_map`` as a scan
+    over (d, blk) column slabs: the slab is ``all_gather``'d, multiplied
+    against the LOCAL row-shard, and written into the row-sharded
+    result.  Per-device peak = 3 row-shards (As, P, AP) + one slab.
+    This is done manually because GSPMD, given the same program through
+    sharding annotations, hoists the slab gathers into ONE full-operand
+    all-gather — measured 21.5GB/device temp at 64k (over HBM), vs the
+    slab schedule's ~3 x 2GB shards + 256MB.  Total gathered bytes per
+    matmul are identical (d^2); only the PEAK differs, which the GSPMD
+    cost model does not optimize for.
+
+    Iterations are host-driven (one scalar residual fetch per step,
+    early exit at ``tol`` on ``||As P - I||_F / sqrt(d)``); convergence
+    ~ log2(cond) + log2(1/tol) steps from ``P0 = I / ||As||_F``.
+    ``A`` pads to a multiple of ``8 * n_dev`` with an identity block
+    (exact: the inverse of ``blockdiag(A, I)`` is
+    ``blockdiag(inv(A), I)``).  Returns the (d, d) inverse row-sharded
+    over the mesh's first axis."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    hi = jax.lax.Precision.HIGHEST
+    axes = (mesh.axis_names[0],)
+    n_dev = mesh.shape[axes[0]]
+    shard = NamedSharding(mesh, Pspec(axes[0]))
+    d = A.shape[-1]
+    dp = ((d + 8 * n_dev - 1) // (8 * n_dev)) * (8 * n_dev)
+    blk = min(col_block, dp)
+    while dp % blk:
+        blk -= 8
+    nb = dp // blk
+    dl = dp // n_dev
+
+    step, prep_j, finish_j = _get_ns_fns(mesh, dp, blk, d)
+
+    As, P, ds = prep_j(A)
+    for _ in range(max_iters):
+        P, res = step(As, P)
+        if float(res) < tol:
+            break
+    return finish_j(P, ds)
+
+
+def spd_inverse_ns(A: jax.Array, spec=None, max_iters: int = 100,
+                   tol: float = 1e-5) -> jax.Array:
+    """SPD inverse by Newton–Schulz iteration.
+
+    ``P <- P (2I - A P)`` from the Jacobi-scaled system, starting at
+    ``P0 = I / ||As||_F`` (valid for SPD: eigenvalues of ``I - c As``
+    lie in (0, 1)); quadratic contraction once ``||I - As P|| < 1``, so
+    iterations ~ log2(cond) + log2(1/tol).
+    In-jit convenience for SMALL systems; for sharded large systems use
+    :func:`spd_inverse_ns_sharded` (this in-jit form cannot bound peak
+    memory — GSPMD gathers a full operand per matmul).  ``tol`` is on
+    ``||As P - I||_F / sqrt(d)`` (RMS off-identity), checked each step
+    inside the ``while_loop``; HIGHEST precision throughout (the MXU's
+    bf16 default diverges on ill-conditioned grams, same finding as
+    ``_mm``)."""
+    hi = jax.lax.Precision.HIGHEST
+    d = A.shape[-1]
+
+    def pin(x):
+        if spec is not None:
+            return jax.lax.with_sharding_constraint(x, spec)
+        return x
+
+    def mm(a, b):
+        return pin(jnp.matmul(a, b, precision=hi,
+                              preferred_element_type=A.dtype))
+
+    diag = jnp.diagonal(A)
+    ds = jax.lax.rsqrt(jnp.maximum(diag, jnp.finfo(A.dtype).tiny))
+    As = pin(A * ds[:, None] * ds[None, :])
+    eye = pin(jnp.eye(d, dtype=A.dtype))
+    c = 1.0 / jnp.sqrt(jnp.sum(As * As))
+    P0 = pin(eye * c)
+
+    def cond(st):
+        k, _, res = st
+        return (k < max_iters) & (res > tol)
+
+    def body(st):
+        k, P, _ = st
+        AP = mm(As, P)
+        res = jnp.sqrt(jnp.sum((AP - eye) ** 2)) / jnp.sqrt(
+            jnp.float32(d)).astype(A.dtype)
+        Pn = pin(2.0 * P - mm(P, AP))
+        return k + 1, Pn, res
+
+    _, P, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), P0, jnp.asarray(jnp.inf, A.dtype)))
+    return pin(P * ds[:, None] * ds[None, :])
 
 
 def spd_solve(A: jax.Array, b: jax.Array, base: int = 32,

