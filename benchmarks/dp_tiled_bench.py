@@ -34,8 +34,14 @@ from matrix_factorization_tpu.parallel.mesh import data_axes_of, make_mesh
 def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
               epochs: int, layout: str, order: str, seed: int = 0,
               psum_every: int = 1) -> dict:
+    # compute_epoch_rmse=False matches the headline protocol (bench.py)
+    # — the round-3 numbers left it at the True default, billing a full
+    # per-epoch RMSE forward pass to the dp trainers that the mesh-free
+    # headline never paid (that, plus the short single-trial window, WAS
+    # the reported "dp per-chip penalty")
     cfg = SGDConfig(kernel="linear", n_factors=k, reg=0.005, lr=0.002,
-                    min_rating=1.0, max_rating=5.0, batch_size=bs)
+                    min_rating=1.0, max_rating=5.0, batch_size=bs,
+                    compute_epoch_rmse=False)
     rng = np.random.default_rng(seed)
     u = rng.integers(0, n_users, n).astype(np.int32)
     i = rng.integers(0, n_items, n).astype(np.int32)
@@ -68,17 +74,26 @@ def run_combo(n_users: int, n_items: int, n: int, k: int, bs: int,
 
     out = train(params, data, jax.random.PRNGKey(1))  # compile + warm
     float(np.asarray(out[0].user_features[0, 0]))
-    t0 = time.perf_counter()
-    out = train(params, data, jax.random.PRNGKey(2))
-    got = float(np.asarray(out[0].user_features[0, 0]))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(got)
+    # median of 3: the round-3 protocol (single trial over a 5-epoch
+    # ~0.16s window) under-reported the dp rate by ~40% — the remote
+    # backend's per-dispatch RTT (~0.1s, load-dependent) dominated the
+    # window and was booked as compute.  The 20-epoch default amortizes
+    # it (same lesson as bench.py's long-window protocol).
+    times = []
+    for t in range(3):
+        t0 = time.perf_counter()
+        out = train(params, data, jax.random.PRNGKey(2 + t))
+        got = float(np.asarray(out[0].user_features[0, 0]))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(got)
+    dt = float(np.median(times))
     return {
         "metric": f"dp_{layout}_updates_per_sec_per_chip",
         "value": round(n * epochs / dt, 1),
         "unit": "updates/s",
         "n_ratings": n, "n_factors": k, "batch_size": bs,
         "epochs_timed": epochs, "seconds": round(dt, 3),
+        "seconds_all": [round(t, 3) for t in times],
         "pack_order": order, "psum_every": psum_every, **extra,
     }
 
@@ -90,7 +105,7 @@ def main() -> None:
     p.add_argument("--n", type=int, default=25_000_000)
     p.add_argument("--factors", type=int, nargs="+", default=[100])
     p.add_argument("--bs", type=int, default=1 << 20)
-    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--order", default="item")
     p.add_argument("--layouts", nargs="+", default=["flat", "tiled"])
     p.add_argument("--psum-every", type=int, nargs="+", default=[1])
