@@ -28,27 +28,119 @@ LR = 0.01
 REG = 0.005
 
 
-def gen_data(seed=0):
+def gen_data(seed=0, n_u=N_U, n_i=N_I, n_r=N_R, n_val=N_VAL):
     rng = np.random.default_rng(seed)
-    flat = np.unique(rng.integers(0, N_U * N_I, int(N_R * 1.15),
-                                  dtype=np.int64))[:N_R]
+    flat = np.unique(rng.integers(0, n_u * n_i, int(n_r * 1.15),
+                                  dtype=np.int64))[:n_r]
+    n_r = len(flat)
     rng.shuffle(flat)
-    u = (flat // N_I).astype(np.int32)
-    i = (flat % N_I).astype(np.int32)
-    bu = rng.normal(0, 0.5, N_U).astype(np.float32)
-    bi = rng.normal(0, 0.5, N_I).astype(np.float32)
-    P = rng.normal(0, 0.7 / np.sqrt(RANK), (N_U, RANK)).astype(np.float32)
-    Q = rng.normal(0, 0.7 / np.sqrt(RANK), (N_I, RANK)).astype(np.float32)
-    r = np.empty(N_R, np.float32)
-    for s in range(0, N_R, 5_000_000):
-        e = min(s + 5_000_000, N_R)
+    u = (flat // n_i).astype(np.int32)
+    i = (flat % n_i).astype(np.int32)
+    bu = rng.normal(0, 0.5, n_u).astype(np.float32)
+    bi = rng.normal(0, 0.5, n_i).astype(np.float32)
+    P = rng.normal(0, 0.7 / np.sqrt(RANK), (n_u, RANK)).astype(np.float32)
+    Q = rng.normal(0, 0.7 / np.sqrt(RANK), (n_i, RANK)).astype(np.float32)
+    r = np.empty(n_r, np.float32)
+    for s in range(0, n_r, 5_000_000):
+        e = min(s + 5_000_000, n_r)
         x = bu[u[s:e]] + bi[i[s:e]] + np.einsum(
             "nf,nf->n", P[u[s:e]], Q[i[s:e]])
         r[s:e] = 0.5 + 4.5 / (1.0 + np.exp(-x))
-    r += rng.normal(0, 0.3, N_R).astype(np.float32)
+    r += rng.normal(0, 0.3, n_r).astype(np.float32)
     np.clip(r, 0.5, 5.0, out=r)
-    return (u[N_VAL:], i[N_VAL:], r[N_VAL:],
-            u[:N_VAL], i[:N_VAL], r[:N_VAL])
+    return (u[n_val:], i[n_val:], r[n_val:],
+            u[:n_val], i[:n_val], r[:n_val])
+
+
+def time_to_quality(n_u=N_U, n_i=N_I, n_r=N_R, n_val=N_VAL,
+                    sgd_epochs=20, warm_epochs=8, bs=SGD_BS,
+                    k=K) -> dict:
+    """Compact time-to-quality scoreboard for the k=200 sigmoid config
+    (VERDICT r3 #4): pure SGD vs the shipped per-obs warm-start hybrid
+    on a sigmoid-linked low-rank signal, val RMSE after every epoch,
+    cumulative wall-clock including prep.  Returns one JSON-able dict
+    with each curve's floor, the time to reach it, and the hybrid's
+    time to the PURE-SGD floor (the headline: quality parity, less
+    wall-clock).  The full epoch-by-epoch study with three curves is
+    ``main()`` below / benchmarks/results/sigmoid_warmstart*.jsonl."""
+    import jax
+    import jax.numpy as jnp
+
+    from matrix_factorization_tpu.core.config import SGDConfig
+    from matrix_factorization_tpu.ops import ials
+    from matrix_factorization_tpu.ops import segment_sgd as sgd
+
+    ut, it, rt, uv, iv, rv = gen_data(n_u=n_u, n_i=n_i, n_r=n_r,
+                                      n_val=n_val)
+    mu = float(rt.mean())
+    uvd, ivd, rvd = jnp.asarray(uv), jnp.asarray(iv), jnp.asarray(rv)
+    bs = min(bs, sgd.round_up(len(rt), 8))
+    cfg = SGDConfig(kernel="sigmoid", n_factors=k, lr=LR, reg=REG,
+                    gamma=1 / k, min_rating=0.5, max_rating=5.0,
+                    batch_size=bs, compute_epoch_rmse=False)
+
+    @jax.jit
+    def vfn(params):
+        pred, _ = sgd.predict_pairs(params, uvd, ivd, cfg,
+                                    bound_ratings=True)
+        return jnp.sqrt(jnp.mean((pred - rvd) ** 2))
+
+    def run(warm_sweeps, n_epochs, warm_reg=0.1):
+        curve = []
+        t0 = time.perf_counter()
+        data = sgd.pack_ratings(ut, it, rt, bs, order="auto",
+                                row_width=cfg.padded_factors)
+        jax.block_until_ready(data.ratings)
+        cum = time.perf_counter() - t0
+        params = sgd.init_params(jax.random.PRNGKey(0), n_u, n_i, cfg, mu)
+        if warm_sweeps:
+            t0 = time.perf_counter()
+            frac = np.clip((rt.astype(np.float64) - 0.5) / 4.5, 0.01, 0.99)
+            t = np.log(frac / (1.0 - frac)).astype(np.float32)
+            wlin = SGDConfig(kernel="linear", n_factors=k, lr=LR,
+                             reg=warm_reg, min_rating=0.5, max_rating=5.0,
+                             batch_size=bs, compute_epoch_rmse=False)
+            bu_ = ials.group_by_entity_bucketed(ut, it, t, n_u)
+            bi_ = ials.group_by_entity_bucketed(it, ut, t, n_i)
+            params, _ = ials.ials_train_bucketed(
+                params, bu_, bi_, data, wlin, warm_sweeps,
+                reg_scale="per_obs")
+            jax.block_until_ready(params.user_features)
+            cum += time.perf_counter() - t0
+            curve.append((cum, float(vfn(params))))
+            del bu_, bi_
+        train1 = sgd.jit_sgd_train(cfg, 1)
+        wcopy = sgd.init_params(jax.random.PRNGKey(1), n_u, n_i, cfg, mu)
+        wcopy, _ = train1(wcopy, data, jax.random.PRNGKey(9), LR)
+        float(vfn(wcopy))  # compile outside the timed region
+        del wcopy
+        for ep in range(1, n_epochs + 1):
+            t0 = time.perf_counter()
+            params, _ = train1(params, data, jax.random.PRNGKey(ep), LR)
+            jax.block_until_ready(params.user_features)
+            cum += time.perf_counter() - t0
+            curve.append((cum, float(vfn(params))))
+        del data, params
+        return curve
+
+    c_sgd = run(0, sgd_epochs)
+    c_warm = run(1, warm_epochs)
+    floor_sgd = min(v for _, v in c_sgd)
+    floor_warm = min(v for _, v in c_warm)
+    t_sgd_floor = next(t for t, v in c_sgd if v <= floor_sgd)
+    hit = [t for t, v in c_warm if v <= floor_sgd]
+    return {
+        "sigmoid_val_rmse_floor_sgd": round(floor_sgd, 5),
+        "sigmoid_val_rmse_floor_warm": round(floor_warm, 5),
+        "sigmoid_seconds_to_floor_sgd": round(t_sgd_floor, 2),
+        "sigmoid_warm_seconds_to_sgd_floor": (
+            round(hit[0], 2) if hit else None),
+        "sigmoid_warm_total_seconds": round(c_warm[-1][0], 2),
+        "time_to_quality_protocol": (
+            f"val RMSE on {n_val} held-out pairs after every epoch; "
+            f"sgd {sgd_epochs}ep vs per-obs warm(1 sweep, reg=0.1) + "
+            f"{warm_epochs}ep; wall-clock includes pack/prep"),
+    }
 
 
 def main():
