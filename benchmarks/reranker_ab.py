@@ -51,76 +51,121 @@ def make_corpus(n_items: int, seed: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def evaluate(payload, index, items, seed_rows, rng, candidate_k=30, k=5):
-    """Rank candidates for queries from held-out seeds; the seed is the
-    one relevant item."""
-    from matrix_factorization_tpu.rank.reranker import (
-        generate_queries, rerank_scores,
-    )
+def collect_query_set(index, seed_rows, eval_seeds, candidate_k=30):
+    """Materialize ONE shared query set from held-out seeds: every
+    ranker scores the exact same (query, candidate-list, relevant-id)
+    triples.  Pairing is the variance killer the round-3 A/B lacked —
+    unpaired 3-seed means moved ±0.03 hit@5 between runs, larger than
+    the logreg-vs-MLP effect itself (VERDICT r3 weak #7)."""
+    from matrix_factorization_tpu.rank.reranker import generate_queries
     from matrix_factorization_tpu.retrieval.search import (
         encode_query_for_index, search_topk_pos,
     )
 
-    hits = ndcg = mrr = 0.0
-    n_q = 0
-    for _, row in seed_rows.iterrows():
-        for q in generate_queries(row["text"], rng):
-            qvec = encode_query_for_index(index, q)
-            cand = search_topk_pos(index, qvec, k=candidate_k)
-            ids = [str(c[1]) for c in cand]
-            if row["item_id"] not in ids:
-                continue
-            n_q += 1
-            texts_sims = [(index.texts[c[0]], float(c[2])) for c in cand]
-            if payload is None:  # sim-only baseline: retrieval order
-                order = np.arange(len(cand))
-            else:
-                scores = rerank_scores(payload, q, texts_sims,
-                                       item_ids=[c[1] for c in cand])
-                order = np.argsort(-scores, kind="stable")
-            ranked = [ids[j] for j in order]
-            rank = ranked.index(row["item_id"]) + 1
-            hits += 1.0 if rank <= k else 0.0
-            ndcg += 1.0 / np.log2(rank + 1) if rank <= 10 else 0.0
-            mrr += 1.0 / rank
-    return {
-        "n_queries": n_q,
-        f"hit_rate@{k}": round(hits / n_q, 4),
-        f"precision@{k}": round(hits / n_q / k, 4),
-        "ndcg@10": round(ndcg / n_q, 4),
-        "mrr": round(mrr / n_q, 4),
-    }
+    queries = []
+    for s in eval_seeds:
+        rng = random.Random(s)
+        for _, row in seed_rows.iterrows():
+            for q in generate_queries(row["text"], rng):
+                qvec = encode_query_for_index(index, q)
+                cand = search_topk_pos(index, qvec, k=candidate_k)
+                ids = [str(c[1]) for c in cand]
+                if row["item_id"] not in ids:
+                    continue
+                queries.append({
+                    "q": q,
+                    "ids": ids,
+                    "texts_sims": [(index.texts[c[0]], float(c[2]))
+                                   for c in cand],
+                    "rel": row["item_id"],
+                })
+    return queries
+
+
+def rank_queries(payload, queries):
+    """Per-query rank of the relevant item under one ranker (payload
+    None = retrieval order).  Returns an int array aligned with
+    ``queries`` so rankers can be compared query-by-query."""
+    from matrix_factorization_tpu.rank.reranker import rerank_scores
+
+    ranks = np.empty(len(queries), np.int32)
+    for n, rec in enumerate(queries):
+        if payload is None:
+            ranked = rec["ids"]
+        else:
+            scores = rerank_scores(payload, rec["q"], rec["texts_sims"],
+                                   item_ids=rec["ids"])
+            order = np.argsort(-scores, kind="stable")
+            ranked = [rec["ids"][j] for j in order]
+        ranks[n] = ranked.index(rec["rel"]) + 1
+    return ranks
+
+
+def metrics_from_ranks(ranks, k=5):
+    hit = (ranks <= k).astype(np.float64)
+    ndcg = np.where(ranks <= 10, 1.0 / np.log2(ranks + 1.0), 0.0)
+    mrr = 1.0 / ranks
+    return {"hit": hit, "ndcg": ndcg, "mrr": mrr}
+
+
+def paired_delta_ci(a, b, n_boot=10_000, seed=0):
+    """Bootstrap 95% CI of mean(a - b) over the shared query axis."""
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(d), (n_boot, len(d)))
+    boots = d[idx].mean(axis=1)
+    lo, hi = np.percentile(boots, [2.5, 97.5])
+    return round(float(d.mean()), 4), round(float(lo), 4), round(float(hi), 4)
 
 
 def main():
     from matrix_factorization_tpu.pipeline.train_reranker import train_reranker
     from matrix_factorization_tpu.retrieval.index import build_tfidf_index
 
-    items = make_corpus(600, seed=0)
-    train_items = items.iloc[:400].reset_index(drop=True)
-    test_items = items.iloc[400:500].reset_index(drop=True)
+    # 2x the round-3 corpus and 4x the held-out seeds; 3 query draws
+    # pooled into one paired set (every ranker sees identical queries)
+    items = make_corpus(1200, seed=0)
+    train_items = items.iloc[:700].reset_index(drop=True)
+    test_items = items.iloc[700:1100].reset_index(drop=True)
     index = build_tfidf_index(items["item_id"].tolist(),
                               items["text"].tolist(), min_df=1)
 
-    # the query sampler injects noise (~±0.03 hit@5 between eval seeds),
-    # so each ranker is scored on 3 query draws and the mean reported
-    EVAL_SEEDS = (123, 7, 99)
+    queries = collect_query_set(index, test_items, eval_seeds=(123, 7, 99))
+    print(json.dumps({"paired_queries": len(queries),
+                      "corpus_items": len(items),
+                      "held_out_seeds": len(test_items)}), flush=True)
+
+    all_ranks = {}
     for model_type in (None, "logreg", "mlp"):
         if model_type is None:
-            payload = None
-            name = "sim_only"
+            payload, name = None, "sim_only"
         else:
             payload = train_reranker(items=train_items, index=index,
-                                     n_seed_items=400, candidate_k=30,
+                                     n_seed_items=700, candidate_k=30,
                                      n_neg=3, seed=0,
                                      model_type=model_type)
             name = model_type
-        runs = [evaluate(payload, index, items, test_items,
-                         random.Random(s)) for s in EVAL_SEEDS]
-        mean = {k: round(float(np.mean([r[k] for r in runs])), 4)
-                for k in runs[0]}
-        print(json.dumps({"ranker": name, "eval_seeds": len(EVAL_SEEDS),
-                          **mean}), flush=True)
+        ranks = rank_queries(payload, queries)
+        all_ranks[name] = metrics_from_ranks(ranks)
+        m = all_ranks[name]
+        print(json.dumps({
+            "ranker": name, "n_queries": len(queries),
+            "hit_rate@5": round(float(m["hit"].mean()), 4),
+            "precision@5": round(float(m["hit"].mean()) / 5, 4),
+            "ndcg@10": round(float(m["ndcg"].mean()), 4),
+            "mrr": round(float(m["mrr"].mean()), 4),
+        }), flush=True)
+
+    # the decision rows: paired per-query deltas with bootstrap CIs
+    for pair in (("logreg", "sim_only"), ("mlp", "sim_only"),
+                 ("mlp", "logreg")):
+        row = {"delta": f"{pair[0]} - {pair[1]}"}
+        for metric in ("hit", "ndcg", "mrr"):
+            mean, lo, hi = paired_delta_ci(all_ranks[pair[0]][metric],
+                                           all_ranks[pair[1]][metric])
+            row[metric] = {"mean": mean, "ci95": [lo, hi],
+                           "significant": bool(lo > 0 or hi < 0)}
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
