@@ -48,13 +48,22 @@ def _gen(n_users, n_items, n_ratings, seed=0):
 
 
 def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr,
-                    order="auto", trials=3):
+                    order="auto", trials=3, window_calls=1):
     """Median-of-``trials`` epochs/sec (best also returned — the r2
     VERDICT's repeat-measure protocol: report a robust statistic with N
     stated, not best-of-N).  ``order='item'`` is the fast chunk-sorted
     layout (oracle RMSE parity regression-tested,
     tests/test_parity_oracle.py); pass 'shuffle' for the reference
-    visit order."""
+    visit order.
+
+    ``window_calls``: each timed window chains this many back-to-back
+    invocations of the ``epochs``-epoch program (params thread through,
+    so it IS a ``epochs * window_calls``-epoch fit).  Dispatch is async,
+    so per-call RTT pipelines away and only ONE host fetch ends the
+    window — the same long-window protocol as bench.py's headline and
+    the round-4 dp-bench fix (2-epoch windows understated the dp
+    trainers by up to 2x on this image's remote tunnel), without
+    recompiling a longer-scan program."""
     import jax
     import jax.numpy as jnp
 
@@ -76,14 +85,18 @@ def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr,
     for _ in range(trials):
         params = mk()
         t0 = time.perf_counter()
-        out, hist = train(params, data, jax.random.PRNGKey(1), lr)
+        for c in range(window_calls):
+            params, hist = train(params, data, jax.random.PRNGKey(1 + c),
+                                 lr)
+        out = params
         float(jnp.sum(out.user_features))
         times.append(time.perf_counter() - t0)
-    n_updates = epochs * len(r)
+    n_updates = epochs * window_calls * len(r)
     return out, np.asarray(hist), {
         "updates_per_sec": round(n_updates / float(np.median(times)), 1),
         "updates_per_sec_best": round(n_updates / min(times), 1),
         "trials": trials,
+        "window_epochs": epochs * window_calls,
     }
 
 
@@ -159,7 +172,9 @@ def config3(scale):
         cfg = SGDConfig(kernel=kernel, n_factors=200, lr=lr, reg=0.005,
                         gamma=1 / 200, min_rating=0.5, max_rating=5.0,
                         batch_size=bs, compute_epoch_rmse=False)
-        params, hist, stats = _fit_throughput(u, i, r, n_u, n_i, cfg, 2, lr)
+        params, hist, stats = _fit_throughput(
+            u, i, r, n_u, n_i, cfg, 2, lr,
+            window_calls=10 if scale == "full" else 1)
         preds, _ = sgd.predict_pairs(
             params, jnp.asarray(u[:4096]), jnp.asarray(i[:4096]), cfg,
             bound_ratings=True,
@@ -281,7 +296,9 @@ def config5(scale):
     # 512k / 1M / 2M / 4M (RESULTS.md); fixed-epoch RMSE drift <= 0.002
     cfg = SGDConfig(kernel="linear", n_factors=64, lr=0.002, reg=0.005,
                     batch_size=2_097_152, compute_epoch_rmse=False)
-    params, hist, stats = _fit_throughput(u, i, r, n_u, n_i, cfg, 2, cfg.lr)
+    params, hist, stats = _fit_throughput(
+        u, i, r, n_u, n_i, cfg, 2, cfg.lr,
+        window_calls=10 if scale == "full" else 1)
     out["fit_updates_per_sec"] = stats["updates_per_sec"]
     out["fit_updates_per_sec_best"] = stats["updates_per_sec_best"]
     out["trials"] = stats["trials"]
