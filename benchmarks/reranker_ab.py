@@ -63,10 +63,19 @@ def collect_query_set(index, seed_rows, eval_seeds, candidate_k=30):
     )
 
     queries = []
+    seen = set()
     for s in eval_seeds:
         rng = random.Random(s)
         for _, row in seed_rows.iterrows():
             for q in generate_queries(row["text"], rng):
+                # dedupe identical (query, relevant-item) pairs across
+                # draws (advisor r4: meal/goal come from 3-4 options, so
+                # repeat draws produce exact duplicates that inflate the
+                # apparent N; retrieval is deterministic, so the
+                # candidate list is identical whenever (q, rel) is)
+                if (q, row["item_id"]) in seen:
+                    continue
+                seen.add((q, row["item_id"]))
                 qvec = encode_query_for_index(index, q)
                 cand = search_topk_pos(index, qvec, k=candidate_k)
                 ids = [str(c[1]) for c in cand]
@@ -108,14 +117,28 @@ def metrics_from_ranks(ranks, k=5):
     return {"hit": hit, "ndcg": ndcg, "mrr": mrr}
 
 
-def paired_delta_ci(a, b, n_boot=10_000, seed=0):
-    """Bootstrap 95% CI of mean(a - b) over the shared query axis."""
+def paired_delta_ci(a, b, clusters, n_boot=10_000, seed=0):
+    """Cluster (block) bootstrap 95% CI of mean(a - b).
+
+    ``clusters`` assigns each query to its SEED ITEM: queries sharing a
+    seed share the relevant doc and near-identical candidate lists, so
+    they are not independent draws (advisor r4 medium — an i.i.d.
+    query-level bootstrap understates the CI width).  Resampling whole
+    seed items with replacement is exact for the mean: a replicate's
+    mean is sum(drawn cluster sums) / sum(drawn cluster counts)."""
     d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    cl = np.asarray(clusters)
+    uniq, inv = np.unique(cl, return_inverse=True)
+    csum = np.bincount(inv, weights=d, minlength=len(uniq))
+    ccnt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
     rng = np.random.default_rng(seed)
-    idx = rng.integers(0, len(d), (n_boot, len(d)))
-    boots = d[idx].mean(axis=1)
+    idx = rng.integers(0, len(uniq), (n_boot, len(uniq)))
+    boots = csum[idx].sum(axis=1) / ccnt[idx].sum(axis=1)
     lo, hi = np.percentile(boots, [2.5, 97.5])
     return round(float(d.mean()), 4), round(float(lo), 4), round(float(hi), 4)
+
+
+TRAIN_SEEDS = (0, 1, 2)
 
 
 def main():
@@ -131,41 +154,69 @@ def main():
                               items["text"].tolist(), min_df=1)
 
     queries = collect_query_set(index, test_items, eval_seeds=(123, 7, 99))
-    print(json.dumps({"paired_queries": len(queries),
-                      "corpus_items": len(items),
-                      "held_out_seeds": len(test_items)}), flush=True)
+    # the cluster of a query is its seed item (== the relevant doc):
+    # queries from one seed share rel + near-identical candidates
+    clusters = [rec["rel"] for rec in queries]
+    out_lines = [{"paired_queries": len(queries),
+                  "corpus_items": len(items),
+                  "held_out_seeds": len(test_items),
+                  "n_clusters": len(set(clusters)),
+                  "train_seeds": list(TRAIN_SEEDS)}]
+    print(json.dumps(out_lines[0]), flush=True)
 
-    all_ranks = {}
-    for model_type in (None, "logreg", "mlp"):
-        if model_type is None:
-            payload, name = None, "sim_only"
-        else:
+    # train each ranker over several seeds (advisor r4 low: one training
+    # run conflates training-seed variance with the measured effect);
+    # seed 0 is the headline, the rest feed the across-seeds delta rows
+    all_ranks = {"sim_only": metrics_from_ranks(
+        rank_queries(None, queries))}
+    by_seed = {}
+    for model_type in ("logreg", "mlp"):
+        for s in TRAIN_SEEDS:
             payload = train_reranker(items=train_items, index=index,
                                      n_seed_items=700, candidate_k=30,
-                                     n_neg=3, seed=0,
+                                     n_neg=3, seed=s,
                                      model_type=model_type)
-            name = model_type
-        ranks = rank_queries(payload, queries)
-        all_ranks[name] = metrics_from_ranks(ranks)
+            by_seed[(model_type, s)] = metrics_from_ranks(
+                rank_queries(payload, queries))
+        all_ranks[model_type] = by_seed[(model_type, TRAIN_SEEDS[0])]
+
+    for name in ("sim_only", "logreg", "mlp"):
         m = all_ranks[name]
-        print(json.dumps({
+        out_lines.append({
             "ranker": name, "n_queries": len(queries),
             "hit_rate@5": round(float(m["hit"].mean()), 4),
             "precision@5": round(float(m["hit"].mean()) / 5, 4),
             "ndcg@10": round(float(m["ndcg"].mean()), 4),
             "mrr": round(float(m["mrr"].mean()), 4),
-        }), flush=True)
+        })
+        print(json.dumps(out_lines[-1]), flush=True)
 
-    # the decision rows: paired per-query deltas with bootstrap CIs
+    # the decision rows: paired per-query deltas with CLUSTER bootstrap
+    # CIs (seed-0 weights), plus the per-training-seed mean deltas so
+    # training-run variance is visible next to the eval-noise CI
     for pair in (("logreg", "sim_only"), ("mlp", "sim_only"),
                  ("mlp", "logreg")):
         row = {"delta": f"{pair[0]} - {pair[1]}"}
         for metric in ("hit", "ndcg", "mrr"):
             mean, lo, hi = paired_delta_ci(all_ranks[pair[0]][metric],
-                                           all_ranks[pair[1]][metric])
+                                           all_ranks[pair[1]][metric],
+                                           clusters)
+            per_seed = []
+            for s in TRAIN_SEEDS:
+                a = (by_seed[(pair[0], s)][metric] if pair[0] != "sim_only"
+                     else all_ranks["sim_only"][metric])
+                b = (by_seed[(pair[1], s)][metric] if pair[1] != "sim_only"
+                     else all_ranks["sim_only"][metric])
+                per_seed.append(round(float(np.mean(a - b)), 4))
             row[metric] = {"mean": mean, "ci95": [lo, hi],
-                           "significant": bool(lo > 0 or hi < 0)}
+                           "significant": bool(lo > 0 or hi < 0),
+                           "per_train_seed": per_seed}
+        out_lines.append(row)
         print(json.dumps(row), flush=True)
+
+    with open("benchmarks/results/reranker_ab_paired.jsonl", "w") as f:
+        for line in out_lines:
+            f.write(json.dumps(line) + "\n")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,8 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
     every failure path degrades to the numpy fallback, never raises.
     """
     global _lib, _build_failed
+    if os.environ.get("MF_TPU_DISABLE_NATIVE"):
+        return None  # A/B probes (benchmarks/sgd_pack_probe.py)
     with _lock:
         if _lib is not None:
             return _lib

@@ -66,7 +66,9 @@ def _profile_topk(index, profiles, k: int, mesh=None):
             vals_out[lo:hi] = np.take_along_axis(vals, order, axis=1)
             pos_out[lo:hi] = np.take_along_axis(part, order, axis=1)
         return vals_out, pos_out
-    return search_topk_batch(index, np.stack(profiles), k=k)
+    # dense: device matmul; with a mesh, the row-sharded scorer
+    # (search.dense_topk_mesh) for indexes past one chip
+    return search_topk_batch(index, np.stack(profiles), k=k, mesh=mesh)
 
 
 def evaluate_hybrid(

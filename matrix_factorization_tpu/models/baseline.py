@@ -52,6 +52,7 @@ class BaselineModel(RecommenderBase):
         verbose: int = 0,
         batch_size: int = 1024,
         seed: int = 0,
+        mesh=None,
     ):
         if method not in ("sgd", "als"):
             raise ValueError("Method param must be either 'sgd' or 'als'")
@@ -62,6 +63,11 @@ class BaselineModel(RecommenderBase):
         self.lr = lr
         self.batch_size = batch_size
         self.seed = seed
+        # data-parallel fit over a jax.sharding.Mesh: ALS = psum'd
+        # segment sums (exact), SGD = batch-sliced shards + per-step
+        # psum'd delta vectors (ops/als.py dp trainers); update_users
+        # stays single-device (new-user cohorts are tiny)
+        self.mesh = mesh
         self._params: Optional[als_ops.BiasParams] = None
         self.train_rmse: list = []
 
@@ -102,13 +108,34 @@ class BaselineModel(RecommenderBase):
             )
             self.train_rmse = []
         n_epochs = n_epochs or self.n_epochs
-        data = pack_ratings(u, i, r, self.batch_size)
+        if self.mesh is not None:
+            from matrix_factorization_tpu.parallel.mesh import data_size_of
 
-        if self.method == "als":
+            n_dev = data_size_of(self.mesh)
+            bs = round_up(self.batch_size, n_dev)
+            data = als_ops.shard_bias_data(
+                pack_ratings(u, i, r, bs, aggregate=False), self.mesh)
+            if self.method == "als":
+                params, rmse_hist = jax.jit(
+                    lambda p, d: als_ops.dp_als_train(
+                        p, d, self.reg, n_epochs, self.mesh)
+                )(params, data)
+            else:
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(self.seed), len(self.train_rmse)
+                )
+                params, rmse_hist = jax.jit(
+                    lambda p, d, k: als_ops.dp_bias_sgd_train(
+                        p, d, k, self.lr, self.reg, n_epochs, self.mesh
+                    )
+                )(params, data, key)
+        elif self.method == "als":
+            data = pack_ratings(u, i, r, self.batch_size)
             params, rmse_hist = jax.jit(
                 lambda p, d: als_ops.als_train(p, d, self.reg, n_epochs)
             )(params, data)
         else:
+            data = pack_ratings(u, i, r, self.batch_size)
             key = jax.random.fold_in(
                 jax.random.PRNGKey(self.seed), len(self.train_rmse)
             )

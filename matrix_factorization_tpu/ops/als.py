@@ -161,6 +161,184 @@ def bias_sgd_train(
     return jax.lax.scan(epoch, params, jax.random.split(key, n_epochs))
 
 
+# ---------------------------------------------------------------------------
+# Data-parallel trainers (VERDICT r4 #6: no mesh-less trainer left)
+# ---------------------------------------------------------------------------
+
+
+def _dp_specs(mesh):
+    from jax.sharding import PartitionSpec as Pspec
+
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+    axes = data_axes_of(mesh)
+    # (nb, bs) rating blocks shard WITHIN each batch (axis 1): every
+    # device works the same global mini-batch, so the dp schedule keeps
+    # synchronous-SGD semantics instead of running different batches
+    return axes, Pspec(None, axes), Pspec()
+
+
+def dp_als_train(
+    params: BiasParams,
+    data: RatingBatches,
+    reg: float,
+    n_epochs: int,
+    mesh,
+    compute_epoch_rmse: bool = True,
+) -> Tuple[BiasParams, jax.Array]:
+    """Data-parallel exact ALS: each device segment-sums its shard of the
+    rating stream into full-length (U,)/(I,) residual vectors and ONE
+    psum per half-sweep merges them — bit-equal to :func:`als_train` up
+    to float reassociation (the sums regroup across shards).  The bias
+    vectors stay replicated: they are KBs, the nnz-proportional
+    segment-sum work is what sharding buys (reference ALS loop:
+    ``baseline_model.py:283-362``)."""
+    axes, shard, rep = _dp_specs(mesh)
+    nu = params.user_biases.shape[0]
+    ni = params.item_biases.shape[0]
+    n_real = data.n_real
+    mu0 = params.global_mean
+
+    def local(bu0, bi0, mu, u2, i2, r2, w2):
+        u, i, r, w = (x.reshape(-1) for x in (u2, i2, r2, w2))
+        user_counts = jax.lax.psum(
+            jax.ops.segment_sum(w, u, num_segments=nu), axes)
+        item_counts = jax.lax.psum(
+            jax.ops.segment_sum(w, i, num_segments=ni), axes)
+
+        def epoch(p, _):
+            bu_p, bi_p = p
+            resid_u = w * (r - mu - bi_p[i])
+            bu = jax.lax.psum(
+                jax.ops.segment_sum(resid_u, u, num_segments=nu), axes
+            ) / (reg + user_counts)
+            bu = jnp.where(user_counts > 0, bu, bu_p)
+            resid_i = w * (r - mu - bu[u])  # fresh b_u, as in the reference
+            bi = jax.lax.psum(
+                jax.ops.segment_sum(resid_i, i, num_segments=ni), axes
+            ) / (reg + item_counts)
+            bi = jnp.where(item_counts > 0, bi, bi_p)
+            if compute_epoch_rmse:
+                e = (mu + bu[u] + bi[i] - r) * w
+                rmse = jnp.sqrt(jax.lax.psum(jnp.sum(e * e), axes)
+                                / max(n_real, 1))
+            else:
+                rmse = jnp.float32(0.0)
+            return (bu, bi), rmse
+
+        (bu, bi), hist = jax.lax.scan(epoch, (bu0, bi0), None,
+                                      length=n_epochs)
+        return bu, bi, hist
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, shard, shard, shard, shard),
+        out_specs=(rep, rep, rep),
+    )
+    bu, bi, hist = fn(params.user_biases, params.item_biases, mu0,
+                      data.user_ids, data.item_ids, data.ratings,
+                      data.weights)
+    return BiasParams(bu, bi, mu0), hist
+
+
+def dp_bias_sgd_train(
+    params: BiasParams,
+    data: RatingBatches,
+    key: jax.Array,
+    lr: float,
+    reg: float,
+    n_epochs: int,
+    mesh,
+    update_user_params: bool = True,
+    update_item_params: bool = True,
+    compute_epoch_rmse: bool = True,
+) -> Tuple[BiasParams, jax.Array]:
+    """Data-parallel mini-batch bias SGD: every device scatter-adds its
+    slice of the global batch into full-length delta vectors and ONE
+    psum per step per side merges them — the summed-minibatch update of
+    :func:`bias_sgd_train` up to float reassociation.  Epoch order is
+    the framework's standard layout-preserving deviation (batch ORDER
+    permuted per epoch; the single-device trainer's full element
+    permutation would move rows across shards).  Mesh-size invariant:
+    a 1-device and an 8-device mesh follow the same trajectory
+    (equivalence-tested in ``tests/test_als_and_baseline.py``)."""
+    axes, shard, rep = _dp_specs(mesh)
+    nu = params.user_biases.shape[0]
+    ni = params.item_biases.shape[0]
+    n_real = data.n_real
+    mu0 = params.global_mean
+
+    def local(bu0, bi0, mu, k, u3, i3, r3, w3):
+        nb = u3.shape[0]
+
+        def vzeros(n):
+            return jax.lax.pcast(jnp.zeros((n,), jnp.float32), axes,
+                                 to="varying")
+
+        def step(p, batch):
+            bu_p, bi_p = p
+            u, i, r, w = batch
+            bu = bu_p[u]
+            bi = bi_p[i]
+            err = (r - (mu + bu + bi)) * w
+            if update_user_params:
+                du = vzeros(nu).at[u].add(lr * (err - reg * w * bu),
+                                          mode="drop")
+                bu_p = bu_p + jax.lax.psum(du, axes)
+            if update_item_params:
+                di = vzeros(ni).at[i].add(lr * (err - reg * w * bi),
+                                          mode="drop")
+                bi_p = bi_p + jax.lax.psum(di, axes)
+            return (bu_p, bi_p), None
+
+        def epoch(p, ek):
+            perm = jax.random.permutation(ek, nb)  # replicated key -> same
+            xs = (u3[perm], i3[perm], r3[perm], w3[perm])
+            p, _ = jax.lax.scan(step, p, xs)
+            if compute_epoch_rmse:
+                bu_p, bi_p = p
+                e = (mu + bu_p[u3] + bi_p[i3] - r3) * w3
+                rmse = jnp.sqrt(jax.lax.psum(jnp.sum(e * e), axes)
+                                / max(n_real, 1))
+            else:
+                rmse = jnp.float32(0.0)
+            return p, rmse
+
+        (bu, bi), hist = jax.lax.scan(epoch, (bu0, bi0),
+                                      jax.random.split(k, n_epochs))
+        return bu, bi, hist
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, shard, shard, shard, shard),
+        out_specs=(rep, rep, rep),
+    )
+    bu, bi, hist = fn(params.user_biases, params.item_biases, mu0, key,
+                      data.user_ids, data.item_ids, data.ratings,
+                      data.weights)
+    return BiasParams(bu, bi, mu0), hist
+
+
+def shard_bias_data(data: RatingBatches, mesh) -> RatingBatches:
+    """Lay the (nb, bs) rating blocks out batch-sliced over the mesh's
+    data axes (axis 1), so each device owns a contiguous slice of every
+    mini-batch.  ``bs`` must divide by the data-axis size — callers round
+    the pack batch size up."""
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    from matrix_factorization_tpu.parallel.mesh import data_axes_of
+
+    sh = NamedSharding(mesh, Pspec(None, data_axes_of(mesh)))
+    return RatingBatches(
+        user_ids=jax.device_put(data.user_ids, sh),
+        item_ids=jax.device_put(data.item_ids, sh),
+        ratings=jax.device_put(data.ratings, sh),
+        weights=jax.device_put(data.weights, sh),
+        n_real=data.n_real,
+        primary=data.primary,
+    )
+
+
 def bias_predict(
     params: BiasParams, u: jax.Array, i: jax.Array, min_rating: float,
     max_rating: float, bound_ratings: bool = True,

@@ -80,9 +80,12 @@ def check_item_budget(n_items: int, item_limit: int = 16384) -> None:
     if round8(n_items) > item_limit:
         raise ValueError(
             f"EASE at {n_items} items needs O(items^2) HBM; the "
-            f"measured single-chip bound is {item_limit} items on a "
-            f"16GB v5e. Shrink the catalog or use an MF/CF model at "
-            f"this scale."
+            f"measured bound here is {item_limit} items (tiers: 16k "
+            f"single 16GB v5e chip, 32k on a small mesh, 64k at >= 8 "
+            f"devices — pass mesh= to raise the tier). Past 64k use "
+            f"ImplicitALS or BPR: both rank implicit feedback at "
+            f"catalog scale with O(items x k) memory. See "
+            f"docs/CAPABILITIES.md 'Scope boundaries'."
         )
 
 

@@ -127,3 +127,22 @@ def test_evaluate_hybrid_tfidf_mesh_matches_single_device():
     assert abs(res_m.precision - res_1.precision) < 0.05
     assert abs(res_m.recall - res_1.recall) < 0.05
     assert abs(res_m.ndcg - res_1.ndcg) < 0.05
+
+
+def test_evaluate_hybrid_dense_mesh_matches_single_device():
+    """Row-sharded dense candidate scoring (round 5) must leave the
+    hybrid metrics unchanged."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+
+    df = _ratings()
+    items = sorted(df["item_id"].unique())
+    texts = [f"item text number {i} with words w{i} w{i%5}" for i in items]
+    index = build_dense_index([str(i) for i in items], texts, hash_embed(texts))
+    kw = dict(model=None, alpha=0.0, k=5, candidate_k=20,
+              positive_threshold=3.0, n_test=2)
+    res_1 = evaluate_hybrid(df, index, **kw)
+    res_m = evaluate_hybrid(df, index, mesh=make_mesh(n_data=8), **kw)
+    assert res_m.n_users == res_1.n_users
+    assert abs(res_m.precision - res_1.precision) < 0.05
+    assert abs(res_m.recall - res_1.recall) < 0.05
+    assert abs(res_m.ndcg - res_1.ndcg) < 0.05

@@ -226,3 +226,63 @@ def test_family_anchor_ease_implicit(family_fixture):
     # the committed anchor is rounded to 6 decimals; the hit COUNT is
     # the exact invariant
     assert round(got, 6) == FAM["ease_hit_at_10"]
+
+
+# ---------------------------------------------------------------------------
+# §6 protocols previously uncovered (VERDICT r4 #5): update_users
+# cold-start and the sweep winner
+# ---------------------------------------------------------------------------
+
+
+def test_golden_update_users_cold_start(family_fixture):
+    """The reference notebook's train_update_test_split protocol
+    (recommender-system.ipynb cells 15/23, utils.py:8-73): users held
+    out of the initial fit enter via update_users; their remaining
+    ratings pin the cold-start RMSE for KernelMF and BaselineModel."""
+    import pandas as pd
+
+    from matrix_factorization_tpu.models.baseline import BaselineModel
+    from matrix_factorization_tpu.models.kernel_mf import KernelMF
+    from matrix_factorization_tpu.utils.splits import (
+        train_update_test_split)
+
+    u, i, r, tr, *_ = family_fixture
+    df = pd.DataFrame({"user_id": u, "item_id": i,
+                       "rating": np.asarray(r, np.float64)})
+    (X_ti, y_ti, X_up, y_up, X_tu, y_tu) = train_update_test_split(
+        df, frac_new_users=0.2, seed=7)
+    assert len(y_tu) == FAM["update_users_n_test"]
+
+    km = KernelMF(n_epochs=15, n_factors=32, lr=0.01, reg=0.005,
+                  min_rating=0.5, max_rating=5.0, verbose=0, seed=0)
+    km.fit(X_ti, y_ti)
+    km.update_users(X_up, y_up)
+    got = _rmse(y_tu, km.predict(X_tu))
+    assert abs(got - FAM["update_users_kernel_mf_test_rmse"]) <= FAM_TOL
+
+    bm = BaselineModel(method="sgd", n_epochs=20, lr=0.01, reg=0.05,
+                       min_rating=0.5, max_rating=5.0, verbose=0)
+    bm.fit(X_ti, y_ti)
+    bm.update_users(X_up, y_up)
+    got = _rmse(y_tu, bm.predict(X_tu))
+    assert abs(got - FAM["update_users_baseline_test_rmse"]) <= FAM_TOL
+
+
+def test_golden_sweep_winner(family_fixture):
+    """The reference's GridSearchCV winner protocol
+    (recommender-system.ipynb cells 29-30) on the vmapped grid trainer:
+    the winning (lr, reg) and its holdout RMSE are pinned."""
+    import pandas as pd
+
+    from matrix_factorization_tpu.models.grid_search import (
+        grid_search_kernel_mf)
+
+    _, _, _, _, X_tr, y_tr, X_te, y_te = family_fixture
+    best, results = grid_search_kernel_mf(
+        X_tr, y_tr, X_val=X_te, y_val=pd.Series(y_te),
+        lrs=(0.002, 0.01, 0.05), regs=(0.005, 0.05), n_epochs=10,
+        n_factors=32, min_rating=0.5, max_rating=5.0, verbose=0, seed=0)
+    assert results[0]["lr"] == FAM["sweep_winner_lr"]
+    assert results[0]["reg"] == FAM["sweep_winner_reg"]
+    assert abs(results[0]["val_rmse"]
+               - FAM["sweep_winner_val_rmse"]) <= FAM_TOL

@@ -276,3 +276,44 @@ def test_tfidf_mesh_topk_matches_single_device():
     Qs = idx.vectorizer.transform(queries)
     vals_c, _ = tfidf_csr_topk(idx, Qs, k=3, mesh=mesh, vocab_block=8)
     np.testing.assert_allclose(vals_c, vals_1, atol=1e-5)
+
+
+def test_dense_mesh_topk_matches_single_device():
+    """Row-sharded dense top-k (round 5): the mesh path reproduces the
+    single-device scores and global positions, for single queries,
+    batches, and the search_topk(mesh=) entry point."""
+    from matrix_factorization_tpu.parallel.mesh import make_mesh
+    from matrix_factorization_tpu.retrieval.encode import hash_embed
+    from matrix_factorization_tpu.retrieval.index import build_dense_index
+    from matrix_factorization_tpu.retrieval.search import (
+        dense_topk_mesh,
+        encode_query_for_index,
+        search_topk_batch,
+        search_topk_pos,
+    )
+
+    ids = [f"d{i}" for i in range(37)]
+    texts = [f"recipe {i} protein p{i % 7} veg v{i % 5} method m{i % 3}"
+             for i in range(37)]
+    idx = build_dense_index(ids, texts, hash_embed(texts, dim=64))
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    q = np.stack([encode_query_for_index(idx, t) for t in
+                  ("protein p3 veg v1", "method m2", "recipe 11")])
+    vals_1, pos_1 = search_topk_batch(idx, q, k=5)
+    vals_m, pos_m = dense_topk_mesh(idx, q, k=5, mesh=mesh)
+    np.testing.assert_allclose(vals_m, vals_1, atol=1e-5)
+    gap = vals_1[:, :-1] - vals_1[:, 1:]
+    tied = np.concatenate([gap < 1e-6, np.ones((len(q), 1), bool)], axis=1)
+    assert (pos_m == pos_1)[~tied].all()
+
+    # batch entry point routes through the mesh scorer
+    vals_b, _ = search_topk_batch(idx, q, k=5, mesh=mesh)
+    np.testing.assert_allclose(vals_b, vals_1, atol=1e-5)
+
+    # single-query entry point (search_topk_pos) returns the same rows
+    rows_1 = search_topk_pos(idx, q[0], k=5)
+    rows_m = search_topk_pos(idx, q[0], k=5, mesh=mesh)
+    assert [r[1] for r in rows_m] == [r[1] for r in rows_1]
+    np.testing.assert_allclose([r[2] for r in rows_m],
+                               [r[2] for r in rows_1], atol=1e-5)
