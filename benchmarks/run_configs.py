@@ -48,7 +48,7 @@ def _gen(n_users, n_items, n_ratings, seed=0):
 
 
 def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr,
-                    order="auto", trials=3, window_calls=1):
+                    order="auto", trials=3, window_calls=1, chunks=8):
     """Median-of-``trials`` epochs/sec (best also returned — the r2
     VERDICT's repeat-measure protocol: report a robust statistic with N
     stated, not best-of-N).  ``order='item'`` is the fast chunk-sorted
@@ -71,6 +71,7 @@ def _fit_throughput(u, i, r, n_users, n_items, cfg, epochs, lr,
 
     t0 = time.perf_counter()
     data = sgd.pack_ratings(u, i, r, cfg.batch_size, order=order,
+                            item_sort_chunks=chunks,
                             row_width=cfg.padded_factors)
     pack_seconds = round(time.perf_counter() - t0, 2)
     train = sgd.jit_sgd_train(cfg, epochs)
@@ -307,11 +308,17 @@ def config5(scale):
            "n_ratings": len(r)}
 
     # bs sweep measured 34.0 / 37.2 / 47.4 / 33.9M updates/s at
-    # 512k / 1M / 2M / 4M (RESULTS.md); fixed-epoch RMSE drift <= 0.002
+    # 512k / 1M / 2M / 4M (RESULTS.md); fixed-epoch RMSE drift <= 0.002.
+    # Round-5 layout study (micro_config5_tune.py): user-sorted
+    # chunks=1 tightens the prim tiles to (2048, 32) and measures
+    # 49.2M vs 46.9M at chunks=8 (bs=4M regresses to 35.4M); 3-epoch
+    # RMSE drift vs chunks=8 is 2e-4 and BELOW it (the per-user burst
+    # order converges slightly faster at this shape).
     cfg = SGDConfig(kernel="linear", n_factors=64, lr=0.002, reg=0.005,
                     batch_size=2_097_152, compute_epoch_rmse=False)
     params, hist, stats = _fit_throughput(
-        u, i, r, n_u, n_i, cfg, 2, cfg.lr,
+        u, i, r, n_u, n_i, cfg, 2, cfg.lr, order="user",
+        chunks=1 if scale == "full" else 8,
         window_calls=10 if scale == "full" else 1)
     out["fit_updates_per_sec"] = stats["updates_per_sec"]
     out["fit_updates_per_sec_best"] = stats["updates_per_sec_best"]

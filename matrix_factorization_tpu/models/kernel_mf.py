@@ -133,8 +133,11 @@ class KernelMF(RecommenderBase):
         order), 'item'/'user' (extension: chunk-sorted epochs with
         per-epoch batch-order shuffling — tiny aggregation tiles make
         SGD ~1.4x faster per epoch; final-RMSE parity with 'shuffle' is
-        verified in tests/test_kernel_mf.py and PARITY.md), or 'auto'
-        (sorts whichever id space is larger).
+        verified in tests/test_kernel_mf.py and PARITY.md), 'auto'
+        (sorts whichever id space is larger), or 'block' (2D
+        user-block x item-block cells — bounds BOTH sides' tile spans
+        at any batch size, unlocking small batches at big-table shapes;
+        oracle parity in tests/test_parity_oracle.py).
 
         ``dp_layout`` (mesh SGD fits via ``dp_fit`` only): 'auto'
         (default — the tile-aggregated data-parallel trainer,
@@ -160,9 +163,11 @@ class KernelMF(RecommenderBase):
             raise ValueError("Kernel must be one of linear, sigmoid, or rbf")
         if method not in ("sgd", "als"):
             raise ValueError("Method must be 'sgd' or 'als'")
-        if epoch_order not in ("shuffle", "item", "user", "auto"):
+        if epoch_order not in ("shuffle", "item", "user", "auto",
+                               "block"):
             raise ValueError(
-                "epoch_order must be 'shuffle', 'item', 'user' or 'auto'")
+                "epoch_order must be 'shuffle', 'item', 'user', 'auto' "
+                "or 'block'")
         if method == "als" and kernel != "linear":
             raise ValueError("method='als' requires the linear kernel")
         if reg_scale not in ("absolute", "per_obs"):

@@ -379,6 +379,21 @@ def _ship_weights(w: np.ndarray) -> jax.Array:
     return jnp.asarray(w.astype(np.uint8)).astype(jnp.float32)
 
 
+def block_geometry(n_users: int, n_items: int, n_ratings: int,
+                   batch_size: int) -> Tuple[int, int]:
+    """Cell sizes (W_u, W_i) for ``pack_ratings(order='block')``.
+
+    A cell holds ~``batch_size`` expected ratings
+    (``W_u * W_i * density ~= bs``); the aspect balances the two sides'
+    tile spans (prim tiles are ~2x the secondary's S, so W_u ~= W_i/2).
+    Power-of-two rounded, clamped to the table sizes."""
+    density = max(n_ratings, 1) / (max(n_users, 1) * max(n_items, 1))
+    wi = (2.0 * batch_size / density) ** 0.5
+    wi = 1 << max(5, int(round(np.log2(max(wi, 32)))))
+    wu = max(32, wi // 2)
+    return min(wu, round_up(n_users, 32)), min(wi, round_up(n_items, 32))
+
+
 def pack_ratings(
     user_ids: np.ndarray,
     item_ids: np.ndarray,
@@ -393,6 +408,8 @@ def pack_ratings(
     row_width: int = 128,
     n_dev: int = 1,
     users_per_dev: Optional[int] = None,
+    user_block: Optional[int] = None,
+    item_block: Optional[int] = None,
 ) -> RatingBatches:
     """Host-side packing into (nb, bs) blocks, pre-shuffled once.
 
@@ -433,8 +450,87 @@ def pack_ratings(
         order = "user" if max_u > int(item_ids.max()) else "item"
     elif order == "auto":
         order = "item"
-    if order not in ("shuffle", "item", "user"):
+    if order not in ("shuffle", "item", "user", "block"):
         raise ValueError(f"unknown pack order {order!r}")
+    if order == "block" and n > 1:
+        # 2D cell layout (round 5, the config-5 small-batch lever): sort
+        # the shuffled stream by (user_block, item_block) cell so every
+        # bs-row batch covers ~one cell — BOTH sides' tile spans stay
+        # bounded by the cell geometry at ANY batch size, which unlocks
+        # the small-batch VMEM regime the secondary side's perm/gather
+        # need (measured 8.1 vs 19 ns/row at Kp=128 —
+        # benchmarks/micro_tableheight2.py).  A batch straddles at most
+        # two adjacent cells (no padding).  Shuffle order survives
+        # within each cell; epoch visit order is the standard
+        # batch-order permutation.
+        if n_dev > 1:
+            raise ValueError("order='block' is a single-device layout; "
+                             "the dp trainers use device-major packs")
+        nu_est = int(user_ids.max()) + 1
+        ni_est = int(item_ids.max()) + 1
+        if user_block is None or item_block is None:
+            wu, wi = block_geometry(nu_est, ni_est, n, batch_size)
+            user_block = user_block or wu
+            item_block = item_block or wi
+        if shuffle_seed is not None:
+            perm = np.random.default_rng(shuffle_seed).permutation(n)
+            user_ids = user_ids[perm]
+            item_ids = item_ids[perm]
+            ratings = ratings[perm]
+            shuffle_seed = None  # cell order below must be preserved
+        nib = -(-ni_est // item_block)
+        # sort by item FIRST, then stable-sort by cell: within every
+        # cell rows end up item-sorted, so a batch that cuts a cell
+        # mid-way sees a COMPACT item subrange on each side of the cut.
+        # (With shuffled in-cell order, a partial cell's few rows
+        # spread over the whole W_i-wide block — measured tile spans
+        # ~3900 at the cut batches, which the global-max metadata turns
+        # into a tiling veto for every batch.)
+        user_ids, item_ids, ratings = sort_stream_by_key(
+            item_ids.astype(np.int32), user_ids.astype(np.int32),
+            item_ids.astype(np.int32), ratings.astype(np.float32), ni_est)
+        cell = ((user_ids.astype(np.int64) // user_block) * nib
+                + item_ids // item_block).astype(np.int32)
+        user_ids, item_ids, ratings = sort_stream_by_key(
+            cell, user_ids, item_ids, ratings, int(cell.max()) + 1)
+        # pad each user-block row to a whole number of batches: a batch
+        # crossing a user-block boundary would put one >= W_u id jump
+        # inside a tile, and the global max-span metadata would then
+        # disable tiling for EVERY batch (measured: 55ns/row flat path).
+        # Within a row, batches may straddle adjacent ITEM cells freely
+        # (the jump is < 2*W_i, bounded by the cell geometry).  Pads are
+        # weight-0 tail resamples; overhead ~ n_ublocks * bs/2 rows.
+        ub = user_ids // user_block
+        ub_counts = np.bincount(ub, minlength=int(ub.max()) + 1)
+        padded = np.where(
+            ub_counts > 0,
+            (ub_counts + batch_size - 1) // batch_size * batch_size, 0)
+        n_pad_total = int(padded.sum())
+        u2 = np.zeros(n_pad_total, np.int32)
+        i2 = np.zeros(n_pad_total, np.int32)
+        r2 = np.zeros(n_pad_total, np.float32)
+        w2 = np.zeros(n_pad_total, np.float32)
+        src = 0
+        dst = 0
+        for b, c in enumerate(ub_counts):
+            c = int(c)
+            if c == 0:
+                continue
+            p = int(padded[b])
+            u2[dst:dst + c] = user_ids[src:src + c]
+            i2[dst:dst + c] = item_ids[src:src + c]
+            r2[dst:dst + c] = ratings[src:src + c]
+            w2[dst:dst + c] = 1.0
+            if p > c:  # tail-resample pads keep the block's local ids
+                tail = min(c, p - c)
+                u2[dst + c:dst + p] = np.resize(
+                    user_ids[src + c - tail:src + c], p - c)
+                i2[dst + c:dst + p] = np.resize(
+                    item_ids[src + c - tail:src + c], p - c)
+            src += c
+            dst += p
+        return _pack_preformed(u2, i2, r2, w2, n, batch_size, "user",
+                               aggregate, c_max, agg_min_gain, row_width)
     if n_dev > 1:
         if not users_per_dev:
             raise ValueError("n_dev > 1 needs users_per_dev")
@@ -541,18 +637,30 @@ def pack_ratings(
                 i[lo:hi] = i[lo:hi][srt]
                 r[lo:hi] = r[lo:hi][srt]
                 w[lo:hi] = w[lo:hi][srt]
+    # the primary side = the chunk-sort side: its in-batch windows are the
+    # tight ones, so it gets the perm-free tile treatment
+    primary = order if order in ("item", "user") else "item"
+    return _pack_preformed(u, i, r, w, n, batch_size, primary, aggregate,
+                           c_max, agg_min_gain, row_width)
+
+
+def _pack_preformed(u, i, r, w, n_real: int, batch_size: int, primary: str,
+                    aggregate: bool, c_max: int, agg_min_gain: float,
+                    row_width: int) -> RatingBatches:
+    """Batch + aggregate + wire-ship stage shared by the linear pack
+    layouts and the 2D block layout: flat padded (u, i, r, w) arrays in
+    final stream order -> :class:`RatingBatches` with tile metadata."""
+    n_pad = u.shape[0]
+    nb = n_pad // batch_size
     u = u.reshape(nb, batch_size)
     i = i.reshape(nb, batch_size)
     r = r.reshape(nb, batch_size)
     w = w.reshape(nb, batch_size)
 
-    # the primary side = the chunk-sort side: its in-batch windows are the
-    # tight ones, so it gets the perm-free tile treatment
-    primary = order if order in ("item", "user") else "item"
     kw: dict = {}
     agg_prim = agg_sec = (0, 0)
     expand_prim = False
-    if aggregate and n > 0:
+    if aggregate and n_real > 0:
         # store each batch primary-sorted; that side then needs no perm
         prim, sec = (i, u) if primary == "item" else (u, i)
         bstarts = np.arange(nb, dtype=np.int64) * batch_size
@@ -589,7 +697,7 @@ def pack_ratings(
         _ship_ids(i),
         _ship_ratings(r),
         _ship_weights(w),
-        n,
+        n_real,
         primary=primary,
         agg_prim=agg_prim,
         agg_sec=agg_sec,

@@ -272,3 +272,23 @@ def test_update_users_capacity_growth(data):
     assert m.contains_user(10_000)
     preds = m.predict(Xn.iloc[:5])
     assert len(preds) == 5
+
+
+def test_epoch_order_block_end_to_end():
+    """KernelMF(epoch_order='block') trains through the 2D cell layout
+    and converges like the default order (round 5)."""
+    import pandas as pd
+
+    from matrix_factorization_tpu import KernelMF
+    from matrix_factorization_tpu.data.synthetic import lowrank_ratings
+    from matrix_factorization_tpu.utils.metrics import rmse as _rmse
+
+    X, y = lowrank_ratings(n_users=120, n_items=90, density=0.4, seed=2)
+    errs = {}
+    for order in ("shuffle", "block"):
+        m = KernelMF(n_epochs=12, n_factors=16, lr=0.01, reg=0.02,
+                     batch_size=1024, epoch_order=order, verbose=0)
+        m.fit(X, y)
+        errs[order] = _rmse(y, m.predict(X))
+    assert errs["block"] < _rmse(y, np.full(len(y), y.mean()))
+    assert abs(errs["block"] - errs["shuffle"]) < 0.05

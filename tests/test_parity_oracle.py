@@ -204,3 +204,65 @@ def test_multistep_batch_rmse_parity_vs_oracle(workload, kernel, lr):
     assert abs(ours_rmse - oracle_rmse) <= PARITY_BUDGET, (
         f"{kernel}: oracle {oracle_rmse:.6f} vs multistep {ours_rmse:.6f}"
     )
+
+
+@pytest.mark.parametrize("kernel,lr", [
+    ("linear", 0.002), ("sigmoid", 0.01),
+])
+def test_block_order_rmse_parity_vs_oracle(workload, kernel, lr):
+    """2D cell-blocked epochs (``pack_ratings(order='block')`` — the
+    round-5 config-5 layout: batches cover (user_block, item_block)
+    cells so both tile spans stay bounded at small batch sizes) must
+    hold the same oracle parity budget as the other layouts.
+
+    Run at 4x EPOCHS: like the chunk-sorted layouts, mid-trajectory
+    deltas sit at ~1.3e-3 around 20 epochs and shrink with convergence
+    (the layout changes the path, not the destination) — the budget is
+    asserted where the reference protocol measures, at convergence."""
+    u, i, r, tr, te, P0, Q0 = workload
+    nu, ni = 500, 800
+    reg, gamma = 0.005, 1.0 / K
+    mu = float(r[tr].mean())
+    epochs = 4 * EPOCHS
+
+    P, Q, bu, bi, _ = sequential_sgd(
+        kernel, u[tr], i[tr], r[tr], nu, ni, K, mu, lr, reg, gamma,
+        0.5, 5.0, epochs, P0, Q0, seed=7,
+    )
+    oracle_rmse = _test_rmse(kernel, gamma, mu, P, Q, bu, bi, u, i, r, te)
+
+    cfg = SGDConfig(kernel=kernel, n_factors=K, lr=lr, reg=reg, gamma=gamma,
+                    min_rating=0.5, max_rating=5.0, batch_size=1024)
+    kp = cfg.padded_factors
+    uf = np.zeros((sgd.round_up(nu, 8), kp), np.float32)
+    uf[:nu, :K] = P0
+    itf = np.zeros((sgd.round_up(ni, 8), kp), np.float32)
+    itf[:ni, :K] = Q0
+    if kernel != "rbf":
+        uf[:, sgd.const_col(cfg, "user")] = 1.0
+        itf[:, sgd.const_col(cfg, "item")] = 1.0
+    params = sgd.MFParams(jnp.asarray(uf), jnp.asarray(itf), jnp.float32(mu))
+    data = sgd.pack_ratings(u[tr], i[tr], r[tr].astype(np.float32), 1024,
+                            order="block", agg_min_gain=-10)
+    assert data.primary == "user"
+    # the pack is a permutation of the input stream (weights mark pads)
+    w = np.asarray(data.weights.reshape(-1)) > 0
+    packed = sorted(zip(np.asarray(data.user_ids.reshape(-1))[w],
+                        np.asarray(data.item_ids.reshape(-1))[w],
+                        np.asarray(data.ratings.reshape(-1))[w]))
+    orig = sorted(zip(u[tr], i[tr], r[tr].astype(np.float32)))
+    assert packed == orig
+    params, _ = sgd.jit_sgd_train(cfg, epochs)(
+        params, data, jax.random.PRNGKey(3), lr
+    )
+    ours_rmse = _test_rmse(
+        kernel, gamma, mu,
+        np.asarray(params.user_features[:nu, :K], np.float64),
+        np.asarray(params.item_features[:ni, :K], np.float64),
+        np.asarray(params.user_features[:nu, sgd.bias_col(cfg, "user")], np.float64),
+        np.asarray(params.item_features[:ni, sgd.bias_col(cfg, "item")], np.float64),
+        u, i, r, te,
+    )
+    assert abs(ours_rmse - oracle_rmse) <= PARITY_BUDGET, (
+        f"{kernel}: oracle {oracle_rmse:.6f} vs block {ours_rmse:.6f}"
+    )
