@@ -928,6 +928,36 @@ def tile_sec_scatter(table, rows, b, agg_sec, key: str = "i"):
     return table.at[b[key]].add(rows, mode="promise_in_bounds")
 
 
+# fused Pallas step mode: "auto" = on for TPU backends when the pack
+# carries primary tile metadata and the row has stash lanes free; "off"
+# = always the XLA einsum path; "interpret" = force the kernel in
+# interpret mode (CPU equivalence tests)
+FUSED_STEP = "auto"
+
+
+def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches",
+                        params: MFParams) -> bool:
+    if FUSED_STEP == "off":
+        return False
+    if not data.agg_prim[1]:
+        return False
+    if not (cfg.update_user_params and cfg.update_item_params):
+        return False
+    if cfg.shuffle == "full" or cfg.aggregate == "none":
+        return False
+    from matrix_factorization_tpu.ops.pallas_sgd import has_stash_room
+
+    if not has_stash_room(cfg):
+        return False
+    if FUSED_STEP == "interpret":
+        return True
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+    return backend in ("tpu", "axon")
+
+
 def _minibatch_update(
     params: MFParams,
     b: dict,
@@ -938,6 +968,7 @@ def _minibatch_update(
     primary: str,
     expand_prim: bool,
     reg=None,
+    use_fused: bool = False,
 ) -> MFParams:
     """One synchronous mini-batch update; per-side scatter or tile path.
 
@@ -954,6 +985,55 @@ def _minibatch_update(
         reg = cfg.reg
     prim_is_user = primary == "user"
     prim_ids = u if prim_is_user else i
+
+    if use_fused and "pb" in b:
+        # one Pallas program replaces the primary gather-expand,
+        # forward/gradient chain and aggregate einsum (ops/pallas_sgd.py);
+        # XLA keeps the cheap C/S-sized block gather/scatter and the
+        # whole secondary apply.  r/w/local-index ride in stash lanes of
+        # the gathered secondary rows (set here, erased by the masks).
+        from matrix_factorization_tpu.ops import pallas_sgd
+
+        S, C = agg_prim
+        prim_attr = "user_features" if prim_is_user else "item_features"
+        sec_attr = "item_features" if prim_is_user else "user_features"
+        prim_tbl = getattr(params, prim_attr)
+        sec_tbl = getattr(params, sec_attr)
+        kp = prim_tbl.shape[1]
+        sids = i if prim_is_user else u
+        bidx = _tile_block_idx(b["pb"], C)
+        blk = prim_tbl.at[bidx].get(mode="promise_in_bounds")
+        lidx = prim_ids - jnp.repeat(b["pb"], S)
+        sec_rows = sec_tbl.at[sids].get(mode="promise_in_bounds")
+        sc = pallas_sgd.stash_col(cfg)
+        # one fused select instead of three .at[].set copies (each .set
+        # re-materializes the whole (bs, Kp) gather output)
+        col = jnp.arange(kp, dtype=jnp.int32)[None, :]
+        qis = jnp.where(
+            col == sc, r[:, None],
+            jnp.where(col == sc + 1, w[:, None],
+                      jnp.where(col == sc + 2,
+                                lidx.astype(jnp.float32)[:, None],
+                                sec_rows)))
+        pmask = jnp.asarray(
+            update_mask(cfg, "user" if prim_is_user else "item"))
+        smask = jnp.asarray(
+            update_mask(cfg, "item" if prim_is_user else "user"))
+        cmask = np.zeros(kp, np.float32)
+        cmask[: cfg.n_factors + 2] = 1.0
+        agg, dq = pallas_sgd.fused_tile_step(
+            cfg, blk, qis, params.global_mean, lr, reg,
+            pmask, smask, jnp.asarray(cmask), S=S, C=C,
+            interpret=(FUSED_STEP == "interpret"),
+        )
+        prim_tbl = prim_tbl.at[bidx].add(agg, mode="promise_in_bounds")
+        if "sb" in b:
+            oh = _tile_onehot(b["ss"], b["sb"], *agg_sec)
+            sec_tbl = _tile_scatter_add(sec_tbl, dq[b["sp"]], oh,
+                                        b["sb"], *agg_sec)
+        else:
+            sec_tbl = sec_tbl.at[sids].add(dq, mode="promise_in_bounds")
+        return params._replace(**{prim_attr: prim_tbl, sec_attr: sec_tbl})
 
     oh_prim = None
     if "pb" in b:
@@ -1059,14 +1139,16 @@ def shuffle_xs(xs: dict, key: jax.Array, cfg: SGDConfig, nb: int) -> dict:
 
 
 def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
-           cfg: SGDConfig, lr, reg=None):
+           cfg: SGDConfig, lr, reg=None, allow_fused: bool = True):
     nb = data.user_ids.shape[0]
     xs, agg_prim, agg_sec, expand_prim = epoch_xs(data, cfg)
     xs = shuffle_xs(xs, key, cfg, nb)
+    use_fused = allow_fused and _fused_step_enabled(cfg, data, params)
 
     def body(p, batch):
         return _minibatch_update(p, batch, cfg, lr, agg_prim, agg_sec,
-                                 data.primary, expand_prim, reg=reg), None
+                                 data.primary, expand_prim, reg=reg,
+                                 use_fused=use_fused), None
 
     params, _ = jax.lax.scan(body, params, xs)
     return params
@@ -1104,6 +1186,7 @@ def sgd_train(
     n_epochs: int,
     lr: float,
     reg=None,
+    allow_fused: bool = True,
 ) -> Tuple[MFParams, jax.Array]:
     """Run ``n_epochs`` epochs; returns (params, per-epoch train RMSE).
 
@@ -1114,7 +1197,7 @@ def sgd_train(
     keys = jax.random.split(key, n_epochs)
 
     def body(p, k):
-        p = _epoch(p, k, data, cfg, lr, reg=reg)
+        p = _epoch(p, k, data, cfg, lr, reg=reg, allow_fused=allow_fused)
         if cfg.compute_epoch_rmse:
             rmse = jnp.sqrt(masked_sse(p, data, cfg) / max(data.n_real, 1))
         else:

@@ -99,7 +99,8 @@ def _grid_train_traced(data, n_users, n_items, cfg, n_epochs, lrs, regs,
         )
 
     def train_one(p, lr, reg):
-        return sgd.sgd_train(p, data, k_train, cfg, n_epochs, lr, reg=reg)
+        return sgd.sgd_train(p, data, k_train, cfg, n_epochs, lr,
+                             reg=reg, allow_fused=False)
 
     return jax.vmap(train_one, in_axes=(0, 0, 0))(params0, lrs, regs)
 
