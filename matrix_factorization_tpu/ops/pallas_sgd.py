@@ -66,6 +66,10 @@ def _step_kernel(mu_ref, lr_ref, reg_ref, blk_ref, qi_ref, pmask_ref,
                  smask_ref, cmask_ref, agg_ref, dq_ref,
                  *, C: int, sc: int, kernel: str, gamma: float,
                  a: float, c: float):
+    """All math in f32; ``dq_ref`` may be bf16 — the secondary tile
+    einsum consumes bf16 operands on TPU either way (default matmul
+    precision), so emitting bf16 here is numerics-identical to the XLA
+    path while halving the downstream random-row permute's bytes."""
     mu = mu_ref[0, 0]
     lr = lr_ref[0, 0]
     reg = reg_ref[0, 0]
@@ -109,12 +113,12 @@ def _step_kernel(mu_ref, lr_ref, reg_ref, blk_ref, qi_ref, pmask_ref,
         preferred_element_type=jnp.float32)  # (C, Kp)
 
     gQ = (err * d_qi + rw * qv) * smask_ref[...]
-    dq_ref[...] = -lr * gQ
+    dq_ref[...] = (-lr * gQ).astype(dq_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "S", "C", "interpret"),
+    static_argnames=("cfg", "S", "C", "sec_bf16", "interpret"),
 )
 def fused_tile_step(
     cfg: SGDConfig,
@@ -128,20 +132,36 @@ def fused_tile_step(
     cmask: jax.Array,  # (Kp,) real-column mask of the secondary side
     S: int,
     C: int,
+    sec_bf16: bool = False,
     interpret: bool = False,
 ):
     """One fused mini-batch primary step.
 
     Returns ``(agg, dq)``: per-tile aggregated primary deltas (T*C, Kp)
     for the XLA block scatter-add, and per-entry secondary deltas
-    (bs, Kp)."""
+    (bs, Kp) — bf16 when ``sec_bf16`` (the sec TILE path's einsum
+    consumes bf16 anyway; do not use for the plain f32 scatter)."""
     bs, kp = qis.shape
     T = bs // S
+    dq_dtype = jnp.bfloat16 if sec_bf16 else jnp.float32
     kern = functools.partial(
         _step_kernel, C=C, sc=stash_col(cfg), kernel=cfg.kernel,
         gamma=cfg.gamma, a=cfg.a, c=cfg.c,
     )
-    scal = lambda v: jnp.reshape(jnp.asarray(v, jnp.float32), (1, 1))
+
+    # under shard_map (dp trainers) the streamed operands vary across
+    # the data axes while the replicated ones (masks, scalars, the
+    # window-frozen secondary table's derivatives) do not; lift every
+    # operand to one common vma so the kernel sees consistent avals
+    vma = tuple(getattr(jax.typeof(qis), "vma", ()) or ())
+
+    def _lift(x):
+        have = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+        missing = tuple(a for a in vma if a not in have)
+        return jax.lax.pvary(x, missing) if missing else x
+
+    scal = lambda v: _lift(jnp.reshape(jnp.asarray(v, jnp.float32), (1, 1)))
+    blk = _lift(blk)
     agg, dq = pl.pallas_call(
         kern,
         grid=(T,),
@@ -162,14 +182,31 @@ def fused_tile_step(
             pl.BlockSpec((C, kp), lambda t: (t, 0)),  # prim tile deltas
             pl.BlockSpec((S, kp), lambda t: (t, 0)),  # sec deltas
         ],
+        # under shard_map (the dp trainers) outputs must declare their
+        # varying-mesh-axes; inherit the streamed operand's
         out_shape=[
-            jax.ShapeDtypeStruct((T * C, kp), jnp.float32),
-            jax.ShapeDtypeStruct((bs, kp), jnp.float32),
+            jax.ShapeDtypeStruct((T * C, kp), jnp.float32,
+                                 vma=getattr(jax.typeof(qis), "vma", None)),
+            jax.ShapeDtypeStruct((bs, kp), dq_dtype,
+                                 vma=getattr(jax.typeof(qis), "vma", None)),
         ],
+        # the default scoped-vmem limit (16MB) trips at Kp=256; budget
+        # the double-buffered stream blocks + one-hot + elementwise
+        # temps explicitly.  Kept far below the ~51-61MB secondary
+        # tables so XLA's VMEM residency choices are not disturbed
+        # (the v1 lesson).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                64 * 1024 * 1024,
+                4 * (4 * S * kp + 4 * C * kp + S * C) * 4
+                + 8 * 1024 * 1024,
+            ),
+        ),
         interpret=interpret,
     )(
         scal(mu), scal(lr), scal(reg), blk, qis,
-        jnp.reshape(pmask, (1, kp)), jnp.reshape(smask, (1, kp)),
-        jnp.reshape(cmask, (1, kp)),
+        _lift(jnp.reshape(pmask, (1, kp))),
+        _lift(jnp.reshape(smask, (1, kp))),
+        _lift(jnp.reshape(cmask, (1, kp))),
     )
     return agg, dq

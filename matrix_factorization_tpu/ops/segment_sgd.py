@@ -934,6 +934,15 @@ def tile_sec_scatter(table, rows, b, agg_sec, key: str = "i"):
 # interpret mode (CPU equivalence tests)
 FUSED_STEP = "auto"
 
+# emit the fused step's secondary deltas as bf16 (the sec TILE einsum
+# reads bf16 operands on TPU either way).  Default OFF — measured
+# NEGATIVE at config 5 (54.2M vs 56.3M): the delta permutation is
+# row-transaction-bound, not byte-bound (2M random row reads at the
+# ~6-10ns/row row-op cost regardless of width), and the packed (2,1)
+# bf16 layout adds extraction shuffles.  Kept as a tested capability
+# (tests/test_pallas_sgd.py::test_fused_sec_bf16_deltas_close).
+FUSED_SEC_BF16 = False
+
 
 def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches",
                         params: MFParams) -> bool:
@@ -956,6 +965,54 @@ def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches",
     except Exception:  # pragma: no cover - backend init failure
         return False
     return backend in ("tpu", "axon")
+
+
+def fused_tile_deltas(prim_tbl, sec_tbl, b: dict, cfg: SGDConfig, mu, lr,
+                      reg, agg_prim: Tuple[int, int], prim_is_user: bool):
+    """Both sides' deltas from the fused Pallas step (ops/pallas_sgd.py).
+
+    Returns ``(bidx, agg, dq)``: the primary block-row indices, the
+    aggregated primary deltas to ``.at[bidx].add``, and per-entry
+    secondary deltas in batch order.  Shared by the single-device
+    minibatch (``_minibatch_update``) and the dp tiled step
+    (``parallel.distributed._tile_step_acc`` — there ``sec_tbl`` is the
+    window-frozen Q replica and ``dq`` goes to the item accumulator).
+
+    r/w/tile-local-index ride in three spare padding lanes of the
+    gathered secondary rows, set by ONE fused select (three
+    ``.at[:, c].set`` calls each re-materialize the whole (bs, Kp)
+    gather output — measured 29.4M vs 56.3M updates/s at config 5)."""
+    from matrix_factorization_tpu.ops import pallas_sgd
+
+    S, C = agg_prim
+    kp = prim_tbl.shape[1]
+    prim_ids = b["u"] if prim_is_user else b["i"]
+    sids = b["i"] if prim_is_user else b["u"]
+    bidx = _tile_block_idx(b["pb"], C)
+    blk = prim_tbl.at[bidx].get(mode="promise_in_bounds")
+    lidx = prim_ids - jnp.repeat(b["pb"], S)
+    sec_rows = sec_tbl.at[sids].get(mode="promise_in_bounds")
+    sc = pallas_sgd.stash_col(cfg)
+    col = jnp.arange(kp, dtype=jnp.int32)[None, :]
+    qis = jnp.where(
+        col == sc, b["r"][:, None],
+        jnp.where(col == sc + 1, b["w"][:, None],
+                  jnp.where(col == sc + 2,
+                            lidx.astype(jnp.float32)[:, None],
+                            sec_rows)))
+    pmask = jnp.asarray(
+        update_mask(cfg, "user" if prim_is_user else "item"))
+    smask = jnp.asarray(
+        update_mask(cfg, "item" if prim_is_user else "user"))
+    cmask = np.zeros(kp, np.float32)
+    cmask[: cfg.n_factors + 2] = 1.0
+    agg, dq = pallas_sgd.fused_tile_step(
+        cfg, blk, qis, mu, lr, reg,
+        pmask, smask, jnp.asarray(cmask), S=S, C=C,
+        sec_bf16=bool(FUSED_SEC_BF16 and "sb" in b),
+        interpret=(FUSED_STEP == "interpret"),
+    )
+    return bidx, agg, dq
 
 
 def _minibatch_update(
@@ -990,42 +1047,15 @@ def _minibatch_update(
         # one Pallas program replaces the primary gather-expand,
         # forward/gradient chain and aggregate einsum (ops/pallas_sgd.py);
         # XLA keeps the cheap C/S-sized block gather/scatter and the
-        # whole secondary apply.  r/w/local-index ride in stash lanes of
-        # the gathered secondary rows (set here, erased by the masks).
-        from matrix_factorization_tpu.ops import pallas_sgd
-
-        S, C = agg_prim
+        # whole secondary apply.
         prim_attr = "user_features" if prim_is_user else "item_features"
         sec_attr = "item_features" if prim_is_user else "user_features"
         prim_tbl = getattr(params, prim_attr)
         sec_tbl = getattr(params, sec_attr)
-        kp = prim_tbl.shape[1]
         sids = i if prim_is_user else u
-        bidx = _tile_block_idx(b["pb"], C)
-        blk = prim_tbl.at[bidx].get(mode="promise_in_bounds")
-        lidx = prim_ids - jnp.repeat(b["pb"], S)
-        sec_rows = sec_tbl.at[sids].get(mode="promise_in_bounds")
-        sc = pallas_sgd.stash_col(cfg)
-        # one fused select instead of three .at[].set copies (each .set
-        # re-materializes the whole (bs, Kp) gather output)
-        col = jnp.arange(kp, dtype=jnp.int32)[None, :]
-        qis = jnp.where(
-            col == sc, r[:, None],
-            jnp.where(col == sc + 1, w[:, None],
-                      jnp.where(col == sc + 2,
-                                lidx.astype(jnp.float32)[:, None],
-                                sec_rows)))
-        pmask = jnp.asarray(
-            update_mask(cfg, "user" if prim_is_user else "item"))
-        smask = jnp.asarray(
-            update_mask(cfg, "item" if prim_is_user else "user"))
-        cmask = np.zeros(kp, np.float32)
-        cmask[: cfg.n_factors + 2] = 1.0
-        agg, dq = pallas_sgd.fused_tile_step(
-            cfg, blk, qis, params.global_mean, lr, reg,
-            pmask, smask, jnp.asarray(cmask), S=S, C=C,
-            interpret=(FUSED_STEP == "interpret"),
-        )
+        bidx, agg, dq = fused_tile_deltas(
+            prim_tbl, sec_tbl, b, cfg, params.global_mean, lr, reg,
+            agg_prim, prim_is_user)
         prim_tbl = prim_tbl.at[bidx].add(agg, mode="promise_in_bounds")
         if "sb" in b:
             oh = _tile_onehot(b["ss"], b["sb"], *agg_sec)

@@ -348,7 +348,8 @@ def dp_sgd_train(
 
 
 def _tile_step_acc(carry, b, Q_read, mu, cfg: SGDConfig, lr,
-                   agg_prim, agg_sec, primary: str, expand_prim: bool):
+                   agg_prim, agg_sec, primary: str, expand_prim: bool,
+                   use_fused: bool = False):
     """One dp mini-batch step riding the MXU tile machinery.
 
     The single-device counterpart is ``segment_sgd._minibatch_update``;
@@ -359,12 +360,37 @@ def _tile_step_acc(carry, b, Q_read, mu, cfg: SGDConfig, lr,
     (:func:`_windowed_epoch`) crosses the mesh once per window.
     Whichever side the pack stored sorted (``primary``) gets the
     shared-one-hot gather+scatter; the other side's delta rides the
-    secondary tiles when present.
+    secondary tiles when present.  ``use_fused`` routes the sorted
+    side's chain through the fused Pallas step
+    (``segment_sgd.fused_tile_deltas``) — same update, one kernel.
     """
     P_l, dQ = carry
     prim_is_user = primary == "user"
     prim_ids = b["u"] if prim_is_user else b["i"]
     sec_ids = b["i"] if prim_is_user else b["u"]
+
+    if use_fused and "pb" in b:
+        prim_tbl, sec_tbl = ((P_l, Q_read) if prim_is_user
+                             else (Q_read, P_l))
+        bidx, agg, dq = sgd.fused_tile_deltas(
+            prim_tbl, sec_tbl, b, cfg, mu, lr, cfg.reg, agg_prim,
+            prim_is_user)
+        # the item side's deltas always land in the dQ accumulator;
+        # the user side's apply directly to the local shard
+        if prim_is_user:
+            P_l = P_l.at[bidx].add(agg, mode="promise_in_bounds")
+            sec_dst = dQ
+        else:
+            dQ = dQ.at[bidx].add(agg, mode="promise_in_bounds")
+            sec_dst = P_l
+        if "sb" in b:
+            oh = sgd._tile_onehot(b["ss"], b["sb"], *agg_sec)
+            sec_dst = sgd._tile_scatter_add(sec_dst, dq[b["sp"]], oh,
+                                            b["sb"], *agg_sec)
+        else:
+            sec_dst = sec_dst.at[sec_ids].add(dq,
+                                              mode="promise_in_bounds")
+        return (P_l, sec_dst) if prim_is_user else (sec_dst, dQ)
 
     oh_prim = None
     if "pb" in b:
@@ -446,6 +472,7 @@ def dp_sgd_train_tiled(
     n_real = data.n_real
     T = _check_psum_every(psum_every, nb_local)
     n_win = nb_local // T
+    use_fused = sgd._fused_step_enabled(cfg, data, params)
 
     def local_train(P_l, Q, mu, ldata, keys):
         dev = jnp.int32(0)
@@ -463,7 +490,7 @@ def dp_sgd_train_tiled(
                 carry, xs, n_win,
                 lambda ic, b, qr: _tile_step_acc(
                     ic, b, qr, mu_, cfg, lr, agg_prim, agg_sec,
-                    ldata.primary, expand_prim),
+                    ldata.primary, expand_prim, use_fused=use_fused),
                 data_axes, overlap_psum, cfg.update_item_params,
             )
             p, q, _ = carry

@@ -13,6 +13,7 @@ updates in ``kernels.py:108-327``.
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from matrix_factorization_tpu.core.config import SGDConfig
@@ -44,6 +45,9 @@ def _train(p0, data, cfg, allow_fused, epochs=2, lr=0.05):
 @pytest.mark.parametrize("kernel", ["linear", "sigmoid", "rbf"])
 def test_fused_step_matches_einsum_path(kernel, monkeypatch):
     monkeypatch.setattr(sgd, "FUSED_STEP", "interpret")
+    # f32 deltas for the exact comparison: the CPU einsum path keeps
+    # f32 operands, unlike TPU's bf16 default (see the bf16 test below)
+    monkeypatch.setattr(sgd, "FUSED_SEC_BF16", False)
     u, i, r = _data()
     n_users, n_items = 200, 120
     cfg = SGDConfig(kernel=kernel, n_factors=12, reg=0.02, shuffle="none",
@@ -61,10 +65,34 @@ def test_fused_step_matches_einsum_path(kernel, monkeypatch):
     np.testing.assert_allclose(ha, hb, rtol=1e-5)
 
 
+def test_fused_sec_bf16_deltas_close(monkeypatch):
+    """bf16 secondary deltas (the TPU default — its tile einsum reads
+    bf16 operands either way) must track the f32-delta trajectory to
+    bf16-rounding accumulation scale."""
+    monkeypatch.setattr(sgd, "FUSED_STEP", "interpret")
+    u, i, r = _data()
+    cfg = SGDConfig(kernel="linear", n_factors=12, reg=0.02,
+                    shuffle="none", compute_epoch_rmse=True,
+                    min_rating=1, max_rating=5)
+    data = _pack(u, i, r)
+    assert data.agg_sec[1] > 0  # the bf16 emission rides the tile path
+    p0 = sgd.init_params(jax.random.PRNGKey(0), 200, 120, cfg, 3.0)
+    monkeypatch.setattr(sgd, "FUSED_SEC_BF16", True)
+    a, ha = _train(p0, data, cfg, allow_fused=True)
+    monkeypatch.setattr(sgd, "FUSED_SEC_BF16", False)
+    b, hb = _train(p0, data, cfg, allow_fused=True)
+    np.testing.assert_allclose(np.asarray(a.item_features),
+                               np.asarray(b.item_features), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(a.user_features),
+                               np.asarray(b.user_features), atol=3e-3)
+    np.testing.assert_allclose(ha, hb, rtol=1e-2)
+
+
 def test_fused_step_item_primary(monkeypatch):
     """order='item' exercises the item-primary orientation (the stash
     rides in the USER rows there)."""
     monkeypatch.setattr(sgd, "FUSED_STEP", "interpret")
+    monkeypatch.setattr(sgd, "FUSED_SEC_BF16", False)
     u, i, r = _data(n_items=150)
     cfg = SGDConfig(kernel="linear", n_factors=12, reg=0.02,
                     shuffle="none", compute_epoch_rmse=False)
@@ -83,6 +111,7 @@ def test_fused_step_batch_shuffle_and_padding(monkeypatch):
     """Batch-order shuffle plus weight-0 pad rows (n not a multiple of
     bs) must not perturb fused-vs-einsum agreement."""
     monkeypatch.setattr(sgd, "FUSED_STEP", "interpret")
+    monkeypatch.setattr(sgd, "FUSED_SEC_BF16", False)
     u, i, r = _data(n=1777)
     cfg = SGDConfig(kernel="sigmoid", n_factors=12, reg=0.02,
                     shuffle="batch", compute_epoch_rmse=True,
@@ -94,6 +123,50 @@ def test_fused_step_batch_shuffle_and_padding(monkeypatch):
     np.testing.assert_allclose(np.asarray(a.user_features),
                                np.asarray(b.user_features), atol=2e-5)
     np.testing.assert_allclose(ha, hb, rtol=1e-5)
+
+
+def test_dp_tile_step_fused_matches_unfused(monkeypatch):
+    """The dp tiled trainer's fused branch (``_tile_step_acc``) must be
+    the same per-step update as its einsum branch.  Tested on the step
+    function directly: the mesh plumbing (windowing, psum flushes) is
+    byte-identical between the branches, and interpret-mode Pallas
+    cannot run under shard_map's vma checking in this jax version (the
+    interpreter's own block slicing mixes varying and unvaried avals).
+    The on-mesh activation is exercised on real TPU via the dp bench."""
+    from matrix_factorization_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(sgd, "FUSED_SEC_BF16", False)
+    monkeypatch.setattr(sgd, "FUSED_STEP", "interpret")
+    rng = np.random.default_rng(5)
+    n_users, n_items, n = 256, 160, 4000
+    u = rng.integers(0, n_users, n).astype(np.int32)
+    i = rng.integers(0, n_items, n).astype(np.int32)
+    r = rng.uniform(1, 5, n).astype(np.float32)
+    cfg = SGDConfig(kernel="sigmoid", n_factors=8, lr=0.02, reg=0.01,
+                    batch_size=256, shuffle="none",
+                    compute_epoch_rmse=False, min_rating=1, max_rating=5)
+    params = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg,
+                             float(r.mean()))
+    data = sgd.pack_ratings(u, i, r, cfg.batch_size, shuffle_seed=0,
+                            order="user", agg_min_gain=-1.0)
+    assert data.agg_prim[1] > 0 and data.agg_sec[1] > 0
+    xs, agg_prim, agg_sec, expand_prim = sgd.epoch_xs(data, cfg)
+    b = {k: v[0] for k, v in xs.items()}
+    P0 = params.user_features
+    Q0 = params.item_features
+    dQ0 = jnp.zeros_like(Q0)
+
+    def run(use_fused):
+        step = jax.jit(lambda c: dist._tile_step_acc(
+            c, b, Q0, params.global_mean, cfg, cfg.lr, agg_prim,
+            agg_sec, data.primary, expand_prim, use_fused=use_fused))
+        return step((P0, dQ0))
+
+    Pf, dQf = run(True)
+    Pe, dQe = run(False)
+    np.testing.assert_allclose(np.asarray(Pf), np.asarray(Pe), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dQf), np.asarray(dQe),
+                               atol=1e-6)
 
 
 def test_fused_gate_conditions():
