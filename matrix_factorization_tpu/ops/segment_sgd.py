@@ -943,6 +943,12 @@ FUSED_STEP = "auto"
 # (tests/test_pallas_sgd.py::test_fused_sec_bf16_deltas_close).
 FUSED_SEC_BF16 = False
 
+# smallest batch the fused step wins at: per-batch kernel dispatch +
+# grid overhead dominate small batches (measured at the headline shape:
+# XLA wins 76/77/96/103M vs fused 65/75/88/97M at bs=8k/16k/32k/64k;
+# fused wins 107.6 vs 101.8M at bs=128k, and everywhere above)
+FUSED_MIN_BATCH = 131_072
+
 
 def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches",
                         params: MFParams) -> bool:
@@ -960,6 +966,8 @@ def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches",
         return False
     if FUSED_STEP == "interpret":
         return True
+    if cfg.batch_size < FUSED_MIN_BATCH:
+        return False
     try:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover - backend init failure

@@ -193,3 +193,17 @@ def test_fused_gate_conditions():
     # ample lanes at the shipped shapes
     for k in (64, 100, 200):
         assert pallas_sgd.has_stash_room(SGDConfig(n_factors=k))
+    # on real backends, small batches stay on the einsum path (the
+    # kernel's per-batch dispatch loses below FUSED_MIN_BATCH) while
+    # large ones ride the kernel
+    monkeypatch = pytest.MonkeyPatch()
+    try:
+        monkeypatch.setattr(sgd.jax, "default_backend", lambda: "tpu")
+        small = SGDConfig(kernel="linear", n_factors=12,
+                          batch_size=sgd.FUSED_MIN_BATCH // 2)
+        big = SGDConfig(kernel="linear", n_factors=12,
+                        batch_size=sgd.FUSED_MIN_BATCH)
+        assert not sgd._fused_step_enabled(small, data, p0)
+        assert sgd._fused_step_enabled(big, data, p0)
+    finally:
+        monkeypatch.undo()
