@@ -141,6 +141,8 @@ def fused_tile_step(
     for the XLA block scatter-add, and per-entry secondary deltas
     (bs, Kp) — bf16 when ``sec_bf16`` (the sec TILE path's einsum
     consumes bf16 anyway; do not use for the plain f32 scatter)."""
+    if cfg.kernel not in ("linear", "sigmoid", "rbf"):
+        raise ValueError(f"unknown kernel {cfg.kernel!r}")
     bs, kp = qis.shape
     T = bs // S
     dq_dtype = jnp.bfloat16 if sec_bf16 else jnp.float32
@@ -158,7 +160,7 @@ def fused_tile_step(
     def _lift(x):
         have = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
         missing = tuple(a for a in vma if a not in have)
-        return jax.lax.pvary(x, missing) if missing else x
+        return jax.lax.pcast(x, missing, to="varying") if missing else x
 
     scal = lambda v: _lift(jnp.reshape(jnp.asarray(v, jnp.float32), (1, 1)))
     blk = _lift(blk)

@@ -950,8 +950,7 @@ FUSED_SEC_BF16 = False
 FUSED_MIN_BATCH = 131_072
 
 
-def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches",
-                        params: MFParams) -> bool:
+def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches") -> bool:
     if FUSED_STEP == "off":
         return False
     if not data.agg_prim[1]:
@@ -960,13 +959,17 @@ def _fused_step_enabled(cfg: SGDConfig, data: "RatingBatches",
         return False
     if cfg.shuffle == "full" or cfg.aggregate == "none":
         return False
+    if cfg.kernel not in ("linear", "sigmoid", "rbf"):
+        return False
     from matrix_factorization_tpu.ops.pallas_sgd import has_stash_room
 
     if not has_stash_room(cfg):
         return False
     if FUSED_STEP == "interpret":
         return True
-    if cfg.batch_size < FUSED_MIN_BATCH:
+    # the PACK's batch width, not cfg.batch_size — they can diverge,
+    # and the measured win threshold is about what reaches the kernel
+    if data.user_ids.shape[1] < FUSED_MIN_BATCH:
         return False
     try:
         backend = jax.default_backend()
@@ -1065,12 +1068,8 @@ def _minibatch_update(
             prim_tbl, sec_tbl, b, cfg, params.global_mean, lr, reg,
             agg_prim, prim_is_user)
         prim_tbl = prim_tbl.at[bidx].add(agg, mode="promise_in_bounds")
-        if "sb" in b:
-            oh = _tile_onehot(b["ss"], b["sb"], *agg_sec)
-            sec_tbl = _tile_scatter_add(sec_tbl, dq[b["sp"]], oh,
-                                        b["sb"], *agg_sec)
-        else:
-            sec_tbl = sec_tbl.at[sids].add(dq, mode="promise_in_bounds")
+        sec_tbl = tile_sec_scatter(sec_tbl, dq, b, agg_sec,
+                                   key="i" if prim_is_user else "u")
         return params._replace(**{prim_attr: prim_tbl, sec_attr: sec_tbl})
 
     oh_prim = None
@@ -1181,7 +1180,7 @@ def _epoch(params: MFParams, key: jax.Array, data: RatingBatches,
     nb = data.user_ids.shape[0]
     xs, agg_prim, agg_sec, expand_prim = epoch_xs(data, cfg)
     xs = shuffle_xs(xs, key, cfg, nb)
-    use_fused = allow_fused and _fused_step_enabled(cfg, data, params)
+    use_fused = allow_fused and _fused_step_enabled(cfg, data)
 
     def body(p, batch):
         return _minibatch_update(p, batch, cfg, lr, agg_prim, agg_sec,

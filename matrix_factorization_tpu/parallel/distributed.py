@@ -379,18 +379,11 @@ def _tile_step_acc(carry, b, Q_read, mu, cfg: SGDConfig, lr,
         # the user side's apply directly to the local shard
         if prim_is_user:
             P_l = P_l.at[bidx].add(agg, mode="promise_in_bounds")
-            sec_dst = dQ
+            dQ = sgd.tile_sec_scatter(dQ, dq, b, agg_sec, key="i")
         else:
             dQ = dQ.at[bidx].add(agg, mode="promise_in_bounds")
-            sec_dst = P_l
-        if "sb" in b:
-            oh = sgd._tile_onehot(b["ss"], b["sb"], *agg_sec)
-            sec_dst = sgd._tile_scatter_add(sec_dst, dq[b["sp"]], oh,
-                                            b["sb"], *agg_sec)
-        else:
-            sec_dst = sec_dst.at[sec_ids].add(dq,
-                                              mode="promise_in_bounds")
-        return (P_l, sec_dst) if prim_is_user else (sec_dst, dQ)
+            P_l = sgd.tile_sec_scatter(P_l, dq, b, agg_sec, key="u")
+        return P_l, dQ
 
     oh_prim = None
     if "pb" in b:
@@ -472,7 +465,12 @@ def dp_sgd_train_tiled(
     n_real = data.n_real
     T = _check_psum_every(psum_every, nb_local)
     n_win = nb_local // T
-    use_fused = sgd._fused_step_enabled(cfg, data, params)
+    # interpret-mode Pallas cannot run under shard_map in this jax
+    # version (the interpreter's block slicing mixes varying and
+    # unvaried avals); dp validates the fused branch at step level
+    # (tests/test_pallas_sgd.py) and activates it on real backends
+    use_fused = (sgd.FUSED_STEP != "interpret"
+                 and sgd._fused_step_enabled(cfg, data))
 
     def local_train(P_l, Q, mu, ldata, keys):
         dev = jnp.int32(0)

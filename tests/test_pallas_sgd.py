@@ -55,7 +55,7 @@ def test_fused_step_matches_einsum_path(kernel, monkeypatch):
     data = _pack(u, i, r)
     assert data.agg_prim[1] > 0
     p0 = sgd.init_params(jax.random.PRNGKey(0), n_users, n_items, cfg, 3.0)
-    assert sgd._fused_step_enabled(cfg, data, p0)
+    assert sgd._fused_step_enabled(cfg, data)
     a, ha = _train(p0, data, cfg, allow_fused=True)
     b, hb = _train(p0, data, cfg, allow_fused=False)
     np.testing.assert_allclose(np.asarray(a.user_features),
@@ -178,18 +178,18 @@ def test_fused_gate_conditions():
     # frozen side -> off (the kernel always writes both sides)
     frozen = SGDConfig(kernel="linear", n_factors=12,
                        update_item_params=False)
-    assert not sgd._fused_step_enabled(frozen, data, p0)
+    assert not sgd._fused_step_enabled(frozen, data)
     # full shuffle -> off (scatter path, no tile metadata at trace time)
     full = SGDConfig(kernel="linear", n_factors=12, shuffle="full")
-    assert not sgd._fused_step_enabled(full, data, p0)
+    assert not sgd._fused_step_enabled(full, data)
     # no tile metadata -> off
     plain = sgd.pack_ratings(u, i, r, 256, shuffle_seed=3, order="user",
                              aggregate=False)
-    assert not sgd._fused_step_enabled(cfg, plain, p0)
+    assert not sgd._fused_step_enabled(cfg, plain)
     # no spare stash lanes -> off (k=126 fills all 128 columns)
     tight = SGDConfig(kernel="linear", n_factors=126)
     assert not pallas_sgd.has_stash_room(tight)
-    assert not sgd._fused_step_enabled(tight, data, p0)
+    assert not sgd._fused_step_enabled(tight, data)
     # ample lanes at the shipped shapes
     for k in (64, 100, 200):
         assert pallas_sgd.has_stash_room(SGDConfig(n_factors=k))
@@ -199,11 +199,15 @@ def test_fused_gate_conditions():
     monkeypatch = pytest.MonkeyPatch()
     try:
         monkeypatch.setattr(sgd.jax, "default_backend", lambda: "tpu")
-        small = SGDConfig(kernel="linear", n_factors=12,
-                          batch_size=sgd.FUSED_MIN_BATCH // 2)
-        big = SGDConfig(kernel="linear", n_factors=12,
-                        batch_size=sgd.FUSED_MIN_BATCH)
-        assert not sgd._fused_step_enabled(small, data, p0)
-        assert sgd._fused_step_enabled(big, data, p0)
+        auto_cfg = SGDConfig(kernel="linear", n_factors=12)
+        # the gate reads the PACK's batch width (256 here), not
+        # cfg.batch_size — small packs stay on the einsum path
+        assert data.user_ids.shape[1] < sgd.FUSED_MIN_BATCH
+        assert not sgd._fused_step_enabled(auto_cfg, data)
+        wide = jax.tree.map(lambda a: a, data)
+        wide = wide.replace(
+            user_ids=jnp.zeros((1, sgd.FUSED_MIN_BATCH), jnp.int32),
+            agg_prim=data.agg_prim)
+        assert sgd._fused_step_enabled(auto_cfg, wide)
     finally:
         monkeypatch.undo()
